@@ -1,0 +1,83 @@
+"""IVF index construction orchestration.
+
+Device-side counterpart of ``build_ivf_index``
+(/root/reference/src/ivf/index.rs:152-214): default ``n_clusters = ceil(sqrt n)``,
+5%/100k training sample, k-means on the sample, then one full-data assignment
+pass to build the inverted lists (sample-trained, full-assigned — the
+reference's second assignment pass at :193-206).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ValidationError
+from ..types import Embeddings
+from .ivf import IvfIndex
+from .kmeans import (
+    KMeansParams,
+    assign_clusters,
+    default_n_clusters,
+    k_means,
+    sample_indices,
+    train_sample_size,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class IvfBuildConfig:
+    """Mirror of IvfBuildConfig (/root/reference/src/ivf/index.rs:46-50)."""
+
+    n_clusters: int | None = None
+    max_iters: int = 20
+    seed: int = 42
+    block_rows: int = 8192
+
+    def __post_init__(self) -> None:
+        if self.max_iters <= 0:
+            raise ValidationError("max_iters must be > 0")
+        if self.n_clusters is not None and self.n_clusters <= 0:
+            raise ValidationError("n_clusters must be > 0")
+
+
+def build_ivf_index(
+    embeddings: Embeddings, config: IvfBuildConfig | None = None
+) -> IvfIndex:
+    config = config or IvfBuildConfig()
+    n = embeddings.row_count
+    if n == 0:
+        raise ValidationError("Cannot build IVF index with zero vectors")
+
+    n_clusters = (
+        config.n_clusters if config.n_clusters is not None else default_n_clusters(n)
+    )
+    if n_clusters > n:
+        raise ValidationError("n_clusters cannot exceed number of vectors")
+
+    # One host->HBM transfer; everything below is device work.
+    x = jnp.asarray(embeddings.data, dtype=jnp.float32)
+
+    sample_size = train_sample_size(n, n_clusters)
+    params = KMeansParams(
+        n_clusters=n_clusters,
+        max_iters=config.max_iters,
+        seed=config.seed,
+        block_rows=config.block_rows,
+    )
+    if sample_size == n:
+        centroids, _ = k_means(x, params)
+    else:
+        # Deterministic 5% sample without replacement
+        # (/root/reference/src/ivf/index.rs:222-242).
+        key = jax.random.PRNGKey(np.uint32(config.seed ^ 0x5A5A5A5A))
+        idx = sample_indices(key, n, sample_size)
+        centroids, _ = k_means(jnp.take(x, idx, axis=0), params)
+
+    # The reference always runs a fresh full-data assignment pass to build the
+    # inverted lists, even when k-means saw every row (:193-206).
+    assignments = assign_clusters(x, centroids, config.block_rows)
+    return IvfIndex.from_assignments(centroids, assignments)
