@@ -1,0 +1,113 @@
+"""IndexBuilder: the public index-construction facade.
+
+Mirrors the reference builder API (component #6 in SURVEY.md §2,
+/root/reference/src/ivf/parquet.rs:22-103): fluent ``n_clusters`` /
+``max_iters`` / ``seed`` setters with defaults (auto sqrt(n), 20, 42) and two
+build modes — ``build_inplace()`` (footer append, data pages untouched) and
+``build_new(output)`` (property-preserving rewrite with the index-friendly
+page layout).
+
+TPU extensions beyond reference parity:
+
+* ``block_rows`` — row-tile size for the device k-means scans,
+* ``cluster_sorted`` (``build_new`` only) — rewrite rows grouped by cluster
+  so each inverted list is a contiguous row range; candidate reads become
+  contiguous row-group slices instead of scattered single-row pages (the
+  "north-star" layout from SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .errors import ValidationError
+from .index.build import IvfBuildConfig, build_ivf_index
+from .index.ivf import IvfIndex
+from .io.embed import append_index_inplace, has_pq_vector_index
+from .io.reader import read_parquet_with_embeddings
+from .io.writer import write_parquet_with_index
+from .types import EmbeddingColumn
+
+
+class IndexBuilder:
+    """Build an IVF index and embed it into a Parquet file."""
+
+    def __init__(self, source: str | os.PathLike, embedding_column: str):
+        self._source = os.fspath(source)
+        self._embedding_column = EmbeddingColumn(embedding_column)
+        self._n_clusters: int | None = None
+        self._max_iters = 20
+        self._seed = 42
+        self._block_rows = 8192
+        self._cluster_sorted = False
+
+    # Fluent setters (parquet.rs:42-55).
+    def n_clusters(self, n_clusters: int) -> "IndexBuilder":
+        self._n_clusters = n_clusters
+        return self
+
+    def max_iters(self, max_iters: int) -> "IndexBuilder":
+        self._max_iters = max_iters
+        return self
+
+    def seed(self, seed: int) -> "IndexBuilder":
+        self._seed = seed
+        return self
+
+    def block_rows(self, block_rows: int) -> "IndexBuilder":
+        self._block_rows = block_rows
+        return self
+
+    def cluster_sorted(self, enabled: bool = True) -> "IndexBuilder":
+        self._cluster_sorted = enabled
+        return self
+
+    def _build_config(self) -> IvfBuildConfig:
+        # Validation mirrors parquet.rs:88-103 (IvfBuildConfig re-validates).
+        return IvfBuildConfig(
+            n_clusters=self._n_clusters,
+            max_iters=self._max_iters,
+            seed=self._seed,
+            block_rows=self._block_rows,
+        )
+
+    def build_inplace(self) -> IvfIndex:
+        """Append the index to the source file without rewriting data pages
+        (parquet.rs:57-69)."""
+        config = self._build_config()
+        parquet = read_parquet_with_embeddings(self._source, self._embedding_column)
+        index = build_ivf_index(parquet.embeddings, config)
+        append_index_inplace(self._source, index, self._embedding_column)
+        return index
+
+    def build_new(self, output: str | os.PathLike) -> IvfIndex:
+        """Write an indexed copy with preserved column properties
+        (parquet.rs:71-86)."""
+        config = self._build_config()
+        parquet = read_parquet_with_embeddings(self._source, self._embedding_column)
+        index = build_ivf_index(parquet.embeddings, config)
+        table = parquet.table
+
+        if self._cluster_sorted:
+            # Permute rows so each cluster is a contiguous range; the inverted
+            # lists are renumbered to the new row ids (still explicit in the
+            # wire format, so the file stays reference-readable).
+            order = np.asarray(index.row_ids, dtype=np.int64)
+            table = table.take(order)
+            index = IvfIndex(
+                dim=index.dim,
+                n_clusters=index.n_clusters,
+                centroids=index.centroids,
+                list_offsets=index.list_offsets,
+                row_ids=np.arange(index.total_rows, dtype=np.uint32),
+            )
+
+        write_parquet_with_index(
+            self._source, output, table, index, self._embedding_column
+        )
+        return index
+
+
+__all__ = ["IndexBuilder", "has_pq_vector_index"]
