@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness: SIFT1M-shaped IVF search on TPU.
+
+Methodology follows the reference harness (/root/reference/benches/query.rs
+and BASELINE.md): generate a seeded synthetic dataset, build the IVF index
+(timed, with file-size overhead), compute exact ground truth, sweep nprobe
+until recall@k >= target, then measure sustained batched QPS at that
+operating point. The ``vs_baseline`` ratio compares against a faithful
+single-core CPU (numpy) implementation of the reference's query loop
+(centroid scan -> inverted-list gather -> candidate distances -> top-k) at
+the same nprobe — the reference publishes no numbers (BASELINE.md), so its
+own methodology is re-run on CPU as the stand-in.
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def generate_dataset(path, rows, dim, seed=1234, batch_rows=65536):
+    """Seeded synthetic parquet (bench_util.rs:12-58 analog): id + embedding
+    columns, clustered gaussian mixture so IVF has structure to find."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_modes = 256
+    modes = rng.uniform(-1.0, 1.0, (n_modes, dim)).astype(np.float32)
+
+    schema = pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+        ]
+    )
+    writer = pq.ParquetWriter(path, schema, compression="snappy")
+    written = 0
+    while written < rows:
+        n = min(batch_rows, rows - written)
+        which = rng.integers(0, n_modes, n)
+        x = modes[which] + 0.15 * rng.standard_normal((n, dim)).astype(np.float32)
+        flat = pa.array(x.reshape(-1), pa.float32())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+        vec = pa.ListArray.from_arrays(offsets, flat)
+        batch = pa.table(
+            {"id": pa.array(np.arange(written, written + n)), "embedding": vec},
+            schema=schema,
+        )
+        writer.write_table(batch)
+        written += n
+    writer.close()
+
+
+def cpu_reference_qps(index, emb, queries, k, nprobe, budget_s=3.0):
+    """Single-core numpy re-run of the reference query loop
+    (/root/reference/src/ivf/search.rs:83-142, data already resident)."""
+    centroids = index.centroids
+    done = 0
+    start = time.perf_counter()
+    for q in queries:
+        diff = centroids - q[None, :]
+        cd = np.einsum("kd,kd->k", diff, diff)
+        probe = np.argpartition(cd, min(nprobe, len(cd) - 1))[:nprobe]
+        rows = np.concatenate([index.cluster_rows(int(c)) for c in probe])
+        cand = emb[rows]
+        d = np.einsum("nd,nd->n", cand, cand) - 2.0 * cand @ q + q @ q
+        k_eff = min(k, len(d))
+        top = np.argpartition(d, k_eff - 1)[:k_eff]
+        _ = rows[top[np.argsort(d[top])]]
+        done += 1
+        if time.perf_counter() - start > budget_s:
+            break
+    return done / (time.perf_counter() - start)
+
+
+def recall_at_k(truth_ids, got_ids):
+    """Fraction of true top-k recovered (benches/query.rs:498-569 analog)."""
+    hits = 0
+    total = 0
+    for t, g in zip(truth_ids, got_ids):
+        t = set(int(i) for i in t if i >= 0)
+        g = set(int(i) for i in g if i >= 0)
+        hits += len(t & g)
+        total += len(t)
+    return hits / max(total, 1)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=1_000_000)
+    parser.add_argument("--dim", type=int, default=128)
+    parser.add_argument("--n-clusters", type=int, default=1024)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--queries", type=int, default=256)
+    parser.add_argument("--recall-target", type=float, default=0.95)
+    parser.add_argument("--smoke", action="store_true", help="tiny fast run")
+    parser.add_argument("--data-dir", default="data")
+    args = parser.parse_args()
+
+    if args.smoke:
+        args.rows, args.dim, args.n_clusters = 20_000, 32, 64
+        args.queries = 64
+
+    os.makedirs(args.data_dir, exist_ok=True)
+    path = os.path.join(
+        args.data_dir, f"bench_{args.rows}x{args.dim}.parquet"
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from pqvector_tpu.builder import IndexBuilder, has_pq_vector_index
+    from pqvector_tpu.io.embed import read_index_from_parquet
+    from pqvector_tpu.io.reader import read_embedding_column
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+    from pqvector_tpu.types import EmbeddingColumn
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    # 1. Dataset ------------------------------------------------------
+    if not os.path.exists(path):
+        log(f"generating {args.rows}x{args.dim} dataset -> {path}")
+        t0 = time.perf_counter()
+        generate_dataset(path, args.rows, args.dim)
+        log(f"generated in {time.perf_counter() - t0:.1f}s")
+    source_size = os.path.getsize(path)
+
+    # 2. Index build (in-place), timed -------------------------------
+    if not has_pq_vector_index(path):
+        log("building IVF index (in-place)")
+        t0 = time.perf_counter()
+        IndexBuilder(path, "embedding").n_clusters(args.n_clusters).build_inplace()
+        build_s = time.perf_counter() - t0
+        indexed_size = os.path.getsize(path)
+        log(
+            f"index build: {build_s:.1f}s, overhead "
+            f"{(indexed_size - source_size) / 1e6:.1f} MB "
+            f"({(indexed_size - source_size) / source_size * 100:.1f}%)"
+        )
+
+    index, column = read_index_from_parquet(path)
+    emb = read_embedding_column(path, column).data
+    log(f"index: k={index.n_clusters} dim={index.dim} rows={index.total_rows}")
+
+    # 3. Device searcher + ground truth ------------------------------
+    searcher = DeviceIvfSearcher(index, emb, row_tile=4096)
+    rng = np.random.default_rng(7)
+    q_rows = rng.integers(0, args.rows, args.queries)
+    queries = emb[q_rows] + 0.05 * rng.standard_normal(
+        (args.queries, args.dim)
+    ).astype(np.float32)
+
+    log("computing exact ground truth on device")
+    t0 = time.perf_counter()
+    _, truth_ids = searcher.exact(queries, args.k)
+    truth_ids = np.asarray(jax.block_until_ready(truth_ids))
+    log(f"exact scan ({args.queries} queries): {time.perf_counter() - t0:.2f}s")
+
+    # 4. nprobe sweep until recall target ----------------------------
+    chosen = None
+    for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
+        if nprobe > index.n_clusters:
+            break
+        _, ids = searcher.search(queries, args.k, nprobe)
+        ids = np.asarray(jax.block_until_ready(ids))
+        r = recall_at_k(truth_ids, ids)
+        log(f"nprobe={nprobe}: recall@{args.k}={r:.4f}")
+        if r >= args.recall_target:
+            chosen = nprobe
+            break
+    if chosen is None:
+        chosen = min(128, index.n_clusters)
+        log(f"recall target not reached; using nprobe={chosen}")
+
+    # 5. Sustained batched QPS at the operating point ----------------
+    batch = min(args.batch, args.queries)
+    qbatch = queries[:batch]
+    # warmup (compile already done in sweep for these shapes)
+    jax.block_until_ready(searcher.search(qbatch, args.k, chosen)[1])
+    reps = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 5.0:
+        jax.block_until_ready(searcher.search(qbatch, args.k, chosen)[1])
+        reps += 1
+    elapsed = time.perf_counter() - t0
+    qps = reps * batch / elapsed
+    log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
+
+    # Bonus: exact-scan throughput (recall 1.0).
+    jax.block_until_ready(searcher.exact(qbatch, args.k)[1])
+    reps = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 3.0:
+        jax.block_until_ready(searcher.exact(qbatch, args.k)[1])
+        reps += 1
+    exact_qps = reps * batch / (time.perf_counter() - t0)
+    log(f"device exact-scan QPS (recall=1.0): {exact_qps:.0f}")
+
+    # 6. CPU single-core baseline at the same nprobe -----------------
+    cpu_qps = cpu_reference_qps(index, emb, queries, args.k, chosen)
+    log(f"cpu single-core reference QPS @ nprobe={chosen}: {cpu_qps:.1f}")
+
+    result = {
+        "metric": f"qps@recall{args.k}>={args.recall_target}_rows{args.rows}_dim{args.dim}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / max(cpu_qps, 1e-9), 2),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

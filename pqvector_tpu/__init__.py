@@ -9,6 +9,11 @@ and served through both a standalone top-k API and a SQL-style engine with a
 Public facade mirrors /root/reference/src/lib.rs:35-38.
 """
 
+from .utils.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
+from .builder import IndexBuilder
 from .errors import (
     ExecutionError,
     FormatError,
@@ -17,21 +22,28 @@ from .errors import (
     ValidationError,
 )
 from .index import IvfBuildConfig, IvfIndex, build_ivf_index
+from .io.embed import has_pq_vector_index
+from .query import DeviceIvfSearcher, SearchResult, TopkBuilder
 from .types import EmbeddingColumn, EmbeddingDim, Embeddings
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "DeviceIvfSearcher",
     "EmbeddingColumn",
     "EmbeddingDim",
     "Embeddings",
     "ExecutionError",
     "FormatError",
+    "IndexBuilder",
     "IvfBuildConfig",
     "IvfIndex",
     "PlanError",
     "PqVectorError",
+    "SearchResult",
+    "TopkBuilder",
     "ValidationError",
     "build_ivf_index",
+    "has_pq_vector_index",
     "__version__",
 ]

@@ -1,0 +1,211 @@
+"""Multi-chip batched search: rows sharded over ICI, all-gather top-k merge.
+
+Query-time scale-out (SURVEY.md §2 "first-class TPU equivalents"): the
+embedding matrix is row-sharded across the mesh; each chip runs the streamed
+exact (or IVF) top-k over its shard, then per-chip top-k candidate sets are
+``all_gather``-ed (k*n_dev rows per query — tiny) and merged with one final
+top-k. ICI traffic is O(B * k * n_dev), independent of n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..errors import ValidationError
+from ..index.ivf import IvfIndex
+from ..query.device import _exact_topk_impl, _ivf_topk_impl, _round_up
+from .mesh import DATA_AXIS, make_mesh
+
+
+def _merge_gathered(best_d, best_i):
+    """[n_dev, B, k] gathered results -> final [B, k]."""
+    n_dev, b, k = best_d.shape
+    all_d = jnp.transpose(best_d, (1, 0, 2)).reshape(b, n_dev * k)
+    all_i = jnp.transpose(best_i, (1, 0, 2)).reshape(b, n_dev * k)
+    order = jnp.argsort(all_d, axis=1, stable=True)[:, :k]
+    return jnp.take_along_axis(all_d, order, axis=1), jnp.take_along_axis(
+        all_i, order, axis=1
+    )
+
+
+class DistributedExactSearcher:
+    """Row-sharded exact brute-force top-k over a device mesh."""
+
+    def __init__(self, embeddings: np.ndarray, mesh=None, row_tile: int = 1024):
+        self.mesh = mesh or make_mesh()
+        n_dev = self.mesh.devices.size
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        n, d = embeddings.shape
+        self.n = n
+        self.dim = d
+        self.row_tile = row_tile
+
+        per_dev = _round_up(-(-n // n_dev), row_tile)
+        n_pad = per_dev * n_dev
+        emb = np.zeros((n_pad, d), dtype=np.float32)
+        emb[:n] = embeddings
+        sq = np.full(n_pad, np.inf, dtype=np.float32)
+        sq[:n] = np.einsum("nd,nd->n", embeddings, embeddings)
+
+        self.emb = jax.device_put(emb, NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.emb_sq = jax.device_put(sq, NamedSharding(self.mesh, P(DATA_AXIS)))
+        self._per_dev = per_dev
+
+    def search(self, queries: np.ndarray, k: int):
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValidationError(
+                f"Query dimension mismatch: expected {self.dim}, got {q.shape[1]}"
+            )
+        qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+        per_dev = self._per_dev
+        tile = self.row_tile
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q, emb_local, sq_local):
+            my = jax.lax.axis_index(DATA_AXIS)
+            d2, ids = _exact_topk_impl(q, emb_local, sq_local, k, tile)
+            ids = jnp.where(ids >= 0, ids + my * per_dev, ids)
+            d2_all = jax.lax.all_gather(d2, DATA_AXIS)  # [n_dev, B, k]
+            ids_all = jax.lax.all_gather(ids, DATA_AXIS)
+            return _merge_gathered(d2_all, ids_all)
+
+        d2, ids = jax.jit(run, static_argnums=())(qs, self.emb, self.emb_sq)
+        ids = jnp.where(ids >= self.n, -1, jnp.where(ids < 0, -1, ids))
+        return np.sqrt(np.asarray(d2)), np.asarray(ids)
+
+
+class DistributedIvfSearcher:
+    """Cluster-sharded IVF top-k over a device mesh.
+
+    Clusters are greedily balanced across devices by population; each device
+    holds a dense block of its clusters' rows plus a full ``[k, Lmax_local]``
+    cluster table (clusters it does not own are all-sentinel). A query probes
+    the replicated centroids once; every device gathers candidates for the
+    probed clusters it owns, computes a local top-k, and the per-device
+    results are all-gathered and merged.
+    """
+
+    def __init__(
+        self,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        mesh=None,
+        tile: int = 1024,
+    ):
+        self.mesh = mesh or make_mesh()
+        n_dev = self.mesh.devices.size
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        n, d = embeddings.shape
+        if d != index.dim:
+            raise ValidationError(
+                f"Embedding dim {d} does not match index dim {index.dim}"
+            )
+        self.index = index
+        self.n = n
+        self.dim = d
+        self.tile = tile
+
+        # Greedy balance clusters by size.
+        sizes = index.cluster_sizes()
+        order = np.argsort(sizes)[::-1]
+        owner = np.zeros(index.n_clusters, dtype=np.int64)
+        load = np.zeros(n_dev, dtype=np.int64)
+        for c in order:
+            dev = int(np.argmin(load))
+            owner[c] = dev
+            load[dev] += int(sizes[c])
+
+        rows_per_dev = int(load.max()) if n else 0
+        rows_per_dev = max(_round_up(max(rows_per_dev, 1) + 1, tile), tile)
+        lmax = max(1, int(sizes.max())) if index.n_clusters else 1
+
+        emb_blocks = np.zeros((n_dev, rows_per_dev, d), dtype=np.float32)
+        sq_blocks = np.full((n_dev, rows_per_dev), np.inf, dtype=np.float32)
+        gid_blocks = np.full((n_dev, rows_per_dev), -1, dtype=np.int32)
+        tables = np.full(
+            (n_dev, index.n_clusters, lmax), rows_per_dev - 1, dtype=np.int32
+        )
+        fill = np.zeros(n_dev, dtype=np.int64)
+        for c in range(index.n_clusters):
+            dev = int(owner[c])
+            rows = index.cluster_rows(c)
+            start = int(fill[dev])
+            count = rows.size
+            if count:
+                emb_blocks[dev, start : start + count] = embeddings[rows]
+                sq_blocks[dev, start : start + count] = np.einsum(
+                    "nd,nd->n", embeddings[rows], embeddings[rows]
+                )
+                gid_blocks[dev, start : start + count] = rows
+                tables[dev, c, :count] = np.arange(start, start + count)
+            fill[dev] += count
+        # Sentinel row (rows_per_dev - 1) must stay inf / -1: guaranteed since
+        # fill[dev] <= rows_per_dev - 1 by construction.
+
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.emb = jax.device_put(emb_blocks.reshape(n_dev * rows_per_dev, d), sharding)
+        self.emb_sq = jax.device_put(sq_blocks.reshape(-1), sharding)
+        self.gids = jax.device_put(gid_blocks.reshape(-1), sharding)
+        self.tables = jax.device_put(
+            tables.reshape(n_dev * index.n_clusters, lmax), sharding
+        )
+        self.centroids = jax.device_put(
+            index.centroids, NamedSharding(self.mesh, P())
+        )
+        self.c_sq = jax.device_put(
+            np.einsum("kd,kd->k", index.centroids, index.centroids),
+            NamedSharding(self.mesh, P()),
+        )
+        self._rows_per_dev = rows_per_dev
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int):
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValidationError(
+                f"Query dimension mismatch: expected {self.dim}, got {q.shape[1]}"
+            )
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+        tile = min(self.tile, self._rows_per_dev)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q, emb_local, sq_local, gid_local, table_local, centroids, c_sq):
+            d2, local_ids = _ivf_topk_impl(
+                q, centroids, c_sq, table_local, emb_local, sq_local, k, nprobe, tile
+            )
+            gids = jnp.where(local_ids >= 0, gid_local[local_ids], -1)
+            d2 = jnp.where(gids < 0, jnp.inf, d2)
+            d2_all = jax.lax.all_gather(d2, DATA_AXIS)
+            ids_all = jax.lax.all_gather(gids, DATA_AXIS)
+            return _merge_gathered(d2_all, ids_all)
+
+        d2, ids = jax.jit(run)(
+            qs, self.emb, self.emb_sq, self.gids, self.tables, self.centroids, self.c_sq
+        )
+        ids = np.asarray(ids)
+        d2 = np.asarray(d2)
+        ids = np.where(np.isinf(d2), -1, ids)
+        return np.sqrt(d2), ids

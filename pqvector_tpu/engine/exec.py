@@ -1,0 +1,307 @@
+"""VectorTopKExec: the indexed top-k operator.
+
+Component #17 in SURVEY.md §2 (/root/reference/src/df_vector/exec.rs). Two
+children: the index scan (candidate row ids) and the original scan subtree
+(scan + any FilterExec). Execution (exec.rs:279-293):
+
+1. collect candidates per file from the index child,
+2. per-file row-group row counts from footers (:157-205),
+3. ``max_candidates`` budget via round-robin cursor (:219-239),
+4. attach access plans to the scan child and execute it — **FilterExec stays
+   in the child, so predicates apply after candidate pruning** (the semantic
+   pinned by /root/reference/src/df_vector/tests.rs:151-241),
+5. top-k over the fetched rows, keeping *entire rows*; distances recomputed
+   from the fetched vector column (List/FixedSizeList/LargeList of f32/f64,
+   dim-mismatch rows skipped, :494-550); results are **squared-L2** ordered
+   ascending (sqrt only exists in the standalone API).
+
+Metrics: ``embeddings_fetched`` (SUMMARY), ``batches_fetched`` (DEV)
+(:405-427). TPU extension: when candidate counts are large the distance
+re-scoring runs as one device matmul instead of the host loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..errors import ExecutionError, PlanError
+from .access import (
+    CandidateCursor,
+    FileEntry,
+    ScanFile,
+    build_access_plans,
+)
+from .index_exec import INDEX_PATH_COL, INDEX_ROW_ID_COL, VectorIndexScanExec
+from .options import VectorTopKOptions
+from .physical import ExecutionPlan, ParquetScanExec, TaskContext
+
+_DEVICE_THRESHOLD = 16384  # rows; below this the host path wins on latency
+
+
+def gather_parquet_scans(plan: ExecutionPlan) -> list[ParquetScanExec]:
+    scans: list[ParquetScanExec] = []
+
+    def visit(node: ExecutionPlan) -> None:
+        if isinstance(node, ParquetScanExec):
+            scans.append(node)
+        for child in node.children():
+            visit(child)
+
+    visit(plan)
+    return scans
+
+
+def gather_single_parquet_scan(plan: ExecutionPlan) -> ParquetScanExec | None:
+    """Exactly-one-scan requirement (access.rs:35-44)."""
+    scans = gather_parquet_scans(plan)
+    return scans[0] if len(scans) == 1 else None
+
+
+def rewrite_with_access_plans(
+    plan: ExecutionPlan, access_plans: dict
+) -> ExecutionPlan:
+    """Clone the subtree with access plans attached to the scan
+    (access.rs:65-105)."""
+    if isinstance(plan, ParquetScanExec):
+        return plan.with_access_plans(access_plans)
+    children = plan.children()
+    if not children:
+        return plan
+    new_children = [rewrite_with_access_plans(c, access_plans) for c in children]
+    return plan.with_new_children(new_children)
+
+
+class VectorTopKExec(ExecutionPlan):
+    name = "VectorTopKExec"
+    tree_name = "vector_topk"
+
+    def __init__(
+        self,
+        index_plan: ExecutionPlan,
+        scan_plan: ExecutionPlan,
+        vector_column: str,
+        query: np.ndarray,
+        k: int,
+        options: VectorTopKOptions,
+    ):
+        super().__init__()
+        self.index_plan = index_plan
+        self.scan_plan = scan_plan
+        self.vector_column = vector_column
+        self.query = np.asarray(query, dtype=np.float32).reshape(-1)
+        self.k = k
+        self.options = options
+        self._embeddings_fetched = self.metrics.counter("embeddings_fetched")
+        self._batches_fetched = self.metrics.counter(
+            "batches_fetched", self.metrics.DEV
+        )
+
+    @classmethod
+    def try_new(
+        cls,
+        scan_plan: ExecutionPlan,
+        vector_column: str,
+        query: np.ndarray,
+        k: int,
+        options: VectorTopKOptions,
+    ) -> "VectorTopKExec":
+        scan = gather_single_parquet_scan(scan_plan)
+        if scan is None:
+            raise PlanError("VectorTopKExec requires a single parquet scan input")
+        index_plan = VectorIndexScanExec(
+            list(scan.files), vector_column, query, options
+        )
+        return cls(index_plan, scan_plan, vector_column, query, k, options)
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.index_plan, self.scan_plan]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "VectorTopKExec":
+        index_plan, scan_plan = children
+        return VectorTopKExec(
+            index_plan, scan_plan, self.vector_column, self.query, self.k, self.options
+        )
+
+    def schema(self) -> pa.Schema:
+        return self.scan_plan.schema()
+
+    # ------------------------------------------------------------------
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        candidates = self._collect_candidates(context)
+        file_entries = self._files_with_candidates(context, candidates)
+        table = self._execute_with_candidates(file_entries, context)
+        self.metrics.output_rows.add(table.num_rows)
+        return table
+
+    def _collect_candidates(self, context: TaskContext) -> dict[str, np.ndarray]:
+        """Index child -> {path: row ids} (exec.rs:108-155)."""
+        batch = self.index_plan.execute(context)
+        paths = batch.column(INDEX_PATH_COL).to_numpy(zero_copy_only=False)
+        rows = batch.column(INDEX_ROW_ID_COL).to_numpy(zero_copy_only=False)
+        selections: dict[str, np.ndarray] = {}
+        for path in np.unique(paths):
+            selections[str(path)] = rows[paths == path].astype(np.int64)
+        return selections
+
+    def _files_with_candidates(
+        self, context: TaskContext, candidates: dict[str, np.ndarray]
+    ) -> list[FileEntry]:
+        """Row-group row counts per scan file (exec.rs:157-205)."""
+        scan = gather_single_parquet_scan(self.scan_plan)
+        if scan is None:
+            raise PlanError("VectorTopKExec requires a single parquet scan input")
+        remaining = dict(candidates)
+        entries: list[FileEntry] = []
+        for file in scan.files:
+            try:
+                md = pq.ParquetFile(file.object_path).metadata
+            except Exception as exc:
+                raise ExecutionError(
+                    f"Failed to read parquet metadata from '{file.object_path}': {exc}"
+                ) from exc
+            row_groups = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            rows = remaining.pop(file.object_path, np.empty(0, dtype=np.int64))
+            entries.append(
+                FileEntry(
+                    object_path=file.object_path,
+                    row_groups=row_groups,
+                    candidates=rows,
+                )
+            )
+        if remaining:
+            raise ExecutionError(
+                "VectorIndexScanExec produced candidates for unknown files"
+            )
+        return entries
+
+    def _execute_with_candidates(
+        self, file_entries: list[FileEntry], context: TaskContext
+    ) -> pa.Table:
+        """Budget -> access plans -> child scan -> top-k (exec.rs:207-245)."""
+        if not file_entries:
+            raise PlanError("VectorTopKExec requires at least one indexed parquet file")
+
+        total_candidates = sum(e.candidates.size for e in file_entries)
+        max_candidates = (
+            self.options.max_candidates
+            if self.options.max_candidates is not None
+            else total_candidates
+        )
+        target = min(max_candidates, total_candidates)
+
+        cursor = CandidateCursor(len(file_entries))
+        for idx, entry in enumerate(file_entries):
+            cursor.add_candidates(idx, entry.candidates)
+        selected = cursor.next_batch(target)
+
+        selections: dict[str, list[int]] = {}
+        for file_idx, row in selected:
+            selections.setdefault(file_entries[file_idx].object_path, []).append(row)
+        selections_np = {
+            path: np.asarray(rows, dtype=np.int64) for path, rows in selections.items()
+        }
+
+        access_plans = build_access_plans(file_entries, selections_np)
+        plan = rewrite_with_access_plans(self.scan_plan, access_plans)
+        table = plan.execute(context)
+        return self._topk_from_table(table)
+
+    # ------------------------------------------------------------------
+
+    def _topk_from_table(self, table: pa.Table) -> pa.Table:
+        """Heap-equivalent top-k over full rows (exec.rs:257-277, 457-492)."""
+        self._batches_fetched.add(max(1, table.column(0).num_chunks) if table.num_columns else 1)
+        self._embeddings_fetched.add(table.num_rows)
+
+        if self.vector_column not in table.column_names:
+            raise PlanError(
+                f"Vector column '{self.vector_column}' not found in schema"
+            )
+        distances = self._compute_distances(table)
+        valid = ~np.isnan(distances)
+        idx = np.flatnonzero(valid)
+        if idx.size == 0:
+            return self.schema().empty_table()
+        order = idx[np.argsort(distances[idx], kind="stable")][: self.k]
+        return table.take(pa.array(order))
+
+    def _compute_distances(self, table: pa.Table) -> np.ndarray:
+        """Squared L2 per row; NaN for dim-mismatch / null rows
+        (exec.rs:494-550)."""
+        col = table.column(self.vector_column)
+        typ = col.type
+        if not (
+            pa.types.is_list(typ)
+            or pa.types.is_large_list(typ)
+            or pa.types.is_fixed_size_list(typ)
+        ):
+            raise PlanError("Vector column must be list or fixed-size list")
+        value_type = typ.value_type
+        if value_type not in (pa.float32(), pa.float64()):
+            raise PlanError("Vector column must be Float32 or Float64 list")
+
+        q = self.query
+        dim = q.size
+        out = np.full(table.num_rows, np.nan, dtype=np.float64)
+        base = 0
+        for chunk in col.chunks:
+            n = len(chunk)
+            if n == 0:
+                continue
+            valid_mask = np.ones(n, dtype=bool)
+            if chunk.null_count:
+                valid_mask = np.asarray(chunk.is_valid())
+            if pa.types.is_fixed_size_list(typ):
+                lengths = np.full(n, typ.list_size, dtype=np.int64)
+                flat = chunk.flatten()
+                starts = np.arange(n, dtype=np.int64) * typ.list_size
+            else:
+                offsets = np.asarray(chunk.offsets)
+                lengths = np.diff(offsets)
+                first = int(offsets[0])
+                flat = chunk.values.slice(first, int(offsets[-1]) - first)
+                starts = (offsets[:-1] - first).astype(np.int64)
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+            ok = valid_mask & (lengths == dim)
+            rows = np.flatnonzero(ok)
+            if rows.size:
+                gather = starts[rows][:, None] + np.arange(dim)[None, :]
+                mat = vals[gather]
+                if self.options.use_device and rows.size >= _DEVICE_THRESHOLD:
+                    out[base + rows] = _device_sqdist(mat, q)
+                else:
+                    diff = mat - q[None, :]
+                    out[base + rows] = np.einsum("nd,nd->n", diff, diff)
+            base += n
+        return out
+
+    def tree_lines(self) -> list[str]:
+        lines = [
+            f"k={self.k}",
+            f"column={self.vector_column}",
+            f"query_dim={self.query.size}",
+            f"nprobe={self.options.nprobe}",
+        ]
+        if self.options.max_candidates is not None:
+            lines.append(f"max_candidates={self.options.max_candidates}")
+        lines.append(
+            f"embeddings_fetched={self.metrics.value('embeddings_fetched')}"
+        )
+        lines.append(f"batches_fetched={self.metrics.value('batches_fetched')}")
+        return lines
+
+    def display_line(self) -> str:
+        return f"VectorTopKExec: k={self.k}"
+
+
+def _device_sqdist(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """One-launch device distance for large candidate sets."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(mat)
+    qq = jnp.asarray(q)
+    diff = x - qq[None, :]
+    return np.asarray(jnp.sum(diff * diff, axis=1), dtype=np.float64)

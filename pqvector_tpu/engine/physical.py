@@ -1,0 +1,410 @@
+"""Physical plan operators for the SQL-style engine.
+
+A deliberately thin analog of the DataFusion physical-plan surface the
+reference builds on: ``DataSourceExec`` (Parquet scan with per-file access
+plans), ``FilterExec``, ``SortExec`` (with ``fetch``), ``GlobalLimitExec`` /
+``LocalLimitExec``, ``SortPreservingMergeExec``, ``ProjectionExec``. The
+VectorTopK rewrite rule pattern-matches these exact shapes
+(/root/reference/src/df_vector/physical.rs:32-113), so the planner emits the
+same tree structures DataFusion would.
+
+Execution is pull-based and materializing (each node returns one Arrow
+table); the data volumes on the engine's host path are candidate-sized by
+design — bulk work belongs to the device operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..errors import ExecutionError, PlanError
+from .access import ParquetAccessPlan, ScanFile
+from .expr import PhysicalExpr
+from .metrics import MetricsSet
+from .object_store import DEFAULT_STORE, ObjectStore
+
+
+class ExecutionPlan:
+    """Base operator."""
+
+    name: str = "ExecutionPlan"
+    tree_name: str = "execution_plan"
+
+    def __init__(self) -> None:
+        self.metrics = MetricsSet()
+
+    def children(self) -> list["ExecutionPlan"]:
+        return []
+
+    def with_new_children(self, children: list["ExecutionPlan"]) -> "ExecutionPlan":
+        if children:
+            raise PlanError(f"{self.name} does not accept children")
+        return self
+
+    def schema(self) -> pa.Schema:
+        raise NotImplementedError
+
+    def execute(self, context: "TaskContext") -> pa.Table:
+        raise NotImplementedError
+
+    # Display ---------------------------------------------------------
+    def display_line(self) -> str:
+        return self.name
+
+    def tree_lines(self) -> list[str]:
+        """Extra key=value lines for the tree render."""
+        return []
+
+
+class TaskContext:
+    """Execution context: object store + session-level knobs."""
+
+    def __init__(self, object_store: ObjectStore = DEFAULT_STORE):
+        self.object_store = object_store
+
+
+class ParquetScanExec(ExecutionPlan):
+    """DataSourceExec + ParquetSource analog: scan one or more Parquet files,
+    optionally restricted by per-file access plans (row-group/row
+    selections attached by the TopK rewrite, access.rs:65-105)."""
+
+    name = "DataSourceExec"
+    tree_name = "data_source"
+
+    def __init__(
+        self,
+        files: list[ScanFile],
+        schema: pa.Schema,
+        projection: list[str] | None = None,
+        access_plans: dict[str, ParquetAccessPlan] | None = None,
+    ):
+        super().__init__()
+        self.files = files
+        self._schema = schema
+        self.projection = projection
+        self.access_plans = access_plans or {}
+
+    def schema(self) -> pa.Schema:
+        if self.projection is None:
+            return self._schema
+        return pa.schema([self._schema.field(c) for c in self.projection])
+
+    def with_access_plans(
+        self, access_plans: dict[str, ParquetAccessPlan]
+    ) -> "ParquetScanExec":
+        return ParquetScanExec(self.files, self._schema, self.projection, access_plans)
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        tables: list[pa.Table] = []
+        with self.metrics.elapsed_compute.timer():
+            for file in self.files:
+                plan = self.access_plans.get(file.object_path)
+                tables.append(self._read_file(file.object_path, plan))
+        if not tables:
+            return self.schema().empty_table()
+        table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        self.metrics.output_rows.add(table.num_rows)
+        return table
+
+    def _read_file(self, path: str, plan: ParquetAccessPlan | None) -> pa.Table:
+        pf = pq.ParquetFile(path)
+        columns = self.projection
+        if plan is None:
+            table = pf.read(columns=columns)
+            return _strip_metadata(table)
+        parts: list[pa.Table] = []
+        for group_idx, sel in enumerate(plan.groups):
+            if sel.skip:
+                continue
+            tbl = pf.read_row_group(group_idx, columns=columns)
+            if not sel.scan_all and sel.rows is not None:
+                tbl = tbl.take(pa.array(sel.rows))
+            parts.append(tbl)
+        if not parts:
+            return _strip_metadata(pf.schema_arrow.empty_table() if columns is None else self.schema().empty_table())
+        return _strip_metadata(pa.concat_tables(parts))
+
+
+def _strip_metadata(table: pa.Table) -> pa.Table:
+    return table.replace_schema_metadata(None)
+
+
+class FilterExec(ExecutionPlan):
+    """Row filter (predicates evaluate *after* candidate pruning when nested
+    under VectorTopKExec — the reference semantic proved by
+    /root/reference/src/df_vector/tests.rs:151-241)."""
+
+    name = "FilterExec"
+    tree_name = "filter"
+
+    def __init__(self, predicate: PhysicalExpr, input_plan: ExecutionPlan):
+        super().__init__()
+        self.predicate = predicate
+        self.input = input_plan
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "FilterExec":
+        (child,) = children
+        return FilterExec(self.predicate, child)
+
+    def schema(self) -> pa.Schema:
+        return self.input.schema()
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        table = self.input.execute(context)
+        with self.metrics.elapsed_compute.timer():
+            mask = np.asarray(self.predicate.evaluate(table), dtype=bool)
+            out = table.filter(pa.array(mask))
+        self.metrics.output_rows.add(out.num_rows)
+        return out
+
+    def display_line(self) -> str:
+        return f"FilterExec: {self.predicate}"
+
+    def tree_lines(self) -> list[str]:
+        return [f"predicate={self.predicate}"]
+
+
+class SortExpr:
+    """One sort key (PhysicalSortExpr analog)."""
+
+    def __init__(self, expr: PhysicalExpr, descending: bool = False):
+        self.expr = expr
+        self.descending = descending
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, SortExpr)
+            and str(self.expr) == str(other.expr)
+            and self.descending == other.descending
+        )
+
+    def __str__(self) -> str:
+        return f"{self.expr} {'DESC' if self.descending else 'ASC'}"
+
+
+class SortExec(ExecutionPlan):
+    name = "SortExec"
+    tree_name = "sort"
+
+    def __init__(
+        self,
+        exprs: list[SortExpr],
+        input_plan: ExecutionPlan,
+        fetch: int | None = None,
+        preserve_partitioning: bool = False,
+    ):
+        super().__init__()
+        self.exprs = exprs
+        self.input = input_plan
+        self.fetch = fetch
+        self.preserve_partitioning = preserve_partitioning
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "SortExec":
+        (child,) = children
+        return SortExec(self.exprs, child, self.fetch, self.preserve_partitioning)
+
+    def schema(self) -> pa.Schema:
+        return self.input.schema()
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        table = self.input.execute(context)
+        with self.metrics.elapsed_compute.timer():
+            keys = [np.asarray(e.expr.evaluate(table), dtype=np.float64) for e in self.exprs]
+            # NaNs sort last (DataFusion nulls-last default for ASC).
+            order = np.lexsort(
+                tuple(
+                    (-k if e.descending else k)
+                    for k, e in zip(reversed(keys), reversed(self.exprs))
+                )
+            )
+            if self.fetch is not None:
+                order = order[: self.fetch]
+            out = table.take(pa.array(order))
+        self.metrics.output_rows.add(out.num_rows)
+        return out
+
+    def display_line(self) -> str:
+        fetch = f", fetch={self.fetch}" if self.fetch is not None else ""
+        return f"SortExec: [{', '.join(str(e) for e in self.exprs)}]{fetch}"
+
+
+class GlobalLimitExec(ExecutionPlan):
+    name = "GlobalLimitExec"
+    tree_name = "global_limit"
+
+    def __init__(self, input_plan: ExecutionPlan, skip: int = 0, fetch: int | None = None):
+        super().__init__()
+        self.input = input_plan
+        self.skip = skip
+        self.fetch = fetch
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "GlobalLimitExec":
+        (child,) = children
+        return GlobalLimitExec(child, self.skip, self.fetch)
+
+    def schema(self) -> pa.Schema:
+        return self.input.schema()
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        table = self.input.execute(context)
+        table = table.slice(self.skip)
+        if self.fetch is not None:
+            table = table.slice(0, self.fetch)
+        self.metrics.output_rows.add(table.num_rows)
+        return table
+
+    def display_line(self) -> str:
+        return f"GlobalLimitExec: skip={self.skip}, fetch={self.fetch}"
+
+
+class LocalLimitExec(ExecutionPlan):
+    name = "LocalLimitExec"
+    tree_name = "local_limit"
+
+    def __init__(self, input_plan: ExecutionPlan, fetch: int):
+        super().__init__()
+        self.input = input_plan
+        self.fetch = fetch
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "LocalLimitExec":
+        (child,) = children
+        return LocalLimitExec(child, self.fetch)
+
+    def schema(self) -> pa.Schema:
+        return self.input.schema()
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        table = self.input.execute(context).slice(0, self.fetch)
+        self.metrics.output_rows.add(table.num_rows)
+        return table
+
+    def display_line(self) -> str:
+        return f"LocalLimitExec: fetch={self.fetch}"
+
+
+class SortPreservingMergeExec(ExecutionPlan):
+    name = "SortPreservingMergeExec"
+    tree_name = "sort_preserving_merge"
+
+    def __init__(self, exprs: list[SortExpr], input_plan: ExecutionPlan, fetch: int | None = None):
+        super().__init__()
+        self.exprs = exprs
+        self.input = input_plan
+        self.fetch = fetch
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "SortPreservingMergeExec":
+        (child,) = children
+        return SortPreservingMergeExec(self.exprs, child, self.fetch)
+
+    def schema(self) -> pa.Schema:
+        return self.input.schema()
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        # Single-partition engine: input is already sorted; apply fetch.
+        table = self.input.execute(context)
+        if self.fetch is not None:
+            table = table.slice(0, self.fetch)
+        self.metrics.output_rows.add(table.num_rows)
+        return table
+
+    def display_line(self) -> str:
+        return f"SortPreservingMergeExec: [{', '.join(str(e) for e in self.exprs)}]"
+
+
+class ProjectionExec(ExecutionPlan):
+    name = "ProjectionExec"
+    tree_name = "projection"
+
+    def __init__(
+        self,
+        exprs: list[tuple[PhysicalExpr, str]],
+        input_plan: ExecutionPlan,
+    ):
+        super().__init__()
+        self.exprs = exprs
+        self.input = input_plan
+
+    def children(self) -> list[ExecutionPlan]:
+        return [self.input]
+
+    def with_new_children(self, children: list[ExecutionPlan]) -> "ProjectionExec":
+        (child,) = children
+        return ProjectionExec(self.exprs, child)
+
+    def schema(self) -> pa.Schema:
+        input_schema = self.input.schema()
+        fields = []
+        for expr, name in self.exprs:
+            from .expr import Column
+
+            if isinstance(expr, Column) and expr.name in input_schema.names:
+                fields.append(pa.field(name, input_schema.field(expr.name).type))
+            else:
+                fields.append(pa.field(name, pa.float64()))
+        return pa.schema(fields)
+
+    def execute(self, context: TaskContext) -> pa.Table:
+        from .expr import Column
+
+        table = self.input.execute(context)
+        arrays = []
+        names = []
+        for expr, name in self.exprs:
+            if isinstance(expr, Column):
+                arrays.append(table.column(expr.name))
+            else:
+                arrays.append(pa.array(expr.evaluate(table)))
+            names.append(name)
+        out = pa.Table.from_arrays(arrays, names=names)
+        self.metrics.output_rows.add(out.num_rows)
+        return out
+
+    def display_line(self) -> str:
+        return (
+            "ProjectionExec: "
+            + ", ".join(name for _, name in self.exprs)
+        )
+
+
+def display_tree(plan: ExecutionPlan, indent: int = 0) -> str:
+    """Indented plan display (DisplayableExecutionPlan analog)."""
+    lines = [" " * indent + plan.display_line()]
+    for child in plan.children():
+        lines.append(display_tree(child, indent + 2))
+    return "\n".join(lines)
+
+
+def tree_render(plan: ExecutionPlan) -> str:
+    """TreeRender analog: boxed nodes with key=value detail lines including
+    metric values (the reference snapshot-tests this format,
+    /root/reference/src/df_vector/exec.rs:302-331). We use a simpler
+    indented format but with the same content."""
+    out: list[str] = []
+
+    def visit(node: ExecutionPlan, depth: int) -> None:
+        pad = "  " * depth
+        out.append(f"{pad}{node.tree_name}")
+        for line in node.tree_lines():
+            out.append(f"{pad}  {line}")
+        for child in node.children():
+            visit(child, depth + 1)
+
+    visit(plan, 0)
+    return "\n".join(out)

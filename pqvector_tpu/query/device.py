@@ -1,0 +1,245 @@
+"""HBM-resident batched IVF search (the TPU query centerpiece).
+
+The reference executes one query at a time against disk-resident data
+(/root/reference/src/ivf/search.rs). On TPU the winning layout keeps the
+embedding matrix resident in HBM (bf16 or f32) and amortizes device launches
+over query batches (SURVEY.md §7 step 5, BASELINE config 5). Two paths:
+
+* ``exact`` — streamed brute-force scan: ``lax.scan`` over row tiles, each
+  tile one MXU matmul ``[B, T]`` plus a running top-k merge. HBM traffic is
+  one pass over the matrix per *batch*, so large batches approach the
+  roofline regardless of batch size.
+* ``ivf`` — fused probe chain: centroid top-nprobe -> padded cluster table
+  lookup -> tiled embedding gather -> distance -> running top-k. Reads only
+  ``B * nprobe * Lmax * d`` bytes; wins at small batch / high selectivity.
+
+Ragged inverted lists are handled with the static-shape strategy from
+SURVEY.md §7 hard part #2: a ``[k, Lmax]`` cluster table padded with a
+sentinel row id ``n`` whose (extra) embedding row has +inf squared norm, so
+padding never enters the top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ValidationError
+from ..index.ivf import IvfIndex
+from ..io.embed import read_index_from_parquet
+from ..io.reader import read_embedding_column
+
+_SENTINEL_NORM = jnp.float32(3.0e38)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _refine_and_sort(q, emb, best_d, best_i):
+    """Recompute the winners' distances with the direct (x - q)^2 form.
+
+    The |x|^2 - 2 x.q matmul form loses ~1e-3 relative precision to
+    cancellation; the reference computes direct differences
+    (/root/reference/src/ivf/index.rs:461-480), so the k winners are re-scored
+    exactly and re-sorted (stable) before returning.
+    """
+    x = emb[jnp.maximum(best_i, 0)].astype(jnp.float32)  # [B, k, d]
+    diff = x - q[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(jnp.isinf(best_d), jnp.inf, d2)
+    order = jnp.argsort(d2, axis=1, stable=True)
+    return jnp.take_along_axis(d2, order, axis=1), jnp.take_along_axis(
+        best_i, order, axis=1
+    )
+
+
+def _exact_topk_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d] (f32 or bf16)
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf for pad rows)
+    k: int,
+    tile: int,
+):
+    """Streaming exact top-k: scan row tiles, merge into a running [B, k]."""
+    b, d = q.shape
+    n_pad = emb.shape[0]
+    nt = n_pad // tile
+    emb_t = emb.reshape(nt, tile, d)
+    sq_t = emb_sq.reshape(nt, tile)
+    qf = q.astype(emb.dtype)
+
+    def step(carry, inputs):
+        best_d, best_i = carry
+        ti, (xt, x2t) = inputs
+        scores = jnp.dot(qf, xt.T, preferred_element_type=jnp.float32)  # [B, T]
+        partial = x2t[None, :] - 2.0 * scores
+        ids = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        all_d = jnp.concatenate([best_d, partial], axis=1)
+        all_i = jnp.concatenate([best_i, ids], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t))
+    )
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
+def _ivf_topk_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    centroids: jnp.ndarray,  # [kc, d] f32
+    c_sq: jnp.ndarray,  # [kc] f32
+    clusters: jnp.ndarray,  # [kc, Lmax] i32 (sentinel = n_pad index of inf row)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf at sentinel)
+    k: int,
+    nprobe: int,
+    tile: int,
+):
+    """Fused IVF probe: nprobe clusters -> tiled gather -> running top-k."""
+    b, d = q.shape
+    lmax = clusters.shape[1]
+
+    # Probe: same ordering as IvfIndex.find_closest_centroids (stable in the
+    # lower index on ties because lax.top_k is index-stable).
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), nprobe)  # [B, P]
+
+    cand = clusters[probe].reshape(b, nprobe * lmax)  # [B, C]
+    c_total = cand.shape[1]
+    c_pad = _round_up(c_total, tile)
+    if c_pad != c_total:
+        cand = jnp.pad(cand, ((0, 0), (0, c_pad - c_total)), constant_values=emb.shape[0] - 1)
+    nt = c_pad // tile
+    cand_t = cand.reshape(b, nt, tile).transpose(1, 0, 2)  # [nt, B, tile]
+    qf = q.astype(emb.dtype)
+
+    def step(carry, ids_t):
+        best_d, best_i = carry
+        xt = emb[ids_t]  # [B, tile, d] gather
+        scores = jnp.einsum(
+            "bd,btd->bt", qf, xt, preferred_element_type=jnp.float32
+        )
+        partial = emb_sq[ids_t] - 2.0 * scores
+        all_d = jnp.concatenate([best_d, partial], axis=1)
+        all_i = jnp.concatenate([best_i, ids_t], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(step, init, cand_t)
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
+class DeviceIvfSearcher:
+    """Device-resident searcher over one embedding matrix + its IVF index."""
+
+    def __init__(
+        self,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        dtype: jnp.dtype = jnp.float32,
+        row_tile: int = 2048,
+    ):
+        n, d = embeddings.shape
+        if d != index.dim:
+            raise ValidationError(
+                f"Embedding dim {d} does not match index dim {index.dim}"
+            )
+        self.index = index
+        self.n = n
+        self.dim = d
+        self.row_tile = row_tile
+
+        n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
+        emb = np.zeros((n_pad, d), dtype=np.float32)
+        emb[:n] = embeddings
+        sq = np.full(n_pad, np.inf, dtype=np.float32)
+        sq[:n] = np.einsum("nd,nd->n", embeddings, embeddings)
+        self._sentinel = n  # any padded id points here (inf norm)
+
+        self.emb = jnp.asarray(emb, dtype=dtype)
+        self.emb_sq = jnp.asarray(sq)
+        self.centroids = jnp.asarray(index.centroids)
+        self.c_sq = jnp.sum(self.centroids * self.centroids, axis=1)
+
+        sizes = index.cluster_sizes()
+        lmax = max(1, int(sizes.max()))
+        table = np.full((index.n_clusters, lmax), self._sentinel, dtype=np.int32)
+        for c in range(index.n_clusters):
+            rows = index.cluster_rows(c)
+            table[c, : rows.size] = rows
+        self.clusters = jnp.asarray(table)
+
+    @classmethod
+    def from_parquet(
+        cls,
+        path: str | os.PathLike,
+        dtype: jnp.dtype = jnp.float32,
+        row_tile: int = 2048,
+    ) -> "DeviceIvfSearcher":
+        index, column = read_index_from_parquet(path)
+        emb = read_embedding_column(path, column)
+        return cls(index, emb.data, dtype=dtype, row_tile=row_tile)
+
+    # ------------------------------------------------------------------
+
+    def _check_queries(self, queries: np.ndarray) -> jnp.ndarray:
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValidationError(
+                f"Query dimension mismatch: expected {self.dim}, got {q.shape}"
+            )
+        return q
+
+    def exact(self, queries: np.ndarray, k: int):
+        """Exact brute-force top-k. Returns (sqrt distances [B,k], ids [B,k]);
+        missing slots (k > n) have id -1 and distance inf."""
+        q = self._check_queries(queries)
+        if k <= 0:
+            raise ValidationError("k must be > 0")
+        d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
+        ids = jnp.where(ids >= self.n, -1, ids)
+        return jnp.sqrt(d2), ids
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int):
+        """IVF top-k. Returns (sqrt distances [B,k], ids [B,k]); slots beyond
+        the candidate count have id -1 and distance inf."""
+        q = self._check_queries(queries)
+        if k <= 0:
+            raise ValidationError("k must be > 0")
+        if nprobe <= 0:
+            raise ValidationError("nprobe must be > 0")
+        nprobe = min(nprobe, self.index.n_clusters)
+        tile = min(self.row_tile, 2048)
+        d2, ids = _ivf_topk(
+            q,
+            self.centroids,
+            self.c_sq,
+            self.clusters,
+            self.emb,
+            self.emb_sq,
+            k,
+            nprobe,
+            tile,
+        )
+        ids = jnp.where(ids >= self.n, -1, ids)
+        return jnp.sqrt(d2), ids
+
+
+_exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
+_ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))

@@ -1,0 +1,119 @@
+"""Device-resident batched search tests (CPU backend; same XLA programs)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pqvector_tpu import Embeddings, IvfBuildConfig, ValidationError, build_ivf_index
+from pqvector_tpu.builder import IndexBuilder
+from pqvector_tpu.query.device import DeviceIvfSearcher
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    index = build_ivf_index(Embeddings(x, 16), IvfBuildConfig(n_clusters=10, seed=3))
+    searcher = DeviceIvfSearcher(index, x, row_tile=128)
+    queries = rng.standard_normal((7, 16)).astype(np.float32)
+    return x, index, searcher, queries
+
+
+def brute_force(x, q, k):
+    d = ((x - q[None, :]) ** 2).sum(1)
+    idx = np.argsort(d, kind="stable")[:k]
+    return idx, np.sqrt(d[idx])
+
+
+def test_exact_matches_numpy(setup):
+    x, _, searcher, queries = setup
+    dists, ids = searcher.exact(queries, k=5)
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want_ids)
+        np.testing.assert_allclose(np.asarray(dists[b]), want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_full_probe_equals_exact(setup):
+    x, index, searcher, queries = setup
+    dists, ids = searcher.search(queries, k=5, nprobe=index.n_clusters)
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want_ids)
+        np.testing.assert_allclose(np.asarray(dists[b]), want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_matches_host_candidates(setup):
+    """Device IVF ranking must equal the host candidate_rows + exact-distance
+    path at the same nprobe."""
+    x, index, searcher, queries = setup
+    k, nprobe = 4, 3
+    dists, ids = searcher.search(queries, k=k, nprobe=nprobe)
+    for b, q in enumerate(queries):
+        rows = index.candidate_rows(q, nprobe)
+        d = ((x[rows] - q[None, :]) ** 2).sum(1)
+        order = np.argsort(d, kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(ids[b]), rows[order])
+
+
+def test_missing_slots_marked(setup):
+    x, index, searcher, _ = setup
+    # k far beyond any cluster's population with nprobe=1.
+    q = x[0]
+    dists, ids = searcher.search(q, k=400, nprobe=1)
+    ids = np.asarray(ids[0])
+    dists = np.asarray(dists[0])
+    n_valid = (ids >= 0).sum()
+    assert n_valid == index.cluster_sizes()[
+        int(index.find_closest_centroids(q, 1)[0])
+    ]
+    assert np.all(np.isinf(dists[ids == -1]))
+
+
+def test_query_validation(setup):
+    _, _, searcher, _ = setup
+    with pytest.raises(ValidationError):
+        searcher.exact(np.zeros((2, 3), np.float32), k=1)
+    with pytest.raises(ValidationError):
+        searcher.search(np.zeros((1, 16), np.float32), k=0, nprobe=1)
+    with pytest.raises(ValidationError):
+        searcher.search(np.zeros((1, 16), np.float32), k=1, nprobe=0)
+
+
+def test_single_query_vector_promoted(setup):
+    x, _, searcher, _ = setup
+    dists, ids = searcher.exact(x[42], k=1)
+    assert ids.shape == (1, 1)
+    assert int(ids[0, 0]) == 42
+
+
+def test_from_parquet_round_trip(tmp_path):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((120, 8)).astype(np.float32)
+    path = tmp_path / "d.parquet"
+    table = pa.table(
+        {
+            "id": pa.array(range(120), pa.int32()),
+            "emb": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(table, path)
+    IndexBuilder(path, "emb").n_clusters(4).build_inplace()
+    searcher = DeviceIvfSearcher.from_parquet(path, row_tile=64)
+    dists, ids = searcher.search(x[7], k=3, nprobe=4)
+    assert int(ids[0, 0]) == 7
+    np.testing.assert_allclose(float(dists[0, 0]), 0.0, atol=1e-4)
+
+
+def test_bfloat16_storage_close_ranking(setup):
+    import jax.numpy as jnp
+
+    x, index, _, queries = setup
+    searcher16 = DeviceIvfSearcher(index, x, dtype=jnp.bfloat16, row_tile=128)
+    d16, i16 = searcher16.exact(queries, k=10)
+    for b, q in enumerate(queries):
+        want_ids, _ = brute_force(x, q, 10)
+        # bf16 scoring may permute near-ties; require >=80% overlap@10.
+        overlap = len(set(np.asarray(i16[b]).tolist()) & set(want_ids.tolist()))
+        assert overlap >= 8

@@ -1,0 +1,88 @@
+"""Multi-chip tests over the virtual 8-device CPU mesh.
+
+The parity bar: distributed k-means must match the single-chip loop for the
+same initial centroids, and distributed search must match the single-device
+searcher (which itself matches brute force)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+from pqvector_tpu.dist import (
+    DistributedExactSearcher,
+    DistributedIvfSearcher,
+    distributed_lloyd,
+    make_mesh,
+)
+from pqvector_tpu.index.kmeans import _lloyd, _pad_rows
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-5, 5, (6, 8)).astype(np.float32)
+    x = np.concatenate(
+        [c + 0.1 * rng.standard_normal((40, 8)).astype(np.float32) for c in centers]
+    )
+    return x
+
+
+def test_distributed_lloyd_matches_single_chip(mesh, data):
+    k = 6
+    rng = np.random.default_rng(0)
+    c0 = data[rng.choice(len(data), k, replace=False)].copy()
+
+    block = 16
+    x_pad, w = _pad_rows(jnp.asarray(data), block)
+    c_single, a_single = _lloyd(x_pad, w, jnp.asarray(c0), 10, block, k)
+    c_single = np.asarray(c_single)
+    a_single = np.asarray(a_single)[: len(data)]
+
+    c_dist, a_dist = distributed_lloyd(data, c0, 10, mesh=mesh, block_rows=16)
+
+    np.testing.assert_allclose(c_dist, c_single, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(a_dist, a_single)
+
+
+def test_distributed_exact_matches_brute_force(mesh, data):
+    searcher = DistributedExactSearcher(data, mesh=mesh, row_tile=8)
+    queries = data[[3, 77, 200]] + 0.01
+    dists, ids = searcher.search(queries, k=5)
+    for b, q in enumerate(queries):
+        d = ((data - q[None, :]) ** 2).sum(1)
+        want = np.argsort(d, kind="stable")[:5]
+        np.testing.assert_array_equal(ids[b], want)
+        np.testing.assert_allclose(dists[b], np.sqrt(d[want]), rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_ivf_matches_single_device(mesh, data):
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    single = DeviceIvfSearcher(index, data, row_tile=64)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+
+    queries = data[[10, 99, 230]]
+    for nprobe in (1, 3, 6):
+        d_s, i_s = single.search(queries, k=4, nprobe=nprobe)
+        d_d, i_d = dist.search(queries, k=4, nprobe=nprobe)
+        np.testing.assert_array_equal(np.asarray(i_s), i_d)
+        np.testing.assert_allclose(np.asarray(d_s), d_d, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_ivf_k_exceeds_candidates(mesh, data):
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    dists, ids = dist.search(data[0], k=120, nprobe=1)
+    valid = (ids[0] >= 0).sum()
+    assert 0 < valid < 120
+    assert np.all(np.isinf(dists[0][ids[0] == -1]))
