@@ -158,7 +158,23 @@ def append_index_inplace(
     Mirrors /root/reference/src/ivf/parquet.rs:542-611: payload written at
     ``file_len - 8``; spliced metadata (old pq keys stripped, new ones
     appended) + fresh footer tail written after it.
+
+    Routed through the native C++ library (native/pqvector_host.cpp) when it
+    is available; the pure-Python path below is the portable fallback and
+    byte-identical test oracle.
     """
+    from .native import append_index_inplace_native
+
+    if append_index_inplace_native(
+        path,
+        index.to_bytes(),
+        str(embedding_column),
+        PQ_VECTOR_INDEX_OFFSET_KEY,
+        PQ_VECTOR_EMBEDDING_COLUMN_KEY,
+        PQ_VECTOR_INDEX_MAGIC,
+    ):
+        return
+
     with open(path, "r+b") as f:
         f.seek(0, os.SEEK_END)
         file_len = f.tell()

@@ -1,0 +1,186 @@
+"""ctypes bindings to the native host library (native/libpqvector_host.so).
+
+The C++ library implements the Thrift footer splice and the full in-place
+index embed (see native/pqvector_host.cpp); ``pqvector_tpu.io.embed`` routes
+through it when present and falls back to the pure-Python implementation
+otherwise. ``ensure_built()`` compiles it on demand with the system g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+from ..errors import FormatError
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpqvector_host.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+_ERRORS = {
+    -1: "truncated thrift buffer",
+    -2: "malformed thrift metadata",
+    -3: "output capacity too small",
+    -4: "I/O error",
+    -5: "Encrypted parquet footers are not supported for in-place indexing",
+    -6: "not a valid parquet file",
+}
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Compile the native library if needed; True if it is available."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, OSError):
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed or os.environ.get("PQVECTOR_TPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not ensure_built():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+        lib.pqv_splice_kv.restype = ctypes.c_int64
+        lib.pqv_splice_kv.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_size_t,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        lib.pqv_append_index_inplace.restype = ctypes.c_int
+        lib.pqv_append_index_inplace.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        lib.pqv_version.restype = ctypes.c_char_p
+        _lib = lib
+        return _lib
+
+
+def _str_array(items: list[str]):
+    arr = (ctypes.c_char_p * max(len(items), 1))()
+    for i, s in enumerate(items):
+        arr[i] = s.encode("utf-8")
+    return arr
+
+
+def splice_key_value_metadata_native(
+    metadata: bytes,
+    set_pairs: list[tuple[str, str]],
+    drop_keys: frozenset[str] | set[str] = frozenset(),
+) -> bytes | None:
+    """Native splice; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    keys = _str_array([k for k, _ in set_pairs])
+    vals = _str_array([v for _, v in set_pairs])
+    drops = _str_array(sorted(drop_keys))
+    size = lib.pqv_splice_kv(
+        metadata,
+        len(metadata),
+        keys,
+        vals,
+        len(set_pairs),
+        drops,
+        len(drop_keys),
+        None,
+        0,
+    )
+    if size < 0:
+        raise FormatError(_ERRORS.get(size, f"native splice error {size}"))
+    out = ctypes.create_string_buffer(int(size))
+    rc = lib.pqv_splice_kv(
+        metadata,
+        len(metadata),
+        keys,
+        vals,
+        len(set_pairs),
+        drops,
+        len(drop_keys),
+        ctypes.cast(out, ctypes.c_char_p),
+        int(size),
+    )
+    if rc < 0:
+        raise FormatError(_ERRORS.get(rc, f"native splice error {rc}"))
+    return out.raw[: int(size)]
+
+
+def append_index_inplace_native(
+    path: str,
+    index_bytes: bytes,
+    column: str,
+    offset_key: str,
+    column_key: str,
+    magic: bytes,
+) -> bool:
+    """Native in-place embed; False if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    rc = lib.pqv_append_index_inplace(
+        os.fspath(path).encode(),
+        index_bytes,
+        len(index_bytes),
+        column.encode(),
+        offset_key.encode(),
+        column_key.encode(),
+        magic,
+        len(magic),
+    )
+    if rc != 0:
+        raise FormatError(_ERRORS.get(rc, f"native append error {rc}"))
+    return True
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--build" in sys.argv:
+        ok = ensure_built(force=True)
+        print("built" if ok else "build failed")
+        sys.exit(0 if ok else 1)
+    lib = load()
+    print(lib.pqv_version().decode() if lib else "native library unavailable")
