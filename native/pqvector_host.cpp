@@ -380,7 +380,9 @@ int64_t pqv_splice_kv(const uint8_t* meta, size_t meta_len,
 int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
                              uint64_t index_len, const char* column,
                              const char* offset_key, const char* column_key,
-                             const char* magic, size_t magic_len) {
+                             const char* magic, size_t magic_len,
+                             const char* const* extra_keys,
+                             const char* const* extra_vals, size_t n_extra) {
   FILE* f = std::fopen(path, "r+b");
   if (!f) return ERR_IO;
 
@@ -430,12 +432,18 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
     std::snprintf(offset_str, sizeof(offset_str), "%llu",
                   static_cast<unsigned long long>(index_offset));
 
-    const char* set_keys[2] = {offset_key, column_key};
-    const char* set_vals[2] = {offset_str, column};
-    const char* drop_keys[2] = {offset_key, column_key};
+    std::vector<const char*> set_keys = {offset_key, column_key};
+    std::vector<const char*> set_vals = {offset_str, column};
+    std::vector<const char*> drop_keys = {offset_key, column_key};
+    for (size_t i = 0; i < n_extra; ++i) {
+      set_keys.push_back(extra_keys[i]);
+      set_vals.push_back(extra_vals[i]);
+      drop_keys.push_back(extra_keys[i]);
+    }
     std::string new_meta;
-    int src = splice(meta.data(), meta.size(), set_keys, set_vals, 2,
-                     drop_keys, 2, new_meta);
+    int src = splice(meta.data(), meta.size(), set_keys.data(),
+                     set_vals.data(), set_keys.size(), drop_keys.data(),
+                     drop_keys.size(), new_meta);
     if (src != 0) {
       rc = src;
       break;

@@ -42,6 +42,7 @@ class IndexBuilder:
         self._seed = 42
         self._block_rows = 8192
         self._cluster_sorted = False
+        self._metric = "l2"
 
     # Fluent setters (parquet.rs:42-55).
     def n_clusters(self, n_clusters: int) -> "IndexBuilder":
@@ -64,6 +65,15 @@ class IndexBuilder:
         self._cluster_sorted = enabled
         return self
 
+    def metric(self, metric: str) -> "IndexBuilder":
+        """Distance metric: "l2" (reference parity) or "cosine" (extension;
+        cosine = L2 over unit-normalized vectors, recorded in the footer as
+        ``pq_vector_metric``)."""
+        if metric not in ("l2", "cosine"):
+            raise ValidationError(f"Unsupported metric '{metric}'")
+        self._metric = metric
+        return self
+
     def _build_config(self) -> IvfBuildConfig:
         # Validation mirrors parquet.rs:88-103 (IvfBuildConfig re-validates).
         return IvfBuildConfig(
@@ -73,13 +83,23 @@ class IndexBuilder:
             block_rows=self._block_rows,
         )
 
+    def _train_embeddings(self, embeddings):
+        if self._metric == "cosine":
+            from .index.metrics import normalize_rows
+            from .types import Embeddings
+
+            return Embeddings(normalize_rows(embeddings.data), embeddings.dim)
+        return embeddings
+
     def build_inplace(self) -> IvfIndex:
         """Append the index to the source file without rewriting data pages
         (parquet.rs:57-69)."""
         config = self._build_config()
         parquet = read_parquet_with_embeddings(self._source, self._embedding_column)
-        index = build_ivf_index(parquet.embeddings, config)
-        append_index_inplace(self._source, index, self._embedding_column)
+        index = build_ivf_index(self._train_embeddings(parquet.embeddings), config)
+        append_index_inplace(
+            self._source, index, self._embedding_column, metric=self._metric
+        )
         return index
 
     def build_new(self, output: str | os.PathLike) -> IvfIndex:
@@ -87,7 +107,7 @@ class IndexBuilder:
         (parquet.rs:71-86)."""
         config = self._build_config()
         parquet = read_parquet_with_embeddings(self._source, self._embedding_column)
-        index = build_ivf_index(parquet.embeddings, config)
+        index = build_ivf_index(self._train_embeddings(parquet.embeddings), config)
         table = parquet.table
 
         if self._cluster_sorted:
@@ -105,7 +125,8 @@ class IndexBuilder:
             )
 
         write_parquet_with_index(
-            self._source, output, table, index, self._embedding_column
+            self._source, output, table, index, self._embedding_column,
+            metric=self._metric,
         )
         return index
 

@@ -130,9 +130,14 @@ class VectorTopKExec(ExecutionPlan):
     # ------------------------------------------------------------------
 
     def execute(self, context: TaskContext) -> pa.Table:
-        candidates = self._collect_candidates(context)
-        file_entries = self._files_with_candidates(context, candidates)
-        table = self._execute_with_candidates(file_entries, context)
+        from ..utils.profiling import stage
+
+        with stage("vector_topk.collect_candidates"):
+            candidates = self._collect_candidates(context)
+        with stage("vector_topk.file_metadata"):
+            file_entries = self._files_with_candidates(context, candidates)
+        with stage("vector_topk.fetch_and_topk"):
+            table = self._execute_with_candidates(file_entries, context)
         self.metrics.output_rows.add(table.num_rows)
         return table
 

@@ -28,7 +28,14 @@ from .thrift import read_key_value_metadata, splice_key_value_metadata
 PQ_VECTOR_INDEX_MAGIC = b"PQ_VECTOR1"
 PQ_VECTOR_INDEX_OFFSET_KEY = "pq_vector_index_offset"
 PQ_VECTOR_EMBEDDING_COLUMN_KEY = "pq_vector_embedding_column"
-_PQ_KEYS = frozenset({PQ_VECTOR_INDEX_OFFSET_KEY, PQ_VECTOR_EMBEDDING_COLUMN_KEY})
+# Extension key (not in the reference, which is L2-only — its readers ignore
+# unknown KV pairs, so files stay mutually readable): distance metric the
+# index was trained with ("l2" | "cosine"); cosine = L2 over normalized
+# vectors (BASELINE.md config 3).
+PQ_VECTOR_METRIC_KEY = "pq_vector_metric"
+_PQ_KEYS = frozenset(
+    {PQ_VECTOR_INDEX_OFFSET_KEY, PQ_VECTOR_EMBEDDING_COLUMN_KEY, PQ_VECTOR_METRIC_KEY}
+)
 
 PARQUET_MAGIC = b"PAR1"
 PARQUET_MAGIC_ENCRYPTED = b"PARE"
@@ -120,6 +127,12 @@ def read_index_metadata(path: str | os.PathLike) -> tuple[int, EmbeddingColumn] 
     return parse_index_metadata(kv)
 
 
+def read_index_metric(path: str | os.PathLike) -> str:
+    """Distance metric recorded in the footer ("l2" when absent)."""
+    kv = {k: v for k, v in read_key_value_metadata(read_footer_metadata(path))}
+    return kv.get(PQ_VECTOR_METRIC_KEY, "l2")
+
+
 def has_pq_vector_index(path: str | os.PathLike) -> bool:
     """True if the file carries pq-vector index metadata (parquet.rs:187-189)."""
     return read_index_metadata(path) is not None
@@ -151,7 +164,10 @@ def read_index_from_parquet(
 
 
 def append_index_inplace(
-    path: str | os.PathLike, index: IvfIndex, embedding_column: EmbeddingColumn
+    path: str | os.PathLike,
+    index: IvfIndex,
+    embedding_column: EmbeddingColumn,
+    metric: str = "l2",
 ) -> None:
     """Embed the index into an existing Parquet file without rewriting data.
 
@@ -165,6 +181,7 @@ def append_index_inplace(
     """
     from .native import append_index_inplace_native
 
+    extra_kv = {} if metric == "l2" else {PQ_VECTOR_METRIC_KEY: metric}
     if append_index_inplace_native(
         path,
         index.to_bytes(),
@@ -172,6 +189,7 @@ def append_index_inplace(
         PQ_VECTOR_INDEX_OFFSET_KEY,
         PQ_VECTOR_EMBEDDING_COLUMN_KEY,
         PQ_VECTOR_INDEX_MAGIC,
+        extra_kv=extra_kv,
     ):
         return
 
@@ -193,13 +211,13 @@ def append_index_inplace(
         old_metadata = f.read(tail.metadata_len)
 
         index_offset = file_len - FOOTER_SIZE
+        set_pairs = [
+            (PQ_VECTOR_INDEX_OFFSET_KEY, str(index_offset)),
+            (PQ_VECTOR_EMBEDDING_COLUMN_KEY, str(embedding_column)),
+        ]
+        set_pairs.extend(extra_kv.items())
         new_metadata = splice_key_value_metadata(
-            old_metadata,
-            [
-                (PQ_VECTOR_INDEX_OFFSET_KEY, str(index_offset)),
-                (PQ_VECTOR_EMBEDDING_COLUMN_KEY, str(embedding_column)),
-            ],
-            drop_keys=_PQ_KEYS,
+            old_metadata, set_pairs, drop_keys=_PQ_KEYS
         )
 
         f.seek(index_offset)

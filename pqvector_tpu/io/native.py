@@ -93,6 +93,9 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_char_p,
             ctypes.c_char_p,
             ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_size_t,
         ]
         lib.pqv_version.restype = ctypes.c_char_p
         _lib = lib
@@ -155,11 +158,13 @@ def append_index_inplace_native(
     offset_key: str,
     column_key: str,
     magic: bytes,
+    extra_kv: dict[str, str] | None = None,
 ) -> bool:
     """Native in-place embed; False if the library is unavailable."""
     lib = load()
     if lib is None:
         return False
+    extra = list((extra_kv or {}).items())
     rc = lib.pqv_append_index_inplace(
         os.fspath(path).encode(),
         index_bytes,
@@ -169,6 +174,9 @@ def append_index_inplace_native(
         column_key.encode(),
         magic,
         len(magic),
+        _str_array([k for k, _ in extra]),
+        _str_array([v for _, v in extra]),
+        len(extra),
     )
     if rc != 0:
         raise FormatError(_ERRORS.get(rc, f"native append error {rc}"))

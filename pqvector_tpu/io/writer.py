@@ -167,6 +167,7 @@ def write_parquet_with_index(
     index: IvfIndex,
     embedding_column: EmbeddingColumn,
     row_group_size: int | None = None,
+    metric: str = "l2",
 ) -> None:
     """Rewrite ``table`` to ``output`` with preserved column properties and
     the tuned embedding-column layout, then embed the index."""
@@ -225,4 +226,4 @@ def write_parquet_with_index(
         writer_kwargs.pop("column_encoding", None)
         _write(writer_kwargs)
 
-    append_index_inplace(output, index, embedding_column)
+    append_index_inplace(output, index, embedding_column, metric=metric)

@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: fused distance + argmin cluster assignment.
+
+The k-means assignment pass is ``argmin_k(|c|^2 - 2 x @ c^T)`` over row
+tiles. Pure XLA materializes the ``[tile, k]`` score matrix in HBM between
+the matmul and the argmin; this kernel keeps the scores in VMEM and writes
+only the ``[tile]`` argmin — for n=1M, k=1024 that eliminates ~4 GB of HBM
+round-trips per Lloyd iteration.
+
+Grid: one program per row tile. The centroid matrix (and its norms) stay
+resident in VMEM across the whole grid (block index 0 for every step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _assign_kernel(x_ref, c_ref, c_norm_ref, out_ref):
+    scores = jnp.dot(
+        x_ref[:], c_ref[:].T, preferred_element_type=jnp.float32
+    )  # [T, k]
+    partial = c_norm_ref[:].reshape(1, -1) - 2.0 * scores
+    out_ref[:] = jnp.argmin(partial, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_assign(
+    x: jnp.ndarray,
+    centroids: jnp.ndarray,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Nearest-centroid ids for every row of ``x`` ([n, d] -> [n] int32).
+
+    ``n`` must be a multiple of ``tile`` (callers pad; padded rows produce
+    garbage assignments the caller discards).
+    """
+    n, d = x.shape
+    k = centroids.shape[0]
+    assert n % tile == 0, "pad rows to a multiple of the tile size"
+    c_norm = jnp.sum(centroids * centroids, axis=1)
+
+    grid = (n // tile,)
+    return pl.pallas_call(
+        _assign_kernel,
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, centroids, c_norm)
+
+
+def assign_clusters_pallas(
+    x: np.ndarray | jnp.ndarray,
+    centroids: np.ndarray | jnp.ndarray,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Host-friendly wrapper: pads rows, runs the kernel, trims."""
+    x = jnp.asarray(x, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    n = x.shape[0]
+    n_pad = _round_up(max(n, 1), tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    out = pallas_assign(x, centroids, tile=tile, interpret=interpret)
+    return np.asarray(out[:n])

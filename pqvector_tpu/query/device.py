@@ -152,7 +152,15 @@ class DeviceIvfSearcher:
         embeddings: np.ndarray,
         dtype: jnp.dtype = jnp.float32,
         row_tile: int = 2048,
+        metric: str = "l2",
     ):
+        if metric not in ("l2", "cosine"):
+            raise ValidationError(f"Unsupported metric '{metric}'")
+        self.metric = metric
+        if metric == "cosine":
+            from ..index.metrics import normalize_rows
+
+            embeddings = normalize_rows(embeddings)
         n, d = embeddings.shape
         if d != index.dim:
             raise ValidationError(
@@ -190,9 +198,17 @@ class DeviceIvfSearcher:
         dtype: jnp.dtype = jnp.float32,
         row_tile: int = 2048,
     ) -> "DeviceIvfSearcher":
+        from ..io.embed import read_index_metric
+
         index, column = read_index_from_parquet(path)
         emb = read_embedding_column(path, column)
-        return cls(index, emb.data, dtype=dtype, row_tile=row_tile)
+        return cls(
+            index,
+            emb.data,
+            dtype=dtype,
+            row_tile=row_tile,
+            metric=read_index_metric(path),
+        )
 
     # ------------------------------------------------------------------
 
@@ -204,6 +220,9 @@ class DeviceIvfSearcher:
             raise ValidationError(
                 f"Query dimension mismatch: expected {self.dim}, got {q.shape}"
             )
+        if self.metric == "cosine":
+            norms = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+            q = q / jnp.maximum(norms, 1e-30)
         return q
 
     def exact(self, queries: np.ndarray, k: int):

@@ -22,7 +22,8 @@ import os
 import numpy as np
 
 from ..errors import ValidationError
-from ..io.embed import read_index_from_parquet
+from ..index.metrics import normalize_rows, normalize_vector
+from ..io.embed import read_index_from_parquet, read_index_metric
 from ..types import EmbeddingColumn
 from .selective import read_embeddings_for_rows
 
@@ -74,9 +75,14 @@ def topk(
         raise ValidationError(
             f"Query dimension mismatch: expected {index.dim}, got {query.size}"
         )
+    metric = read_index_metric(path)
+    if metric == "cosine":
+        query = normalize_vector(query)
 
     rows = index.candidate_rows(query, nprobe)
     embeddings = read_embeddings_for_rows(path, embedding_column, rows, index.dim)
+    if metric == "cosine":
+        embeddings = normalize_rows(embeddings)
 
     diff = embeddings - query[None, :]
     distances = np.einsum("nd,nd->n", diff, diff)
@@ -114,11 +120,16 @@ def topk_batch(
         raise ValidationError(
             f"Query dimension mismatch: expected {index.dim}, got {queries.shape[1]}"
         )
+    metric = read_index_metric(path)
+    if metric == "cosine":
+        queries = normalize_rows(queries)
 
     # Union of candidate rows across the batch shares the Parquet IO.
     per_query_rows = [index.candidate_rows(q, nprobe) for q in queries]
     all_rows = np.unique(np.concatenate(per_query_rows)) if per_query_rows else np.empty(0, np.int64)
     embeddings = read_embeddings_for_rows(path, embedding_column, all_rows, index.dim)
+    if metric == "cosine":
+        embeddings = normalize_rows(embeddings)
     pos = {int(r): i for i, r in enumerate(all_rows)}
 
     results: list[list[SearchResult]] = []

@@ -1,0 +1,86 @@
+"""Cosine metric extension tests (BASELINE.md config 3)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pqvector_tpu import IndexBuilder, TopkBuilder, ValidationError
+from pqvector_tpu.io.embed import read_index_metric
+from pqvector_tpu.query.device import DeviceIvfSearcher
+
+
+@pytest.fixture()
+def cosine_path(tmp_path):
+    path = tmp_path / "cos.parquet"
+    rng = np.random.default_rng(9)
+    # Vectors with very different magnitudes but controlled directions: L2
+    # and cosine rankings disagree.
+    dirs = rng.standard_normal((200, 8)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    scales = rng.uniform(0.1, 50.0, (200, 1)).astype(np.float32)
+    vecs = dirs * scales
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(200), pa.int32()),
+                "vec": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        path,
+    )
+    IndexBuilder(path, "vec").n_clusters(4).metric("cosine").build_inplace()
+    return path, vecs
+
+
+def cosine_order(vecs, q, k):
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = vn @ qn
+    return np.argsort(-sims, kind="stable")[:k]
+
+
+def test_metric_recorded_in_footer(cosine_path):
+    path, _ = cosine_path
+    assert read_index_metric(path) == "cosine"
+    kv = pq.ParquetFile(path).metadata.metadata
+    assert kv[b"pq_vector_metric"] == b"cosine"
+
+
+def test_standalone_search_uses_cosine(cosine_path):
+    path, vecs = cosine_path
+    q = vecs[17] * 3.0  # same direction, different magnitude
+    results = TopkBuilder(path, q).k(5).nprobe(4).search()
+    want = cosine_order(vecs, q, 5)
+    assert [r.row_idx for r in results] == want.tolist()
+    # Top hit is the same-direction vector, distance ~0 on the unit sphere.
+    assert results[0].row_idx == 17
+    assert results[0].distance < 1e-3
+
+
+def test_device_searcher_cosine(cosine_path):
+    path, vecs = cosine_path
+    searcher = DeviceIvfSearcher.from_parquet(path, row_tile=64)
+    assert searcher.metric == "cosine"
+    q = vecs[[3, 90]] * np.array([[10.0], [0.01]], np.float32)
+    dists, ids = searcher.search(q, k=5, nprobe=4)
+    for b in range(2):
+        want = cosine_order(vecs, q[b], 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want)
+
+
+def test_l2_default_unchanged(tmp_path):
+    path = tmp_path / "l2.parquet"
+    vecs = np.array([[1.0, 0.0], [10.0, 0.0], [0.0, 1.0]], np.float32)
+    pq.write_table(
+        pa.table({"vec": pa.array(list(vecs), pa.list_(pa.float32()))}), path
+    )
+    IndexBuilder(path, "vec").n_clusters(1).build_inplace()
+    assert read_index_metric(path) == "l2"
+    results = TopkBuilder(path, np.array([2.0, 0.0])).k(1).nprobe(1).search()
+    assert results[0].row_idx == 0  # L2 picks the closer point, not same-dir
+
+
+def test_invalid_metric_rejected(tmp_path):
+    with pytest.raises(ValidationError):
+        IndexBuilder(tmp_path / "x.parquet", "vec").metric("dot")
