@@ -72,13 +72,13 @@ def _block_count(n: int, block: int) -> int:
 def sample_indices(key: jax.Array, n: int, m: int) -> jnp.ndarray:
     """Uniform random m-subset of [0, n) without replacement.
 
-    Implemented as top-k over random keys — O(n log m) on device, far cheaper
-    to compile and run than the sort-based ``jax.random.choice(replace=False)``
-    (measured 14s+ on the TPU tunnel for n=20k).
+    Implemented as argsort over random keys + slice. Both
+    ``jax.random.choice(replace=False)`` (14s+ at n=20k) and
+    ``lax.top_k`` with large k (minutes at m=50k) are pathological on this
+    backend; a full sort of random keys is fast and shape-static.
     """
     scores = jax.random.uniform(key, (n,))
-    _, idx = jax.lax.top_k(scores, m)
-    return idx
+    return jnp.argsort(scores)[:m]
 
 
 def _pad_rows(x: jnp.ndarray, block: int) -> tuple[jnp.ndarray, jnp.ndarray]:
