@@ -28,6 +28,26 @@ class ObjectStore:
         return self.get_range(path, max(0, size - length), size)
 
 
+class MemoryStore(ObjectStore):
+    """In-memory store (tests and the remote-file seam contract)."""
+
+    def __init__(self, files: dict[str, bytes] | None = None):
+        self._files: dict[str, bytes] = dict(files or {})
+
+    def put(self, path: str, data: bytes) -> None:
+        self._files[path] = data
+
+    def head(self, path: str) -> int:
+        if path not in self._files:
+            raise ExecutionError(f"Failed to stat '{path}': not found")
+        return len(self._files[path])
+
+    def get_range(self, path: str, start: int, end: int) -> bytes:
+        if path not in self._files:
+            raise ExecutionError(f"Failed to read '{path}': not found")
+        return self._files[path][start:end]
+
+
 class LocalStore(ObjectStore):
     """Local filesystem store."""
 

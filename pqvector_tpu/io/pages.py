@@ -1,0 +1,585 @@
+"""Page-level selective Parquet reads for candidate rows.
+
+The reference's query path reads *only* the 1-row data pages containing
+candidate rows, via parquet-rs row selections over the page offset index
+(/root/reference/src/ivf/search.rs:154-244 and the 1-row-per-page layout from
+parquet.rs:324-326). pyarrow cannot select below row-group granularity, so
+this module implements the page path directly on our Thrift compact-protocol
+parser (io/thrift.py):
+
+* parse ``FileMetaData`` far enough for schema leaves, row groups, column
+  chunks and their ``OffsetIndex`` locations,
+* for a candidate row set: offset-index binary search -> exact page byte
+  ranges -> page-header parse -> decompress -> RLE/bit-packed level decode ->
+  PLAIN float decode -> row extraction.
+
+Supports the layouts the reference reads/writes: List/FixedSizeList of
+FLOAT/DOUBLE, PLAIN-encoded data pages (V1 and V2), SNAPPY/ZSTD/GZIP/
+UNCOMPRESSED codecs, no nulls (nulls are rejected exactly like
+search.rs:212-218). Files without an offset index fall back to the row-group
+reader in query/selective.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+
+import numpy as np
+
+from ..errors import ExecutionError, FormatError
+from ..types import EmbeddingColumn
+from .embed import FOOTER_SIZE, read_footer_metadata
+from .thrift import (
+    CT_BINARY,
+    CT_I32,
+    CT_I64,
+    CT_LIST,
+    CT_STRUCT,
+    StructField,
+    parse_struct_fields,
+    read_varint,
+    zigzag_decode,
+)
+
+# parquet.thrift Type enum
+_TYPE_FLOAT = 4
+_TYPE_DOUBLE = 5
+
+# CompressionCodec enum
+# CompressionCodec enum: 0 UNCOMPRESSED, 1 SNAPPY, 2 GZIP, 3 LZO, 4 BROTLI,
+# 5 LZ4 (legacy framed), 6 ZSTD, 7 LZ4_RAW.
+_CODECS = {
+    0: "none",
+    1: "snappy",
+    2: "gzip",
+    4: "brotli",
+    6: "zstd",
+    7: "lz4_raw",
+}
+
+# PageType enum
+_PAGE_DATA = 0
+_PAGE_DICT = 2
+_PAGE_DATA_V2 = 3
+
+# Encoding enum
+_ENC_PLAIN = 0
+_ENC_RLE = 3
+
+
+def _list_items(buf: memoryview, pos: int) -> tuple[int, int, int]:
+    """Parse a list header at pos -> (elem_type, size, payload_pos)."""
+    header = buf[pos]
+    pos += 1
+    elem_type = header & 0x0F
+    size = header >> 4
+    if size == 15:
+        size, pos = read_varint(buf, pos)
+    return elem_type, size, pos
+
+
+@dataclasses.dataclass
+class SchemaLeaf:
+    path: str
+    ptype: int
+    max_def: int
+    max_rep: int
+    type_length: int = 0
+
+
+@dataclasses.dataclass
+class ChunkInfo:
+    codec: str
+    num_values: int
+    data_page_offset: int
+    dictionary_page_offset: int | None
+    total_compressed_size: int
+    offset_index_offset: int | None
+    offset_index_length: int | None
+
+
+@dataclasses.dataclass
+class RowGroupInfo:
+    num_rows: int
+    chunks: list[ChunkInfo]
+
+
+@dataclasses.dataclass
+class PageLocation:
+    offset: int
+    compressed_page_size: int
+    first_row_index: int
+
+
+def _parse_schema(buf: memoryview, field: StructField) -> list[SchemaLeaf]:
+    """Flatten the SchemaElement list into leaves with max def/rep levels."""
+    elem_type, size, pos = _list_items(buf, field.body_start)
+    if elem_type != CT_STRUCT:
+        raise FormatError("schema must be a list of structs")
+    elements = []
+    for _ in range(size):
+        fields, end = parse_struct_fields(buf[pos:])
+        elem = {"name": "", "num_children": 0, "repetition": 0, "type": None, "type_length": 0}
+        for f in fields:
+            if f.field_id == 1 and f.ctype == CT_I32:
+                v, _ = read_varint(buf, pos + f.body_start)
+                elem["type"] = zigzag_decode(v)
+            elif f.field_id == 2 and f.ctype == CT_I32:
+                v, _ = read_varint(buf, pos + f.body_start)
+                elem["type_length"] = zigzag_decode(v)
+            elif f.field_id == 3 and f.ctype == CT_I32:
+                v, _ = read_varint(buf, pos + f.body_start)
+                elem["repetition"] = zigzag_decode(v)
+            elif f.field_id == 4 and f.ctype == CT_BINARY:
+                length, p = read_varint(buf, pos + f.body_start)
+                elem["name"] = bytes(buf[p : p + length]).decode("utf-8", "replace")
+            elif f.field_id == 5 and f.ctype == CT_I32:
+                v, _ = read_varint(buf, pos + f.body_start)
+                elem["num_children"] = zigzag_decode(v)
+        elements.append(elem)
+        pos += end
+
+    leaves: list[SchemaLeaf] = []
+
+    def walk(idx: int, path: list[str], max_def: int, max_rep: int) -> int:
+        elem = elements[idx]
+        rep = elem["repetition"]
+        if idx > 0:  # root doesn't count
+            if rep == 1:  # OPTIONAL
+                max_def += 1
+            elif rep == 2:  # REPEATED
+                max_def += 1
+                max_rep += 1
+            path = path + [elem["name"]]
+        idx += 1
+        if elem["num_children"] == 0:
+            leaves.append(
+                SchemaLeaf(
+                    path=".".join(path),
+                    ptype=elem["type"],
+                    max_def=max_def,
+                    max_rep=max_rep,
+                    type_length=elem["type_length"],
+                )
+            )
+            return idx
+        for _ in range(elem["num_children"]):
+            idx = walk(idx, path, max_def, max_rep)
+        return idx
+
+    walk(0, [], 0, 0)
+    return leaves
+
+
+def _parse_column_chunk(buf: memoryview, pos: int, end: int) -> ChunkInfo:
+    fields, _ = parse_struct_fields(buf[pos:])
+    meta = None
+    oi_off = oi_len = None
+    for f in fields:
+        if f.field_id == 3 and f.ctype == CT_STRUCT:
+            meta = (pos + f.body_start, pos + f.body_end)
+        elif f.field_id == 4 and f.ctype == CT_I64:
+            v, _ = read_varint(buf, pos + f.body_start)
+            oi_off = zigzag_decode(v)
+        elif f.field_id == 5 and f.ctype == CT_I32:
+            v, _ = read_varint(buf, pos + f.body_start)
+            oi_len = zigzag_decode(v)
+    if meta is None:
+        raise FormatError("ColumnChunk missing ColumnMetaData")
+    mfields, _ = parse_struct_fields(buf[meta[0] :])
+    codec = "none"
+    num_values = 0
+    data_page_offset = 0
+    dict_page_offset = None
+    total_compressed = 0
+    for f in mfields:
+        base = meta[0]
+        if f.field_id == 4 and f.ctype == CT_I32:
+            v, _ = read_varint(buf, base + f.body_start)
+            code = zigzag_decode(v)
+            codec = _CODECS.get(code, f"codec{code}")
+        elif f.field_id == 5 and f.ctype == CT_I64:
+            v, _ = read_varint(buf, base + f.body_start)
+            num_values = zigzag_decode(v)
+        elif f.field_id == 7 and f.ctype == CT_I64:
+            v, _ = read_varint(buf, base + f.body_start)
+            total_compressed = zigzag_decode(v)
+        elif f.field_id == 9 and f.ctype == CT_I64:
+            v, _ = read_varint(buf, base + f.body_start)
+            data_page_offset = zigzag_decode(v)
+        elif f.field_id == 11 and f.ctype == CT_I64:
+            v, _ = read_varint(buf, base + f.body_start)
+            dict_page_offset = zigzag_decode(v)
+    return ChunkInfo(
+        codec=codec,
+        num_values=num_values,
+        data_page_offset=data_page_offset,
+        dictionary_page_offset=dict_page_offset,
+        total_compressed_size=total_compressed,
+        offset_index_offset=oi_off,
+        offset_index_length=oi_len,
+    )
+
+
+def parse_parquet_metadata(
+    meta_bytes: bytes,
+) -> tuple[list[SchemaLeaf], list[RowGroupInfo]]:
+    buf = memoryview(meta_bytes)
+    fields, _ = parse_struct_fields(buf)
+    leaves: list[SchemaLeaf] = []
+    row_groups: list[RowGroupInfo] = []
+    for f in fields:
+        if f.field_id == 2 and f.ctype == CT_LIST:
+            leaves = _parse_schema(buf, f)
+        elif f.field_id == 4 and f.ctype == CT_LIST:
+            elem_type, size, pos = _list_items(buf, f.body_start)
+            if elem_type != CT_STRUCT:
+                raise FormatError("row_groups must be a list of structs")
+            for _ in range(size):
+                rg_fields, rg_end = parse_struct_fields(buf[pos:])
+                chunks: list[ChunkInfo] = []
+                num_rows = 0
+                for rf in rg_fields:
+                    if rf.field_id == 1 and rf.ctype == CT_LIST:
+                        et, csize, cpos = _list_items(buf, pos + rf.body_start)
+                        for _ in range(csize):
+                            _, cend = parse_struct_fields(buf[cpos:])
+                            chunks.append(_parse_column_chunk(buf, cpos, cpos + cend))
+                            cpos += cend
+                    elif rf.field_id == 3 and rf.ctype == CT_I64:
+                        v, _ = read_varint(buf, pos + rf.body_start)
+                        num_rows = zigzag_decode(v)
+                row_groups.append(RowGroupInfo(num_rows=num_rows, chunks=chunks))
+                pos += rg_end
+    return leaves, row_groups
+
+
+def parse_offset_index(data: bytes) -> list[PageLocation]:
+    buf = memoryview(data)
+    fields, _ = parse_struct_fields(buf)
+    locations: list[PageLocation] = []
+    for f in fields:
+        if f.field_id == 1 and f.ctype == CT_LIST:
+            elem_type, size, pos = _list_items(buf, f.body_start)
+            for _ in range(size):
+                pf, pend = parse_struct_fields(buf[pos:])
+                off = csize = first = 0
+                for p in pf:
+                    if p.field_id == 1:
+                        v, _ = read_varint(buf, pos + p.body_start)
+                        off = zigzag_decode(v)
+                    elif p.field_id == 2:
+                        v, _ = read_varint(buf, pos + p.body_start)
+                        csize = zigzag_decode(v)
+                    elif p.field_id == 3:
+                        v, _ = read_varint(buf, pos + p.body_start)
+                        first = zigzag_decode(v)
+                locations.append(PageLocation(off, csize, first))
+                pos += pend
+    return locations
+
+
+# ----------------------------------------------------------------------
+# Page decoding
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PageHeader:
+    page_type: int
+    uncompressed_size: int
+    compressed_size: int
+    num_values: int
+    encoding: int
+    def_encoding: int
+    rep_encoding: int
+    # V2 only:
+    num_rows: int | None = None
+    num_nulls: int | None = None
+    def_levels_len: int = 0
+    rep_levels_len: int = 0
+    v2_is_compressed: bool = True
+    header_len: int = 0
+
+
+def parse_page_header(data: bytes | memoryview) -> PageHeader:
+    buf = memoryview(data)
+    fields, end = parse_struct_fields(buf)
+    h = PageHeader(0, 0, 0, 0, _ENC_PLAIN, _ENC_RLE, _ENC_RLE, header_len=end)
+    for f in fields:
+        if f.field_id == 1:
+            v, _ = read_varint(buf, f.body_start)
+            h.page_type = zigzag_decode(v)
+        elif f.field_id == 2:
+            v, _ = read_varint(buf, f.body_start)
+            h.uncompressed_size = zigzag_decode(v)
+        elif f.field_id == 3:
+            v, _ = read_varint(buf, f.body_start)
+            h.compressed_size = zigzag_decode(v)
+        elif f.field_id == 5 and f.ctype == CT_STRUCT:  # DataPageHeader
+            sub, _ = parse_struct_fields(buf[f.body_start :])
+            for s in sub:
+                v, _ = read_varint(buf, f.body_start + s.body_start)
+                val = zigzag_decode(v)
+                if s.field_id == 1:
+                    h.num_values = val
+                elif s.field_id == 2:
+                    h.encoding = val
+                elif s.field_id == 3:
+                    h.def_encoding = val
+                elif s.field_id == 4:
+                    h.rep_encoding = val
+        elif f.field_id == 8 and f.ctype == CT_STRUCT:  # DataPageHeaderV2
+            sub, _ = parse_struct_fields(buf[f.body_start :])
+            h.v2_is_compressed = True
+            for s in sub:
+                if s.ctype in (0x1, 0x2):  # bool is_compressed
+                    h.v2_is_compressed = s.ctype == 0x1
+                    continue
+                v, _ = read_varint(buf, f.body_start + s.body_start)
+                val = zigzag_decode(v)
+                if s.field_id == 1:
+                    h.num_values = val
+                elif s.field_id == 2:
+                    h.num_nulls = val
+                elif s.field_id == 3:
+                    h.num_rows = val
+                elif s.field_id == 4:
+                    h.encoding = val
+                elif s.field_id == 5:
+                    h.def_levels_len = val
+                elif s.field_id == 6:
+                    h.rep_levels_len = val
+    return h
+
+
+def _decompress(data: bytes, codec: str, uncompressed_size: int) -> bytes:
+    if codec == "none":
+        return data
+    import pyarrow as pa
+
+    if codec == "lz4_raw":
+        codec = "lz4_raw" if "lz4_raw" in pa.Codec.supported_codecs() else "lz4"
+    try:
+        return pa.Codec(codec).decompress(data, uncompressed_size).to_pybytes()
+    except Exception as exc:
+        raise ExecutionError(f"Failed to decompress {codec} page: {exc}") from exc
+
+
+def decode_rle_levels(data: memoryview, bit_width: int, count: int) -> np.ndarray:
+    """RLE/bit-packed hybrid decoder (parquet levels)."""
+    out = np.empty(count, dtype=np.int32)
+    if bit_width == 0:
+        out.fill(0)
+        return out
+    pos = 0
+    filled = 0
+    byte_width = (bit_width + 7) // 8
+    while filled < count:
+        header, pos = read_varint(data, pos)
+        if header & 1:
+            # bit-packed run: (header >> 1) groups of 8 values
+            groups = header >> 1
+            n_vals = groups * 8
+            n_bytes = groups * bit_width
+            chunk = np.frombuffer(data[pos : pos + n_bytes], dtype=np.uint8)
+            pos += n_bytes
+            bits = np.unpackbits(chunk, bitorder="little")
+            vals = bits.reshape(-1, bit_width)
+            weights = (1 << np.arange(bit_width)).astype(np.int64)
+            decoded = (vals * weights).sum(axis=1)
+            take = min(n_vals, count - filled)
+            out[filled : filled + take] = decoded[:take]
+            filled += take
+        else:
+            run = header >> 1
+            raw = bytes(data[pos : pos + byte_width]) + b"\x00" * (4 - byte_width)
+            value = struct.unpack("<I", raw)[0]
+            pos += byte_width
+            take = min(run, count - filled)
+            out[filled : filled + take] = value
+            filled += take
+    return out
+
+
+@dataclasses.dataclass
+class DecodedPage:
+    """Values + row structure decoded from one data page."""
+
+    values: np.ndarray  # float32 flat values
+    row_lengths: np.ndarray  # values per row (from rep levels)
+
+
+def decode_data_page(
+    raw: bytes, codec: str, leaf: SchemaLeaf, fixed_list_size: int | None = None
+) -> DecodedPage:
+    header = parse_page_header(raw)
+    body = memoryview(raw)[header.header_len : header.header_len + header.compressed_size]
+
+    if header.page_type == _PAGE_DICT:
+        raise ExecutionError("Dictionary-encoded embedding pages are not supported")
+    if header.page_type not in (_PAGE_DATA, _PAGE_DATA_V2):
+        raise ExecutionError(f"Unsupported page type {header.page_type}")
+    if header.encoding != _ENC_PLAIN:
+        raise ExecutionError(
+            f"Embedding pages must be PLAIN encoded, got encoding {header.encoding}"
+        )
+
+    n = header.num_values
+    rep_bits = (leaf.max_rep).bit_length() if leaf.max_rep else 0
+    def_bits = (leaf.max_def).bit_length() if leaf.max_def else 0
+
+    if header.page_type == _PAGE_DATA_V2:
+        rep_raw = body[: header.rep_levels_len]
+        def_raw = body[header.rep_levels_len : header.rep_levels_len + header.def_levels_len]
+        values_raw = bytes(body[header.rep_levels_len + header.def_levels_len :])
+        if header.v2_is_compressed:
+            values_raw = _decompress(
+                values_raw,
+                codec,
+                header.uncompressed_size
+                - header.rep_levels_len
+                - header.def_levels_len,
+            )
+        rep = (
+            decode_rle_levels(rep_raw, rep_bits, n)
+            if leaf.max_rep
+            else np.zeros(n, np.int32)
+        )
+        defs = (
+            decode_rle_levels(def_raw, def_bits, n)
+            if leaf.max_def
+            else np.full(n, leaf.max_def, np.int32)
+        )
+    else:
+        data = memoryview(_decompress(bytes(body), codec, header.uncompressed_size))
+        pos = 0
+        if leaf.max_rep:
+            (length,) = struct.unpack_from("<I", data, pos)
+            rep = decode_rle_levels(data[pos + 4 : pos + 4 + length], rep_bits, n)
+            pos += 4 + length
+        else:
+            rep = np.zeros(n, np.int32)
+        if leaf.max_def:
+            (length,) = struct.unpack_from("<I", data, pos)
+            defs = decode_rle_levels(data[pos + 4 : pos + 4 + length], def_bits, n)
+            pos += 4 + length
+        else:
+            defs = np.full(n, leaf.max_def, np.int32)
+        values_raw = bytes(data[pos:])
+
+    if np.any(defs != leaf.max_def):
+        raise ExecutionError("Embedding column contains null rows")
+
+    if leaf.ptype == _TYPE_FLOAT:
+        values = np.frombuffer(values_raw, dtype="<f4", count=n).astype(
+            np.float32, copy=True
+        )
+    elif leaf.ptype == _TYPE_DOUBLE:
+        values = np.frombuffer(values_raw, dtype="<f8", count=n).astype(np.float32)
+    else:
+        raise ExecutionError("Embedding values are not float32/float64")
+
+    if leaf.max_rep:
+        row_starts = np.flatnonzero(rep == 0)
+        row_lengths = np.diff(np.concatenate([row_starts, [n]]))
+    elif fixed_list_size:
+        row_lengths = np.full(n // fixed_list_size, fixed_list_size, np.int64)
+    else:
+        row_lengths = np.ones(n, np.int64)
+    return DecodedPage(values=values, row_lengths=row_lengths.astype(np.int64))
+
+
+# ----------------------------------------------------------------------
+# PageReader: candidate rows -> [len, dim] matrix
+# ----------------------------------------------------------------------
+
+
+class PageSelectiveReader:
+    """Read specific rows of a vector column via exact page reads."""
+
+    def __init__(self, path: str | os.PathLike, column: EmbeddingColumn):
+        self.path = os.fspath(path)
+        meta = read_footer_metadata(self.path)
+        leaves, row_groups = parse_parquet_metadata(meta)
+        name = str(column)
+        matches = [
+            (i, leaf)
+            for i, leaf in enumerate(leaves)
+            if leaf.path.split(".")[0] == name
+        ]
+        if len(matches) != 1:
+            raise ExecutionError(
+                f"Embedding column '{name}' not found or ambiguous in schema"
+            )
+        self.leaf_idx, self.leaf = matches[0]
+        self.row_groups = row_groups
+        self._rg_starts = np.concatenate(
+            [[0], np.cumsum([rg.num_rows for rg in row_groups])]
+        )
+        self._page_locations: dict[int, list[PageLocation]] = {}
+
+    @property
+    def supports_page_reads(self) -> bool:
+        return all(
+            rg.chunks[self.leaf_idx].offset_index_offset is not None
+            for rg in self.row_groups
+        )
+
+    def _locations(self, rg_idx: int, f) -> list[PageLocation]:
+        if rg_idx not in self._page_locations:
+            chunk = self.row_groups[rg_idx].chunks[self.leaf_idx]
+            if chunk.offset_index_offset is None:
+                raise ExecutionError("No offset index for selective page reads")
+            f.seek(chunk.offset_index_offset)
+            data = f.read(chunk.offset_index_length)
+            self._page_locations[rg_idx] = parse_offset_index(data)
+        return self._page_locations[rg_idx]
+
+    def read_rows(self, rows: np.ndarray, dim: int) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int64)
+        out = np.empty((rows.size, dim), dtype=np.float32)
+        if rows.size == 0:
+            return out
+        total_rows = int(self._rg_starts[-1])
+        if rows.max(initial=-1) >= total_rows:
+            raise ExecutionError(
+                f"Candidate row {int(rows.max())} out of bounds for file with "
+                f"{total_rows} rows"
+            )
+        order = np.argsort(rows, kind="stable")
+        with open(self.path, "rb") as f:
+            rg_of = np.searchsorted(self._rg_starts, rows, side="right") - 1
+            page_cache: tuple[int, int, DecodedPage, np.ndarray] | None = None
+            for oi in order:
+                row = int(rows[oi])
+                rg = int(rg_of[oi])
+                local = row - int(self._rg_starts[rg])
+                locs = self._locations(rg, f)
+                firsts = [loc.first_row_index for loc in locs]
+                pidx = int(np.searchsorted(firsts, local, side="right") - 1)
+                if page_cache is not None and page_cache[0] == rg and page_cache[1] == pidx:
+                    _, _, page, row_offsets = page_cache
+                else:
+                    loc = locs[pidx]
+                    f.seek(loc.offset)
+                    raw = f.read(loc.compressed_page_size)
+                    chunk = self.row_groups[rg].chunks[self.leaf_idx]
+                    page = decode_data_page(raw, chunk.codec, self.leaf)
+                    row_offsets = np.concatenate(
+                        [[0], np.cumsum(page.row_lengths)]
+                    )
+                    page_cache = (rg, pidx, page, row_offsets)
+                in_page = local - int(firsts[pidx])
+                if in_page >= page.row_lengths.size:
+                    raise ExecutionError("Row beyond decoded page")
+                start = int(row_offsets[in_page])
+                length = int(page.row_lengths[in_page])
+                if length != dim:
+                    raise ExecutionError(
+                        "Selected embeddings do not match expected dimensions"
+                    )
+                out[oi] = page.values[start : start + dim]
+        return out

@@ -182,12 +182,11 @@ def write_parquet_with_index(
     write_statistics = [
         opt.path for opt in options if opt.statistics_enabled != "none"
     ]
-    # Embedding column: chunk-level stats are retained (reference keeps chunk
-    # stats, parquet.rs:343); page index is only written when the source had
-    # page-level stats on some column other than the embedding column.
-    write_page_index = any(
-        opt.statistics_enabled == "page" and opt.path != emb_path for opt in options
-    )
+    # Always write the page index: parquet-rs (the reference writer) always
+    # emits the offset index, and our page-level selective reader
+    # (io/pages.py) needs it to fetch candidate rows without touching whole
+    # row groups.
+    write_page_index = True
     column_encoding = {
         opt.path: opt.encoding
         for opt in options

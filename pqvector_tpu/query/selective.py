@@ -37,10 +37,26 @@ def read_embeddings_for_rows(
     dim: int,
 ) -> np.ndarray:
     """Read embeddings for specific global row ids; returns [len(rows), dim]
-    float32 in the order of ``rows``."""
+    float32 in the order of ``rows``.
+
+    Prefers exact page-level reads (io/pages.py) when the file carries a page
+    offset index and the selection is sparse — the reference's 1-row-per-page
+    skip/select path (search.rs:186-198); otherwise reads only the touched
+    row groups.
+    """
     rows = np.asarray(rows, dtype=np.int64)
     if rows.size == 0:
         return np.empty((0, dim), dtype=np.float32)
+
+    try:
+        from ..io.pages import PageSelectiveReader
+
+        reader = PageSelectiveReader(path, embedding_column)
+        total = int(reader._rg_starts[-1])
+        if reader.supports_page_reads and rows.size < max(1, total // 4):
+            return reader.read_rows(rows, dim)
+    except ExecutionError:
+        pass  # fall back to row-group reads below
 
     pf = pq.ParquetFile(path)
     md = pf.metadata

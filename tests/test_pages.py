@@ -1,0 +1,118 @@
+"""Page-level selective reader tests: our own Parquet page decode against
+pyarrow-written files in multiple codecs/page versions."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pqvector_tpu.errors import ExecutionError
+from pqvector_tpu.io.pages import PageSelectiveReader, parse_parquet_metadata
+from pqvector_tpu.io.embed import read_footer_metadata
+from pqvector_tpu.types import EmbeddingColumn
+
+
+def write_file(path, vecs, dtype=pa.float32(), **writer_kwargs):
+    table = pa.table(
+        {
+            "id": pa.array(range(len(vecs)), pa.int32()),
+            "vec": pa.array([list(map(float, v)) for v in vecs], pa.list_(dtype)),
+        }
+    )
+    pq.write_table(table, path, write_page_index=True, **writer_kwargs)
+    return table
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((500, 12)).astype(np.float32)
+
+
+@pytest.mark.parametrize("compression", ["snappy", "zstd", "gzip", "none"])
+def test_selective_read_codecs(tmp_path, vectors, compression):
+    path = tmp_path / f"{compression}.parquet"
+    write_file(
+        path,
+        vectors,
+        compression=compression,
+        use_dictionary=False,
+        row_group_size=200,
+    )
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    assert reader.supports_page_reads
+    rows = np.array([499, 0, 250, 123, 199, 200, 7])
+    got = reader.read_rows(rows, 12)
+    np.testing.assert_allclose(got, vectors[rows], rtol=1e-6)
+
+
+def test_selective_read_small_pages(tmp_path, vectors):
+    """Tiny data pages (the reference's 1-row-page layout analog)."""
+    path = tmp_path / "tiny.parquet"
+    write_file(
+        path,
+        vectors,
+        compression="snappy",
+        use_dictionary=False,
+        data_page_size=64,
+        write_batch_size=16,
+    )
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    rows = np.arange(0, 500, 37)
+    got = reader.read_rows(rows, 12)
+    np.testing.assert_allclose(got, vectors[rows], rtol=1e-6)
+
+
+def test_selective_read_double_narrowed(tmp_path, vectors):
+    path = tmp_path / "f64.parquet"
+    write_file(path, vectors.astype(np.float64), dtype=pa.float64(), use_dictionary=False)
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    got = reader.read_rows(np.array([5, 100]), 12)
+    np.testing.assert_allclose(got, vectors[[5, 100]], rtol=1e-6)
+
+
+def test_selective_read_data_page_v2(tmp_path, vectors):
+    path = tmp_path / "v2.parquet"
+    write_file(
+        path,
+        vectors,
+        compression="zstd",
+        use_dictionary=False,
+        data_page_version="2.0",
+    )
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    rows = np.array([42, 0, 499])
+    got = reader.read_rows(rows, 12)
+    np.testing.assert_allclose(got, vectors[rows], rtol=1e-6)
+
+
+def test_out_of_bounds_row(tmp_path, vectors):
+    path = tmp_path / "oob.parquet"
+    write_file(path, vectors, use_dictionary=False)
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    with pytest.raises(ExecutionError, match="out of bounds"):
+        reader.read_rows(np.array([500]), 12)
+
+
+def test_no_offset_index_detected(tmp_path, vectors):
+    path = tmp_path / "noindex.parquet"
+    table = pa.table({"vec": pa.array([list(map(float, v)) for v in vectors], pa.list_(pa.float32()))})
+    pq.write_table(table, path, write_page_index=False, use_dictionary=False)
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    assert not reader.supports_page_reads
+
+
+def test_metadata_parse_matches_pyarrow(tmp_path, vectors):
+    path = tmp_path / "meta.parquet"
+    write_file(path, vectors, row_group_size=128, use_dictionary=False)
+    leaves, row_groups = parse_parquet_metadata(read_footer_metadata(path))
+    md = pq.ParquetFile(path).metadata
+    assert len(row_groups) == md.num_row_groups
+    for i, rg in enumerate(row_groups):
+        assert rg.num_rows == md.row_group(i).num_rows
+    leaf_paths = [leaf.path for leaf in leaves]
+    want = [md.schema.column(i).path for i in range(md.num_columns)]
+    assert leaf_paths == want
+    vec_leaf = [l for l in leaves if l.path.startswith("vec")][0]
+    assert vec_leaf.max_rep == 1
+    assert vec_leaf.max_def >= 2
