@@ -167,19 +167,6 @@ def _is_nested(typ: pa.DataType) -> bool:
     return pa.types.is_list(typ) or pa.types.is_large_list(typ) or pa.types.is_fixed_size_list(typ)
 
 
-def _column_vectors(table: pa.Table, name: str) -> list[np.ndarray | None]:
-    """Per-row float32 vectors (None for null rows)."""
-    col = table.column(name)
-    out: list[np.ndarray | None] = []
-    for chunk in col.chunks:
-        for row in chunk:
-            if not row.is_valid:
-                out.append(None)
-            else:
-                out.append(np.asarray(row.as_py(), dtype=np.float32))
-    return out
-
-
 def _eval_array_distance(fn: ScalarFunction, table: pa.Table) -> np.ndarray:
     if len(fn.args) != 2:
         raise PlanError("array_distance takes exactly two arguments")
@@ -192,14 +179,44 @@ def _eval_array_distance(fn: ScalarFunction, table: pa.Table) -> np.ndarray:
     query = literal_to_f32_vector(lit_expr)
     if query is None:
         raise PlanError("array_distance literal must be a float vector")
-    vectors = _column_vectors(table, col_expr.name)
-    out = np.full(len(vectors), np.nan, dtype=np.float64)
-    for i, vec in enumerate(vectors):
-        if vec is None or vec.size != query.size:
-            continue  # mirror: dim-mismatch rows skipped (exec.rs:527,538)
-        diff = vec - query
-        # DataFusion's array_distance returns the euclidean (sqrt) distance.
-        out[i] = float(np.sqrt(np.dot(diff, diff)))
+    if col_expr.name not in table.column_names:
+        raise PlanError(f"Column '{col_expr.name}' not found")
+
+    # Vectorized over Arrow buffers: uniform-dim valid rows get one einsum;
+    # null / dim-mismatch rows stay NaN (the skip semantic, exec.rs:527,538).
+    dim = query.size
+    out = np.full(table.num_rows, np.nan, dtype=np.float64)
+    base = 0
+    for chunk in table.column(col_expr.name).chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        valid = np.ones(n, dtype=bool)
+        if chunk.null_count:
+            valid = np.asarray(chunk.is_valid())
+        if isinstance(chunk, pa.FixedSizeListArray):
+            lengths = np.full(n, chunk.type.list_size, dtype=np.int64)
+            flat = chunk.flatten()
+            starts = np.arange(n, dtype=np.int64) * chunk.type.list_size
+        elif isinstance(chunk, (pa.ListArray, pa.LargeListArray)):
+            offsets = np.asarray(chunk.offsets)
+            lengths = np.diff(offsets)
+            first = int(offsets[0])
+            flat = chunk.values.slice(first, int(offsets[-1]) - first)
+            starts = (offsets[:-1] - first).astype(np.int64)
+        else:
+            raise PlanError("Vector column must be list or fixed-size list")
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        ok = valid & (lengths == dim)
+        rows = np.flatnonzero(ok)
+        if rows.size:
+            gather = starts[rows][:, None] + np.arange(dim)[None, :]
+            mat = vals[gather]
+            diff = mat - query[None, :]
+            # DataFusion's array_distance returns the euclidean (sqrt)
+            # distance.
+            out[base + rows] = np.sqrt(np.einsum("nd,nd->n", diff, diff))
+        base += n
     return out
 
 

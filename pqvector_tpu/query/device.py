@@ -143,6 +143,64 @@ def _ivf_topk_impl(
     return _refine_and_sort(q, emb, best_d, best_i)
 
 
+def _ivf_masked_scan_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    centroids: jnp.ndarray,  # [kc, d] f32
+    c_sq: jnp.ndarray,  # [kc] f32
+    row_cluster: jnp.ndarray,  # [n_pad] i32 cluster id per row (kc = pad rows)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    k: int,
+    nprobe: int,
+    tile: int,
+):
+    """IVF top-k as a masked full scan: one HBM pass for the whole batch.
+
+    For a query batch the per-query cluster gather reads
+    ``B * nprobe * Lmax * d`` bytes; a full scan reads ``n * d`` once and
+    masks rows whose cluster the query did not probe. The scan wins whenever
+    ``B * nprobe * Lmax > n`` — i.e. any sizable batch. Results match the
+    gather path (same probed clusters, same distances).
+    """
+    b, d = q.shape
+    kc = centroids.shape[0]
+    n_pad = emb.shape[0]
+    nt = n_pad // tile
+
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), nprobe)  # [B, P]
+    # [B, kc+1] probe mask; the extra slot absorbs the pad-row sentinel id.
+    mask = jnp.zeros((b, kc + 1), jnp.bool_)
+    mask = mask.at[jnp.arange(b)[:, None], probe].set(True)
+
+    emb_t = emb.reshape(nt, tile, d)
+    sq_t = emb_sq.reshape(nt, tile)
+    cl_t = row_cluster.reshape(nt, tile)
+    qf = q.astype(emb.dtype)
+
+    def step(carry, inputs):
+        best_d, best_i = carry
+        ti, (xt, x2t, ct) = inputs
+        scores = jnp.dot(qf, xt.T, preferred_element_type=jnp.float32)
+        partial = x2t[None, :] - 2.0 * scores
+        probed = jnp.take(mask, ct, axis=1)  # [B, T]
+        partial = jnp.where(probed, partial, jnp.inf)
+        ids = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        all_d = jnp.concatenate([best_d, partial], axis=1)
+        all_i = jnp.concatenate([best_i, ids], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t, cl_t))
+    )
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
 class DeviceIvfSearcher:
     """Device-resident searcher over one embedding matrix + its IVF index."""
 
@@ -191,6 +249,14 @@ class DeviceIvfSearcher:
             table[c, : rows.size] = rows
         self.clusters = jnp.asarray(table)
 
+        # Per-row cluster id for the masked-scan path; pad rows use the extra
+        # slot (n_clusters) that is never set in the probe mask.
+        row_cluster = np.full(n_pad, index.n_clusters, dtype=np.int32)
+        row_cluster[index.row_ids] = np.repeat(
+            np.arange(index.n_clusters, dtype=np.int32), sizes
+        )
+        self.row_cluster = jnp.asarray(row_cluster)
+
     @classmethod
     def from_parquet(
         cls,
@@ -235,9 +301,14 @@ class DeviceIvfSearcher:
         ids = jnp.where(ids >= self.n, -1, ids)
         return jnp.sqrt(d2), ids
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int):
+    def search(self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"):
         """IVF top-k. Returns (sqrt distances [B,k], ids [B,k]); slots beyond
-        the candidate count have id -1 and distance inf."""
+        the candidate count have id -1 and distance inf.
+
+        ``mode``: "gather" fetches only probed clusters (low-latency small
+        batches); "masked" does one masked full HBM pass (wins when
+        ``B * nprobe * avg_cluster > n``); "auto" picks by that inequality.
+        """
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
@@ -245,20 +316,44 @@ class DeviceIvfSearcher:
             raise ValidationError("nprobe must be > 0")
         nprobe = min(nprobe, self.index.n_clusters)
         tile = min(self.row_tile, 2048)
-        d2, ids = _ivf_topk(
-            q,
-            self.centroids,
-            self.c_sq,
-            self.clusters,
-            self.emb,
-            self.emb_sq,
-            k,
-            nprobe,
-            tile,
-        )
-        ids = jnp.where(ids >= self.n, -1, ids)
+
+        if mode == "auto":
+            lmax = int(self.clusters.shape[1])
+            gather_bytes = q.shape[0] * nprobe * lmax
+            mode = "masked" if gather_bytes > self.n else "gather"
+
+        if mode == "masked":
+            d2, ids = _ivf_masked_scan(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.row_cluster,
+                self.emb,
+                self.emb_sq,
+                k,
+                nprobe,
+                self.row_tile,
+            )
+        elif mode == "gather":
+            d2, ids = _ivf_topk(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.clusters,
+                self.emb,
+                self.emb_sq,
+                k,
+                nprobe,
+                tile,
+            )
+        else:
+            raise ValidationError(f"Unknown search mode '{mode}'")
+        ids = jnp.where(jnp.isinf(d2) | (ids >= self.n), -1, ids)
         return jnp.sqrt(d2), ids
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
+_ivf_masked_scan = jax.jit(
+    _ivf_masked_scan_impl, static_argnames=("k", "nprobe", "tile")
+)
