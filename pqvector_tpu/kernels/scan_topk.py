@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: fused (masked) distance scan + per-tile top-k extract.
+
+The XLA masked-scan path writes each ``[B, tile]`` score block to HBM between
+the matmul and the top-k merge (~2x the data traffic of the scan itself).
+This kernel keeps the block in VMEM and extracts the tile-local top-k by
+iterative min-extraction (k passes over the VPU) — writing only ``[B, k]``
+winners per tile. A final cross-tile top-k merge runs outside (tiny:
+``[B, nt * k]``).
+
+Masking uses the one-hot-matmul trick (``mask_f32 @ (cluster_iota == ct)``)
+so no dynamic gather is needed inside the kernel; for the exact scan the
+mask input is skipped entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -3.0e38
+_POS_INF = 3.0e38
+
+
+def _extract_topk(partial: jnp.ndarray, ids: jnp.ndarray, k: int):
+    """Tile-local top-k by iterative min extraction (k small)."""
+    b, t = partial.shape
+    out_d = []
+    out_i = []
+    work = partial
+    for _ in range(k):
+        best = jnp.min(work, axis=1, keepdims=True)  # [B, 1]
+        # index of the first occurrence of the min
+        is_best = work == best
+        first = jnp.argmax(is_best, axis=1)  # [B]
+        out_d.append(best[:, 0])
+        out_i.append(jnp.take_along_axis(ids, first[:, None], axis=1)[:, 0])
+        # knock out the extracted element
+        knock = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) == first[:, None]
+        work = jnp.where(knock, _POS_INF, work)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)  # [B, k]
+
+
+def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
+    i = pl.program_id(0)
+    scores = jnp.dot(
+        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+    )  # [B, T]
+    partial = sq_ref[:].reshape(1, -1) - 2.0 * scores
+    b = scores.shape[0]
+    ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    d, idx = _extract_topk(partial, ids, k)
+    out_d_ref[0] = d
+    out_i_ref[0] = idx
+
+
+def _masked_scan_kernel(
+    q_ref, emb_ref, sq_ref, cl_ref, mask_ref, out_d_ref, out_i_ref, *, k, tile, kc
+):
+    i = pl.program_id(0)
+    scores = jnp.dot(
+        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+    )  # [B, T]
+    partial = sq_ref[:].reshape(1, -1) - 2.0 * scores
+    # probed[b, t] = mask[b, cl[t]] via one-hot matmul (no dynamic gather).
+    onehot = (
+        cl_ref[:].reshape(1, -1)
+        == jax.lax.broadcasted_iota(jnp.int32, (kc, tile), 0)
+    ).astype(jnp.float32)  # [kc, T]
+    probed = (
+        jnp.dot(mask_ref[:], onehot, preferred_element_type=jnp.float32) > 0.5
+    )  # [B, T]
+    partial = jnp.where(probed, partial, _POS_INF)
+    b = scores.shape[0]
+    ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    d, idx = _extract_topk(partial, ids, k)
+    out_d_ref[0] = d
+    out_i_ref[0] = idx
+
+
+def _final_merge(tile_d, tile_i, k):
+    """[nt, B, k] per-tile winners -> [B, k] global."""
+    nt, b, _ = tile_d.shape
+    all_d = jnp.transpose(tile_d, (1, 0, 2)).reshape(b, nt * k)
+    all_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, nt * k)
+    neg, pos = jax.lax.top_k(-all_d, k)
+    return -neg, jnp.take_along_axis(all_i, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def pallas_exact_topk(
+    q: jnp.ndarray,  # [B, d]
+    emb: jnp.ndarray,  # [n_pad, d], n_pad % tile == 0
+    emb_sq: jnp.ndarray,  # [n_pad] (+big for pad rows; use 3e38, not inf)
+    k: int,
+    tile: int = 2048,
+    interpret: bool = False,
+):
+    n_pad, d = emb.shape
+    b = q.shape[0]
+    nt = n_pad // tile
+    qf = q.astype(emb.dtype)
+
+    tile_d, tile_i = pl.pallas_call(
+        functools.partial(_scan_kernel, k=k, tile=tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((nt, b, k), jnp.int32),
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qf, emb, emb_sq)
+    best_d, best_i = _final_merge(tile_d, tile_i, k)
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    return jnp.maximum(best_d + q_sq, 0.0), best_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_probe", "tile", "interpret"))
+def pallas_masked_topk(
+    q: jnp.ndarray,  # [B, d]
+    centroids: jnp.ndarray,  # [kc, d]
+    c_sq: jnp.ndarray,  # [kc]
+    row_cluster: jnp.ndarray,  # [n_pad] i32 (pad rows = kc)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] (+3e38 pad)
+    nprobe: jnp.ndarray,  # traced scalar
+    k: int,
+    max_probe: int,
+    tile: int = 2048,
+    interpret: bool = False,
+):
+    n_pad, d = emb.shape
+    b = q.shape[0]
+    kc = centroids.shape[0]
+    nt = n_pad // tile
+
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)
+    in_probe = jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe
+    # kc+pad slots so the kernel's one-hot covers pad-row cluster id == kc.
+    kc_pad = -(-(kc + 1) // 128) * 128
+    mask = jnp.zeros((b, kc_pad), jnp.float32)
+    mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe.astype(jnp.float32))
+
+    qf = q.astype(emb.dtype)
+    tile_d, tile_i = pl.pallas_call(
+        functools.partial(_masked_scan_kernel, k=k, tile=tile, kc=kc_pad),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((nt, b, k), jnp.int32),
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, kc_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qf, emb, emb_sq, row_cluster, mask)
+    best_d, best_i = _final_merge(tile_d, tile_i, k)
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    return jnp.maximum(best_d + q_sq, 0.0), best_i

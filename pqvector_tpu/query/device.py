@@ -150,8 +150,10 @@ def _ivf_masked_scan_impl(
     row_cluster: jnp.ndarray,  # [n_pad] i32 cluster id per row (kc = pad rows)
     emb: jnp.ndarray,  # [n_pad, d]
     emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    nprobe: jnp.ndarray,  # scalar i32, <= max_probe (traced: nprobe sweeps
+    #                       reuse one executable)
     k: int,
-    nprobe: int,
+    max_probe: int,
     tile: int,
 ):
     """IVF top-k as a masked full scan: one HBM pass for the whole batch.
@@ -168,10 +170,12 @@ def _ivf_masked_scan_impl(
     nt = n_pad // tile
 
     c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
-    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), nprobe)  # [B, P]
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)  # [B, P]
     # [B, kc+1] probe mask; the extra slot absorbs the pad-row sentinel id.
+    # Only the first `nprobe` probed clusters count.
+    in_probe = jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe
     mask = jnp.zeros((b, kc + 1), jnp.bool_)
-    mask = mask.at[jnp.arange(b)[:, None], probe].set(True)
+    mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
 
     emb_t = emb.reshape(nt, tile, d)
     sq_t = emb_sq.reshape(nt, tile)
@@ -323,6 +327,13 @@ class DeviceIvfSearcher:
             mode = "masked" if gather_bytes > self.n else "gather"
 
         if mode == "masked":
+            # max_probe buckets (powers of two) so an nprobe sweep shares one
+            # compiled executable per bucket.
+            max_probe = 1
+            while max_probe < nprobe:
+                max_probe *= 2
+            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
+                            self.index.n_clusters)
             d2, ids = _ivf_masked_scan(
                 q,
                 self.centroids,
@@ -330,9 +341,10 @@ class DeviceIvfSearcher:
                 self.row_cluster,
                 self.emb,
                 self.emb_sq,
-                k,
-                nprobe,
-                self.row_tile,
+                jnp.int32(nprobe),
+                k=k,
+                max_probe=max_probe,
+                tile=self.row_tile,
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -355,5 +367,5 @@ class DeviceIvfSearcher:
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_masked_scan = jax.jit(
-    _ivf_masked_scan_impl, static_argnames=("k", "nprobe", "tile")
+    _ivf_masked_scan_impl, static_argnames=("k", "max_probe", "tile")
 )
