@@ -26,22 +26,23 @@ _NEG_INF = -3.0e38
 _POS_INF = 3.0e38
 
 
-def _extract_topk(partial: jnp.ndarray, ids: jnp.ndarray, k: int):
-    """Tile-local top-k by iterative min extraction (k small)."""
+def _extract_topk(partial: jnp.ndarray, base: jnp.ndarray, k: int):
+    """Tile-local top-k by iterative min extraction (k small).
+
+    Row ids are ``base + column``, so no gather is needed — only min/argmin
+    (f32, Mosaic-supported), iota compares, and selects.
+    """
     b, t = partial.shape
     out_d = []
     out_i = []
     work = partial
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
     for _ in range(k):
-        best = jnp.min(work, axis=1, keepdims=True)  # [B, 1]
-        # index of the first occurrence of the min
-        is_best = work == best
-        first = jnp.argmax(is_best, axis=1)  # [B]
-        out_d.append(best[:, 0])
-        out_i.append(jnp.take_along_axis(ids, first[:, None], axis=1)[:, 0])
-        # knock out the extracted element
-        knock = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) == first[:, None]
-        work = jnp.where(knock, _POS_INF, work)
+        best = jnp.min(work, axis=1)  # [B]
+        first = jnp.argmin(work, axis=1).astype(jnp.int32)  # [B], first min
+        out_d.append(best)
+        out_i.append(base + first)
+        work = jnp.where(col_iota == first[:, None], _POS_INF, work)
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)  # [B, k]
 
 
@@ -51,9 +52,7 @@ def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
         q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
     )  # [B, T]
     partial = sq_ref[:].reshape(1, -1) - 2.0 * scores
-    b = scores.shape[0]
-    ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    d, idx = _extract_topk(partial, ids, k)
+    d, idx = _extract_topk(partial, i * tile, k)
     out_d_ref[0] = d
     out_i_ref[0] = idx
 
@@ -75,9 +74,7 @@ def _masked_scan_kernel(
         jnp.dot(mask_ref[:], onehot, preferred_element_type=jnp.float32) > 0.5
     )  # [B, T]
     partial = jnp.where(probed, partial, _POS_INF)
-    b = scores.shape[0]
-    ids = i * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    d, idx = _extract_topk(partial, ids, k)
+    d, idx = _extract_topk(partial, i * tile, k)
     out_d_ref[0] = d
     out_i_ref[0] = idx
 
