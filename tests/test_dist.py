@@ -86,3 +86,17 @@ def test_distributed_ivf_k_exceeds_candidates(mesh, data):
     valid = (ids[0] >= 0).sum()
     assert 0 < valid < 120
     assert np.all(np.isinf(dists[0][ids[0] == -1]))
+
+
+def test_distributed_build_matches_single_chip(mesh, data):
+    """Full distributed build == single-chip build (same seed)."""
+    from pqvector_tpu.dist.build import build_ivf_index_distributed
+    from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+
+    emb = Embeddings(data, 8)
+    cfg = IvfBuildConfig(n_clusters=6, seed=5, block_rows=16)
+    single = build_ivf_index(emb, cfg)
+    dist = build_ivf_index_distributed(emb, cfg, mesh=mesh)
+    np.testing.assert_allclose(dist.centroids, single.centroids, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(dist.row_ids, single.row_ids)
+    np.testing.assert_array_equal(dist.list_offsets, single.list_offsets)
