@@ -464,6 +464,10 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
       rc = ERR_IO;
       break;
     }
+    // Ordered durability: payload + metadata land before the footer tail
+    // that references them (mirrors the Python path).
+    std::fflush(f);
+    ::fsync(::fileno(f));
     uint32_t nm_len = static_cast<uint32_t>(new_meta.size());
     uint8_t footer[8] = {static_cast<uint8_t>(nm_len & 0xFF),
                          static_cast<uint8_t>((nm_len >> 8) & 0xFF),
@@ -481,6 +485,7 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
       rc = ERR_IO;
       break;
     }
+    ::fsync(::fileno(f));
   } while (false);
 
   std::fclose(f);

@@ -26,7 +26,7 @@ from .errors import ValidationError
 from .index.build import IvfBuildConfig, build_ivf_index
 from .index.ivf import IvfIndex
 from .io.embed import append_index_inplace, has_pq_vector_index
-from .io.reader import read_parquet_with_embeddings
+from .io.reader import read_embedding_column, read_parquet_with_embeddings
 from .io.writer import write_parquet_with_index
 from .types import EmbeddingColumn
 
@@ -93,10 +93,15 @@ class IndexBuilder:
 
     def build_inplace(self) -> IvfIndex:
         """Append the index to the source file without rewriting data pages
-        (parquet.rs:57-69)."""
+        (parquet.rs:57-69).
+
+        Only the embedding column is scanned (the reference decodes the whole
+        file, parquet.rs:216-305, but in-place mode never rewrites data, so
+        the projected read is strictly better).
+        """
         config = self._build_config()
-        parquet = read_parquet_with_embeddings(self._source, self._embedding_column)
-        index = build_ivf_index(self._train_embeddings(parquet.embeddings), config)
+        embeddings = read_embedding_column(self._source, self._embedding_column)
+        index = build_ivf_index(self._train_embeddings(embeddings), config)
         append_index_inplace(
             self._source, index, self._embedding_column, metric=self._metric
         )

@@ -223,6 +223,13 @@ def append_index_inplace(
         f.seek(index_offset)
         f.write(encode_index_payload(index))
         f.write(new_metadata)
+        # Ordered durability: payload + metadata reach disk before the tail
+        # that references them. Like the reference, a torn write can still
+        # corrupt the footer region (data pages are never touched,
+        # SURVEY.md §5.4) — but a completed append is durable once we return.
+        f.flush()
+        os.fsync(f.fileno())
         f.write(struct.pack("<I", len(new_metadata)) + PARQUET_MAGIC)
         f.truncate()
         f.flush()
+        os.fsync(f.fileno())
