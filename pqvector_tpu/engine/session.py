@@ -78,6 +78,28 @@ class Session:
     def sql(self, query: str) -> "DataFrame":
         return DataFrame(self, parse_sql(query))
 
+    def device_searcher(self, name: str, **kwargs):
+        """HBM-resident batched searcher for a registered single-file table
+        (TPU serving extension, BASELINE.md config 5). Cached per table."""
+        table = self._tables.get(name)
+        if table is None:
+            raise PlanError(f"Table '{name}' is not registered")
+        if len(table.paths) != 1:
+            raise PlanError(
+                "device_searcher currently supports single-file tables; use "
+                "pqvector_tpu.dist for sharded multi-file serving"
+            )
+        cache_key = (name, table.paths[0])
+        if getattr(self, "_searchers", None) is None:
+            self._searchers = {}
+        if cache_key not in self._searchers:
+            from ..query.device import DeviceIvfSearcher
+
+            self._searchers[cache_key] = DeviceIvfSearcher.from_parquet(
+                table.paths[0], **kwargs
+            )
+        return self._searchers[cache_key]
+
     def task_context(self) -> TaskContext:
         return TaskContext(object_store=self.object_store)
 

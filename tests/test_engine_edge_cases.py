@@ -92,3 +92,23 @@ def test_unknown_function_errors(path):
 def test_offset_only(path):
     out = session(path).sql("SELECT id FROM t ORDER BY id LIMIT 5 OFFSET 17").collect()
     assert out.column("id").to_pylist() == [17, 18, 19]
+
+
+def test_session_device_searcher(path):
+    s = session(path)
+    searcher = s.device_searcher("t", row_tile=64)
+    assert s.device_searcher("t", row_tile=64) is searcher  # cached
+    import pyarrow.parquet as pq2
+    import numpy as np2
+
+    vecs = np2.array(
+        pq2.read_table(path).column("vec").to_pylist(), dtype=np2.float32
+    )
+    dists, ids = searcher.search(vecs[3], k=1, nprobe=4)
+    assert int(ids[0, 0]) == 3
+
+
+def test_session_device_searcher_unknown_table(path):
+    s = session(path)
+    with pytest.raises(PlanError, match="not registered"):
+        s.device_searcher("missing")
