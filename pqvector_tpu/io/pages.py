@@ -30,7 +30,7 @@ import numpy as np
 
 from ..errors import ExecutionError, FormatError
 from ..types import EmbeddingColumn
-from .embed import FOOTER_SIZE, read_footer_metadata
+from .embed import read_footer_metadata
 from .thrift import (
     CT_BINARY,
     CT_I32,
