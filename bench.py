@@ -107,6 +107,11 @@ def main():
     parser.add_argument("--queries", type=int, default=256)
     parser.add_argument("--recall-target", type=float, default=0.95)
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="store embeddings in bfloat16 (halves HBM traffic; winners are "
+        "re-scored against stored values in f32)",
+    )
     parser.add_argument("--data-dir", default="data")
     args = parser.parse_args()
 
@@ -156,18 +161,25 @@ def main():
     log(f"index: k={index.n_clusters} dim={index.dim} rows={index.total_rows}")
 
     # 3. Device searcher + ground truth ------------------------------
-    searcher = DeviceIvfSearcher(index, emb, row_tile=4096)
+    truth_searcher = DeviceIvfSearcher(index, emb, row_tile=4096)
     rng = np.random.default_rng(7)
     q_rows = rng.integers(0, args.rows, args.queries)
     queries = emb[q_rows] + 0.05 * rng.standard_normal(
         (args.queries, args.dim)
     ).astype(np.float32)
 
-    log("computing exact ground truth on device")
+    log("computing exact ground truth on device (f32)")
     t0 = time.perf_counter()
-    _, truth_ids = searcher.exact(queries, args.k)
+    _, truth_ids = truth_searcher.exact(queries, args.k)
     truth_ids = np.asarray(jax.block_until_ready(truth_ids))
     log(f"exact scan ({args.queries} queries): {time.perf_counter() - t0:.2f}s")
+
+    if args.bf16:
+        import jax.numpy as jnp
+
+        searcher = DeviceIvfSearcher(index, emb, row_tile=4096, dtype=jnp.bfloat16)
+    else:
+        searcher = truth_searcher
 
     # 4. nprobe sweep until recall target ----------------------------
     # Masked-scan mode: the whole sweep shares one compiled executable

@@ -24,11 +24,12 @@ from .errors import (
 from .index import IvfBuildConfig, IvfIndex, build_ivf_index
 from .io.embed import has_pq_vector_index
 from .query import DeviceIvfSearcher, SearchResult, TopkBuilder
-from .types import EmbeddingColumn, EmbeddingDim, Embeddings
+from .types import ClusterCount, EmbeddingColumn, EmbeddingDim, Embeddings
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "ClusterCount",
     "DeviceIvfSearcher",
     "EmbeddingColumn",
     "EmbeddingDim",

@@ -57,6 +57,25 @@ class EmbeddingDim:
         return int(self.value)
 
 
+@dataclasses.dataclass(frozen=True)
+class ClusterCount:
+    """Non-zero cluster count, must fit in u32
+    (/root/reference/src/ivf/index.rs:17-43)."""
+
+    value: int
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.value, (int, np.integer)) or isinstance(self.value, bool):
+            raise ValidationError("Cluster count must be an integer")
+        if self.value <= 0:
+            raise ValidationError("Cluster count must be > 0")
+        if self.value > _U32_MAX:
+            raise ValidationError("Cluster count must fit in u32")
+
+    def __int__(self) -> int:
+        return int(self.value)
+
+
 class Embeddings:
     """Validated row-major float32 embedding matrix (src/ivf/mod.rs:73-102).
 

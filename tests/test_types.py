@@ -47,3 +47,15 @@ def test_embeddings_flat_and_matrix_forms():
 def test_embeddings_rejects_wrong_width():
     with pytest.raises(ValidationError):
         Embeddings(np.zeros((4, 3), np.float32), 2)
+
+
+def test_cluster_count_validation():
+    from pqvector_tpu import ClusterCount
+
+    assert int(ClusterCount(5)) == 5
+    with pytest.raises(ValidationError):
+        ClusterCount(0)
+    with pytest.raises(ValidationError):
+        ClusterCount(-1)
+    with pytest.raises(ValidationError):
+        ClusterCount(2**32)
