@@ -79,6 +79,21 @@ def _masked_scan_kernel(
     out_i_ref[0] = idx
 
 
+def _refine(q, emb, best_d, best_i):
+    """Direct-form re-score + stable re-sort of the winners — same
+    post-processing as the XLA paths (query/device.py), so rankings agree
+    bit-for-bit across implementations."""
+    invalid = best_d >= _POS_INF / 2
+    x = emb[jnp.maximum(best_i, 0)].astype(jnp.float32)
+    diff = x - q[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(invalid, jnp.inf, d2)
+    order = jnp.argsort(d2, axis=1, stable=True)
+    return jnp.take_along_axis(d2, order, axis=1), jnp.take_along_axis(
+        best_i, order, axis=1
+    )
+
+
 def _final_merge(tile_d, tile_i, k):
     """[nt, B, k] per-tile winners -> [B, k] global."""
     nt, b, _ = tile_d.shape
@@ -121,8 +136,7 @@ def pallas_exact_topk(
         interpret=interpret,
     )(qf, emb, emb_sq)
     best_d, best_i = _final_merge(tile_d, tile_i, k)
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
-    return jnp.maximum(best_d + q_sq, 0.0), best_i
+    return _refine(q, emb, best_d, best_i)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_probe", "tile", "interpret"))
@@ -174,5 +188,4 @@ def pallas_masked_topk(
         interpret=interpret,
     )(qf, emb, emb_sq, row_cluster, mask)
     best_d, best_i = _final_merge(tile_d, tile_i, k)
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
-    return jnp.maximum(best_d + q_sq, 0.0), best_i
+    return _refine(q, emb, best_d, best_i)
