@@ -1,0 +1,496 @@
+// pqvector-tpu native page decoder.
+//
+// C++ hot path for the page-level selective reader (Python oracle:
+// pqvector_tpu/io/pages.py). Decodes one Parquet data page — Thrift
+// compact-protocol page header, decompression (snappy implemented from the
+// format spec; zstd/gzip via system libs), RLE/bit-packed level decode,
+// PLAIN FLOAT/DOUBLE values — into caller-provided buffers.
+//
+// The reference's equivalent machinery is parquet-rs's page reader driven by
+// row selections (/root/reference/src/ivf/search.rs:154-244).
+
+#include <zlib.h>
+#include <zstd.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int ERR_TRUNCATED = -1;
+constexpr int ERR_MALFORMED = -2;
+constexpr int ERR_CAPACITY = -3;
+constexpr int ERR_CODEC = -7;
+constexpr int ERR_UNSUPPORTED = -8;
+
+// ---------------------------------------------------------------------
+// Thrift compact reader (minimal, mirrors pqvector_host.cpp)
+// ---------------------------------------------------------------------
+
+struct Reader {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint8_t u8() {
+    if (pos >= len) {
+      ok = false;
+      return 0;
+    }
+    return buf[pos++];
+  }
+  uint64_t varint() {
+    uint64_t r = 0;
+    int shift = 0;
+    while (true) {
+      if (pos >= len || shift > 70) {
+        ok = false;
+        return 0;
+      }
+      uint8_t b = buf[pos++];
+      r |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) return r;
+      shift += 7;
+    }
+  }
+  int64_t zigzag() {
+    uint64_t v = varint();
+    return static_cast<int64_t>(v >> 1) ^ -static_cast<int64_t>(v & 1);
+  }
+  void skip(size_t n) {
+    if (pos + n > len) {
+      ok = false;
+      return;
+    }
+    pos += n;
+  }
+};
+
+void skip_value(Reader& r, uint8_t t);
+
+void skip_struct_body(Reader& r) {
+  while (r.ok) {
+    uint8_t h = r.u8();
+    if (h == 0) return;
+    uint8_t t = h & 0x0F;
+    if (!(h >> 4)) r.zigzag();
+    skip_value(r, t);
+  }
+}
+
+void skip_value(Reader& r, uint8_t t) {
+  switch (t) {
+    case 1:
+    case 2:
+      return;
+    case 3:
+      r.skip(1);
+      return;
+    case 4:
+    case 5:
+    case 6:
+      r.varint();
+      return;
+    case 7:
+      r.skip(8);
+      return;
+    case 8: {
+      uint64_t n = r.varint();
+      r.skip(n);
+      return;
+    }
+    case 9:
+    case 10: {
+      uint8_t h = r.u8();
+      uint8_t et = h & 0x0F;
+      uint64_t n = h >> 4;
+      if (n == 15) n = r.varint();
+      if (et == 1 || et == 2) {
+        r.skip(n);
+        return;
+      }
+      for (uint64_t i = 0; i < n && r.ok; ++i) skip_value(r, et);
+      return;
+    }
+    case 11: {
+      uint64_t n = r.varint();
+      if (!n) return;
+      uint8_t kv = r.u8();
+      for (uint64_t i = 0; i < n && r.ok; ++i) {
+        skip_value(r, kv >> 4);
+        skip_value(r, kv & 0x0F);
+      }
+      return;
+    }
+    case 12:
+      skip_struct_body(r);
+      return;
+    default:
+      r.ok = false;
+  }
+}
+
+struct PageHeader {
+  int32_t page_type = -1;
+  int32_t uncompressed_size = 0;
+  int32_t compressed_size = 0;
+  int32_t num_values = 0;
+  int32_t encoding = 0;  // PLAIN
+  // V2:
+  int32_t def_levels_len = 0;
+  int32_t rep_levels_len = 0;
+  bool v2_is_compressed = true;
+  size_t header_len = 0;
+};
+
+bool parse_page_header(const uint8_t* buf, size_t len, PageHeader& h) {
+  Reader r{buf, len};
+  int64_t last_id = 0;
+  while (true) {
+    uint8_t hd = r.u8();
+    if (!r.ok) return false;
+    if (hd == 0) break;
+    uint8_t t = hd & 0x0F;
+    uint8_t delta = hd >> 4;
+    if (delta)
+      last_id += delta;
+    else
+      last_id = r.zigzag();
+    if (last_id == 1 && t >= 4 && t <= 6) {
+      h.page_type = static_cast<int32_t>(r.zigzag());
+    } else if (last_id == 2 && t >= 4 && t <= 6) {
+      h.uncompressed_size = static_cast<int32_t>(r.zigzag());
+    } else if (last_id == 3 && t >= 4 && t <= 6) {
+      h.compressed_size = static_cast<int32_t>(r.zigzag());
+    } else if ((last_id == 5 || last_id == 8) && t == 12) {
+      // DataPageHeader (5) or DataPageHeaderV2 (8)
+      int64_t sid = 0;
+      while (true) {
+        uint8_t sh = r.u8();
+        if (!r.ok) return false;
+        if (sh == 0) break;
+        uint8_t st = sh & 0x0F;
+        uint8_t sdelta = sh >> 4;
+        if (sdelta)
+          sid += sdelta;
+        else
+          sid = r.zigzag();
+        if (st == 1 || st == 2) {
+          if (last_id == 8 && sid == 7) h.v2_is_compressed = (st == 1);
+          continue;
+        }
+        if (st >= 4 && st <= 6) {
+          int64_t v = r.zigzag();
+          if (sid == 1) h.num_values = static_cast<int32_t>(v);
+          if (last_id == 5 && sid == 2) h.encoding = static_cast<int32_t>(v);
+          if (last_id == 8 && sid == 4) h.encoding = static_cast<int32_t>(v);
+          if (last_id == 8 && sid == 5) h.def_levels_len = static_cast<int32_t>(v);
+          if (last_id == 8 && sid == 6) h.rep_levels_len = static_cast<int32_t>(v);
+        } else {
+          skip_value(r, st);
+        }
+      }
+    } else {
+      skip_value(r, t);
+    }
+    if (!r.ok) return false;
+  }
+  h.header_len = r.pos;
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Snappy raw-format decompressor (format spec: varint length + tag stream)
+// ---------------------------------------------------------------------
+
+int snappy_decompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                      size_t out_cap, size_t* out_len) {
+  size_t ip = 0;
+  uint64_t expected = 0;
+  int shift = 0;
+  while (true) {
+    if (ip >= in_len) return ERR_TRUNCATED;
+    uint8_t b = in[ip++];
+    expected |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+    if (shift > 35) return ERR_MALFORMED;
+  }
+  if (expected > out_cap) return ERR_CAPACITY;
+  size_t op = 0;
+  while (ip < in_len) {
+    uint8_t tag = in[ip++];
+    uint32_t kind = tag & 3;
+    if (kind == 0) {  // literal
+      uint32_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        uint32_t extra = len - 60;
+        if (ip + extra > in_len) return ERR_TRUNCATED;
+        len = 0;
+        for (uint32_t i = 0; i < extra; ++i)
+          len |= static_cast<uint32_t>(in[ip + i]) << (8 * i);
+        len += 1;
+        ip += extra;
+      }
+      if (ip + len > in_len || op + len > expected) return ERR_MALFORMED;
+      std::memcpy(out + op, in + ip, len);
+      ip += len;
+      op += len;
+    } else {
+      uint32_t len, offset;
+      if (kind == 1) {
+        len = ((tag >> 2) & 7) + 4;
+        if (ip >= in_len) return ERR_TRUNCATED;
+        offset = (static_cast<uint32_t>(tag >> 5) << 8) | in[ip++];
+      } else if (kind == 2) {
+        len = (tag >> 2) + 1;
+        if (ip + 2 > in_len) return ERR_TRUNCATED;
+        offset = in[ip] | (static_cast<uint32_t>(in[ip + 1]) << 8);
+        ip += 2;
+      } else {
+        len = (tag >> 2) + 1;
+        if (ip + 4 > in_len) return ERR_TRUNCATED;
+        offset = in[ip] | (static_cast<uint32_t>(in[ip + 1]) << 8) |
+                 (static_cast<uint32_t>(in[ip + 2]) << 16) |
+                 (static_cast<uint32_t>(in[ip + 3]) << 24);
+        ip += 4;
+      }
+      if (offset == 0 || offset > op || op + len > expected)
+        return ERR_MALFORMED;
+      // overlapping copies must proceed byte-wise
+      for (uint32_t i = 0; i < len; ++i) {
+        out[op] = out[op - offset];
+        ++op;
+      }
+    }
+  }
+  if (op != expected) return ERR_MALFORMED;
+  *out_len = op;
+  return 0;
+}
+
+int decompress(const char* codec, const uint8_t* in, size_t in_len,
+               uint8_t* out, size_t out_cap, size_t* out_len) {
+  if (std::strcmp(codec, "none") == 0) {
+    if (in_len > out_cap) return ERR_CAPACITY;
+    std::memcpy(out, in, in_len);
+    *out_len = in_len;
+    return 0;
+  }
+  if (std::strcmp(codec, "snappy") == 0)
+    return snappy_decompress(in, in_len, out, out_cap, out_len);
+  if (std::strcmp(codec, "zstd") == 0) {
+    size_t n = ZSTD_decompress(out, out_cap, in, in_len);
+    if (ZSTD_isError(n)) return ERR_CODEC;
+    *out_len = n;
+    return 0;
+  }
+  if (std::strcmp(codec, "gzip") == 0) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) return ERR_CODEC;  // gzip+zlib
+    zs.next_in = const_cast<uint8_t*>(in);
+    zs.avail_in = static_cast<uInt>(in_len);
+    zs.next_out = out;
+    zs.avail_out = static_cast<uInt>(out_cap);
+    int zrc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (zrc != Z_STREAM_END) return ERR_CODEC;
+    *out_len = zs.total_out;
+    return 0;
+  }
+  return ERR_UNSUPPORTED;
+}
+
+// RLE/bit-packed hybrid level decode.
+int decode_levels(const uint8_t* in, size_t in_len, int bit_width,
+                  int32_t count, int32_t* out) {
+  if (bit_width == 0) {
+    std::memset(out, 0, sizeof(int32_t) * count);
+    return 0;
+  }
+  size_t ip = 0;
+  int32_t filled = 0;
+  int byte_width = (bit_width + 7) / 8;
+  while (filled < count) {
+    uint64_t header = 0;
+    int shift = 0;
+    while (true) {
+      if (ip >= in_len) return ERR_TRUNCATED;
+      uint8_t b = in[ip++];
+      header |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (header & 1) {
+      uint64_t groups = header >> 1;
+      uint64_t nbytes = groups * bit_width;
+      if (ip + nbytes > in_len) return ERR_TRUNCATED;
+      uint64_t nvals = groups * 8;
+      uint64_t bitpos = 0;
+      for (uint64_t i = 0; i < nvals && filled < count; ++i) {
+        uint32_t v = 0;
+        for (int bw = 0; bw < bit_width; ++bw, ++bitpos) {
+          if (in[ip + (bitpos >> 3)] & (1u << (bitpos & 7))) v |= 1u << bw;
+        }
+        out[filled++] = static_cast<int32_t>(v);
+      }
+      ip += nbytes;
+    } else {
+      uint64_t run = header >> 1;
+      if (ip + byte_width > in_len) return ERR_TRUNCATED;
+      uint32_t v = 0;
+      for (int i = 0; i < byte_width; ++i)
+        v |= static_cast<uint32_t>(in[ip + i]) << (8 * i);
+      ip += byte_width;
+      for (uint64_t i = 0; i < run && filled < count; ++i)
+        out[filled++] = static_cast<int32_t>(v);
+    }
+  }
+  return 0;
+}
+
+int bits_for(int maxv) {  // ceil(log2(maxv + 1))
+  int b = 0;
+  while ((1 << b) < maxv + 1) ++b;
+  return b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one data page. Returns the number of rows decoded, or a negative
+// error. Outputs: out_values (float32, value-count entries), out_row_lengths
+// (values per row). ptype: 4=FLOAT, 5=DOUBLE (parquet Type enum).
+int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
+                             const char* codec, int32_t ptype,
+                             int32_t max_def, int32_t max_rep,
+                             float* out_values, size_t value_cap,
+                             int64_t* out_row_lengths, size_t row_cap,
+                             int64_t* out_num_values) {
+  PageHeader h;
+  if (!parse_page_header(raw, raw_len, h)) return ERR_MALFORMED;
+  if (h.page_type != 0 && h.page_type != 3) return ERR_UNSUPPORTED;
+  if (h.encoding != 0) return ERR_UNSUPPORTED;  // PLAIN only
+  if (h.header_len + static_cast<size_t>(h.compressed_size) > raw_len)
+    return ERR_TRUNCATED;
+
+  const uint8_t* body = raw + h.header_len;
+  int32_t n = h.num_values;
+  if (static_cast<size_t>(n) > value_cap) return ERR_CAPACITY;
+
+  int rep_bits = max_rep ? bits_for(max_rep) : 0;
+  int def_bits = max_def ? bits_for(max_def) : 0;
+
+  std::vector<int32_t> rep(n, 0), defs(n, max_def);
+  std::vector<uint8_t> scratch;
+  const uint8_t* values_ptr = nullptr;
+  size_t values_len = 0;
+
+  if (h.page_type == 3) {  // V2: levels uncompressed, before values
+    const uint8_t* rep_raw = body;
+    const uint8_t* def_raw = body + h.rep_levels_len;
+    const uint8_t* vals = def_raw + h.def_levels_len;
+    size_t vals_len = h.compressed_size - h.rep_levels_len - h.def_levels_len;
+    if (max_rep) {
+      int rc = decode_levels(rep_raw, h.rep_levels_len, rep_bits, n, rep.data());
+      if (rc) return rc;
+    }
+    if (max_def) {
+      int rc = decode_levels(def_raw, h.def_levels_len, def_bits, n, defs.data());
+      if (rc) return rc;
+    }
+    size_t want = h.uncompressed_size - h.rep_levels_len - h.def_levels_len;
+    if (h.v2_is_compressed) {
+      scratch.resize(want);
+      size_t got = 0;
+      int rc = decompress(codec, vals, vals_len, scratch.data(), want, &got);
+      if (rc) return rc;
+      values_ptr = scratch.data();
+      values_len = got;
+    } else {
+      values_ptr = vals;
+      values_len = vals_len;
+    }
+  } else {  // V1: whole body compressed; levels have u32 length prefixes
+    scratch.resize(h.uncompressed_size);
+    size_t got = 0;
+    int rc = decompress(codec, body, h.compressed_size, scratch.data(),
+                        scratch.size(), &got);
+    if (rc) return rc;
+    size_t pos = 0;
+    if (max_rep) {
+      if (pos + 4 > got) return ERR_TRUNCATED;
+      uint32_t len;
+      std::memcpy(&len, scratch.data() + pos, 4);
+      pos += 4;
+      if (pos + len > got) return ERR_TRUNCATED;
+      int lrc = decode_levels(scratch.data() + pos, len, rep_bits, n, rep.data());
+      if (lrc) return lrc;
+      pos += len;
+    }
+    if (max_def) {
+      if (pos + 4 > got) return ERR_TRUNCATED;
+      uint32_t len;
+      std::memcpy(&len, scratch.data() + pos, 4);
+      pos += 4;
+      if (pos + len > got) return ERR_TRUNCATED;
+      int lrc = decode_levels(scratch.data() + pos, len, def_bits, n, defs.data());
+      if (lrc) return lrc;
+      pos += len;
+    }
+    values_ptr = scratch.data() + pos;
+    values_len = got - pos;
+  }
+
+  // Nulls rejected (parity with search.rs:212-218).
+  for (int32_t i = 0; i < n; ++i)
+    if (defs[i] != max_def) return ERR_UNSUPPORTED;
+
+  if (ptype == 4) {
+    if (values_len < static_cast<size_t>(n) * 4) return ERR_TRUNCATED;
+    std::memcpy(out_values, values_ptr, static_cast<size_t>(n) * 4);
+  } else if (ptype == 5) {
+    if (values_len < static_cast<size_t>(n) * 8) return ERR_TRUNCATED;
+    for (int32_t i = 0; i < n; ++i) {
+      double d;
+      std::memcpy(&d, values_ptr + static_cast<size_t>(i) * 8, 8);
+      out_values[i] = static_cast<float>(d);
+    }
+  } else {
+    return ERR_UNSUPPORTED;
+  }
+
+  // Row structure from rep levels: rep==0 starts a row.
+  int64_t rows = 0;
+  if (max_rep) {
+    int64_t current = 0;
+    for (int32_t i = 0; i < n; ++i) {
+      if (rep[i] == 0) {
+        if (rows > 0) {
+          if (static_cast<size_t>(rows - 1) >= row_cap) return ERR_CAPACITY;
+          out_row_lengths[rows - 1] = current;
+        }
+        ++rows;
+        current = 1;
+      } else {
+        ++current;
+      }
+    }
+    if (rows > 0) {
+      if (static_cast<size_t>(rows - 1) >= row_cap) return ERR_CAPACITY;
+      out_row_lengths[rows - 1] = current;
+    }
+  } else {
+    rows = n;
+    if (static_cast<size_t>(rows) > row_cap) return ERR_CAPACITY;
+    for (int64_t i = 0; i < rows; ++i) out_row_lengths[i] = 1;
+  }
+  *out_num_values = n;
+  return rows;
+}
+
+}  // extern "C"

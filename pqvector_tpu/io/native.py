@@ -32,6 +32,8 @@ _ERRORS = {
     -4: "I/O error",
     -5: "Encrypted parquet footers are not supported for in-place indexing",
     -6: "not a valid parquet file",
+    -7: "decompression failed",
+    -8: "unsupported page encoding/type",
 }
 
 
@@ -98,6 +100,20 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_size_t,
         ]
         lib.pqv_version.restype = ctypes.c_char_p
+        lib.pqv_decode_data_page.restype = ctypes.c_int64
+        lib.pqv_decode_data_page.argtypes = [
+            ctypes.c_char_p,  # raw page bytes
+            ctypes.c_size_t,
+            ctypes.c_char_p,  # codec
+            ctypes.c_int32,  # ptype
+            ctypes.c_int32,  # max_def
+            ctypes.c_int32,  # max_rep
+            ctypes.c_void_p,  # out_values (float32*)
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # out_row_lengths (int64*)
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int64),  # out_num_values
+        ]
         _lib = lib
         return _lib
 
@@ -181,6 +197,43 @@ def append_index_inplace_native(
     if rc != 0:
         raise FormatError(_ERRORS.get(rc, f"native append error {rc}"))
     return True
+
+
+def decode_data_page_native(
+    raw: bytes, codec: str, ptype: int, max_def: int, max_rep: int
+):
+    """Native page decode; returns (values f32 [n], row_lengths i64 [rows])
+    or None when the library is unavailable. Raises FormatError on decode
+    errors (caller may fall back to the Python decoder for unsupported
+    encodings)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    # A page cannot hold more values than bytes.
+    cap = max(len(raw), 16)
+    values = np.empty(cap, dtype=np.float32)
+    row_lengths = np.empty(cap, dtype=np.int64)
+    num_values = ctypes.c_int64(0)
+    rows = lib.pqv_decode_data_page(
+        raw,
+        len(raw),
+        codec.encode(),
+        ptype,
+        max_def,
+        max_rep,
+        values.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        row_lengths.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        ctypes.byref(num_values),
+    )
+    if rows < 0:
+        raise FormatError(
+            _ERRORS.get(rows, f"native page decode error {rows}")
+        )
+    return values[: num_values.value].copy(), row_lengths[:rows].copy()
 
 
 if __name__ == "__main__":

@@ -497,6 +497,23 @@ def decode_data_page(
 # ----------------------------------------------------------------------
 
 
+def _decode_page(raw: bytes, codec: str, leaf: SchemaLeaf) -> DecodedPage:
+    """Native C++ decode when available (native/pqvector_pages.cpp), Python
+    decoder as fallback/oracle."""
+    try:
+        from .native import decode_data_page_native
+
+        result = decode_data_page_native(
+            raw, codec, leaf.ptype, leaf.max_def, leaf.max_rep
+        )
+        if result is not None:
+            values, row_lengths = result
+            return DecodedPage(values=values, row_lengths=row_lengths)
+    except FormatError:
+        pass  # codec/encoding the native decoder doesn't cover
+    return decode_data_page(raw, codec, leaf)
+
+
 class PageSelectiveReader:
     """Read specific rows of a vector column via exact page reads."""
 
@@ -567,7 +584,7 @@ class PageSelectiveReader:
                     f.seek(loc.offset)
                     raw = f.read(loc.compressed_page_size)
                     chunk = self.row_groups[rg].chunks[self.leaf_idx]
-                    page = decode_data_page(raw, chunk.codec, self.leaf)
+                    page = _decode_page(raw, chunk.codec, self.leaf)
                     row_offsets = np.concatenate(
                         [[0], np.cumsum(page.row_lengths)]
                     )

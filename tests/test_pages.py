@@ -116,3 +116,37 @@ def test_metadata_parse_matches_pyarrow(tmp_path, vectors):
     vec_leaf = [l for l in leaves if l.path.startswith("vec")][0]
     assert vec_leaf.max_rep == 1
     assert vec_leaf.max_def >= 2
+
+
+def test_native_page_decode_matches_python(tmp_path, vectors):
+    """The C++ page decoder must agree with the Python oracle byte-for-byte."""
+    from pqvector_tpu.io import native
+    from pqvector_tpu.io.pages import decode_data_page
+    from pqvector_tpu.io.embed import read_footer_metadata
+    from pqvector_tpu.io.pages import (
+        PageSelectiveReader,
+        parse_offset_index,
+        parse_parquet_metadata,
+    )
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    for compression in ("snappy", "zstd", "gzip", "none"):
+        path = tmp_path / f"nat_{compression}.parquet"
+        write_file(path, vectors, compression=compression, use_dictionary=False)
+        reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+        chunk = reader.row_groups[0].chunks[reader.leaf_idx]
+        with open(path, "rb") as f:
+            f.seek(chunk.offset_index_offset)
+            locs = parse_offset_index(f.read(chunk.offset_index_length))
+            f.seek(locs[0].offset)
+            raw = f.read(locs[0].compressed_page_size)
+        py = decode_data_page(raw, chunk.codec, reader.leaf)
+        nat = native.decode_data_page_native(
+            raw, chunk.codec, reader.leaf.ptype, reader.leaf.max_def,
+            reader.leaf.max_rep,
+        )
+        assert nat is not None
+        np.testing.assert_array_equal(nat[0], py.values)
+        np.testing.assert_array_equal(nat[1], py.row_lengths)
