@@ -91,6 +91,13 @@ class IndexBuilder:
             return Embeddings(normalize_rows(embeddings.data), embeddings.dim)
         return embeddings
 
+    def streaming(self, batch_rows: int = 131072) -> "IndexBuilder":
+        """Build without materializing the full embedding column: train on
+        the bounded sample, then assign in Parquet-batch chunks (in-place
+        mode only; larger-than-memory datasets)."""
+        self._streaming_batch_rows = batch_rows
+        return self
+
     def build_inplace(self) -> IvfIndex:
         """Append the index to the source file without rewriting data pages
         (parquet.rs:57-69).
@@ -100,12 +107,83 @@ class IndexBuilder:
         the projected read is strictly better).
         """
         config = self._build_config()
-        embeddings = read_embedding_column(self._source, self._embedding_column)
-        index = build_ivf_index(self._train_embeddings(embeddings), config)
+        if getattr(self, "_streaming_batch_rows", None):
+            index = self._build_streaming(config)
+        else:
+            embeddings = read_embedding_column(self._source, self._embedding_column)
+            index = build_ivf_index(self._train_embeddings(embeddings), config)
         append_index_inplace(
             self._source, index, self._embedding_column, metric=self._metric
         )
         return index
+
+    def _build_streaming(self, config: IvfBuildConfig) -> IvfIndex:
+        import pyarrow.parquet as pq
+
+        from .index.kmeans import (
+            KMeansParams,
+            default_n_clusters,
+            k_means,
+            train_sample_size,
+        )
+        from .index.metrics import normalize_rows
+        from .index.streaming import (
+            assign_clusters_streaming,
+            sample_embeddings_streaming,
+        )
+
+        batch_rows = self._streaming_batch_rows
+        total_rows = pq.ParquetFile(self._source).metadata.num_rows
+        if total_rows == 0:
+            raise ValidationError("Cannot build IVF index with zero vectors")
+        n_clusters = (
+            config.n_clusters
+            if config.n_clusters is not None
+            else default_n_clusters(total_rows)
+        )
+        if n_clusters > total_rows:
+            raise ValidationError("n_clusters cannot exceed number of vectors")
+        sample_size = train_sample_size(total_rows, n_clusters)
+        sample = sample_embeddings_streaming(
+            self._source,
+            self._embedding_column,
+            sample_size,
+            total_rows,
+            seed=config.seed,
+            batch_rows=batch_rows,
+        )
+        if self._metric == "cosine":
+            sample = normalize_rows(sample)
+        centroids, _ = k_means(
+            sample,
+            KMeansParams(
+                n_clusters=n_clusters,
+                max_iters=config.max_iters,
+                seed=config.seed,
+                block_rows=config.block_rows,
+            ),
+        )
+        if self._metric == "cosine":
+            # Assign against normalized data: stream with normalization.
+            from .index.streaming import iter_embedding_batches
+            from .index.kmeans import assign_clusters
+
+            parts = [
+                assign_clusters(normalize_rows(chunk), centroids, config.block_rows)
+                for chunk in iter_embedding_batches(
+                    self._source, self._embedding_column, batch_rows
+                )
+            ]
+            assignments = np.concatenate(parts)
+        else:
+            assignments = assign_clusters_streaming(
+                self._source,
+                self._embedding_column,
+                centroids,
+                batch_rows=batch_rows,
+                block_rows=config.block_rows,
+            )
+        return IvfIndex.from_assignments(centroids, assignments)
 
     def build_new(self, output: str | os.PathLike) -> IvfIndex:
         """Write an indexed copy with preserved column properties

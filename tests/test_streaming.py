@@ -66,3 +66,30 @@ def test_streaming_sample_bounds(parquet_path):
         sample_embeddings_streaming(
             path, EmbeddingColumn("embedding"), 10, 2000, seed=1
         )
+
+
+def test_builder_streaming_mode(tmp_path):
+    from pqvector_tpu.builder import IndexBuilder
+    from pqvector_tpu.io.embed import read_index_from_parquet
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((800, 8)).astype(np.float32)
+    for name, streaming in (("a", False), ("b", True)):
+        path = tmp_path / f"{name}.parquet"
+        pq.write_table(
+            pa.table({"embedding": pa.array(list(vecs), pa.list_(pa.float32()))}),
+            path,
+            row_group_size=100,
+        )
+        b = IndexBuilder(path, "embedding").n_clusters(8).seed(5)
+        if streaming:
+            b = b.streaming(batch_rows=150)
+        b.build_inplace()
+    # The streamed build and in-memory build differ only in the training
+    # sample draw (streamed sampling is host-RNG); both must be valid and
+    # cover every row.
+    for name in ("a", "b"):
+        index, _ = read_index_from_parquet(tmp_path / f"{name}.parquet")
+        assert index.total_rows == 800
+        got = np.sort(np.concatenate(index.inverted_lists()))
+        np.testing.assert_array_equal(got, np.arange(800))
