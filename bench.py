@@ -97,6 +97,35 @@ def recall_at_k(truth_ids, got_ids):
     return hits / max(total, 1)
 
 
+def _device_watchdog(jax, timeout_s: float = 300.0) -> None:
+    """Fail fast (exit 3) if the device cannot run a trivial op.
+
+    A hung TPU runtime otherwise blocks forever on the first dispatch and
+    the whole benchmark run with it.
+    """
+    import threading
+
+    import numpy as np_
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        y = jnp.ones((8, 128)) + 1.0
+        np_.asarray(y)
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        log(
+            f"FATAL: device unresponsive after {timeout_s:.0f}s "
+            f"(backend={jax.default_backend()}); aborting benchmark"
+        )
+        os._exit(3)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--rows", type=int, default=1_000_000)
@@ -126,6 +155,8 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+
+    _device_watchdog(jax)
 
     from pqvector_tpu.builder import IndexBuilder, has_pq_vector_index
     from pqvector_tpu.io.embed import read_index_from_parquet
