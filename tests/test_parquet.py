@@ -250,3 +250,65 @@ def test_file_too_small():
         from pqvector_tpu.io.embed import FooterTail
 
         FooterTail(b"PAR1")
+
+
+def test_pandas_reads_indexed_file(tmp_path):
+    """The interop contract: standard readers see plain Parquet."""
+    path = tmp_path / "p.parquet"
+    write_tiny(path)
+    IndexBuilder(path, "vec").n_clusters(2).build_inplace()
+    df = pq.read_table(path).to_pandas()
+    assert list(df["id"]) == [0, 1, 2]
+    assert len(df["vec"][1]) == 2
+
+
+def test_reference_procedure_file_decodes(tmp_path):
+    """Hand-run the reference's append procedure (parquet.rs:542-611) byte
+    by byte — payload at file_len-8, spliced metadata, fresh tail — and
+    confirm our readers decode it. This simulates a reference-written file
+    without running Rust."""
+    import struct as _struct
+
+    from pqvector_tpu.io.embed import read_footer_metadata
+    from pqvector_tpu.io.thrift import splice_key_value_metadata
+
+    path = tmp_path / "ref.parquet"
+    write_tiny(path)
+    index = IvfIndex.from_lists(
+        dim=2,
+        centroids=np.array([[0.0, 0.0], [1.0, 1.0]], np.float32),
+        inverted_lists=[np.array([0, 2], np.uint32), np.array([1], np.uint32)],
+    )
+    index_bytes = index.to_bytes()
+
+    raw = path.read_bytes()
+    file_len = len(raw)
+    meta_len = _struct.unpack("<I", raw[-8:-4])[0]
+    old_meta = raw[file_len - 8 - meta_len : file_len - 8]
+    offset = file_len - 8
+    new_meta = splice_key_value_metadata(
+        old_meta,
+        [
+            (PQ_VECTOR_INDEX_OFFSET_KEY, str(offset)),
+            (PQ_VECTOR_EMBEDDING_COLUMN_KEY, "vec"),
+        ],
+    )
+    payload = b"PQ_VECTOR1" + _struct.pack("<Q", len(index_bytes)) + index_bytes
+    new_file = (
+        raw[: file_len - 8]
+        + payload
+        + new_meta
+        + _struct.pack("<I", len(new_meta))
+        + b"PAR1"
+    )
+    path.write_bytes(new_file)
+
+    assert has_pq_vector_index(path)
+    restored, column = read_index_from_parquet(path)
+    assert str(column) == "vec"
+    assert restored.to_bytes() == index_bytes
+    # And the standalone query path works on it.
+    from pqvector_tpu import TopkBuilder
+
+    results = TopkBuilder(path, np.array([0.0, 0.0])).k(2).nprobe(2).search()
+    assert results[0].row_idx == 0
