@@ -30,7 +30,7 @@ from ..errors import ExecutionError, PlanError
 from .access import (
     CandidateCursor,
     FileEntry,
-    ScanFile,
+
     build_access_plans,
 )
 from .index_exec import INDEX_PATH_COL, INDEX_ROW_ID_COL, VectorIndexScanExec

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..errors import ExecutionError, PlanError
+from ..errors import PlanError
 from .access import ParquetAccessPlan, ScanFile
 from .expr import PhysicalExpr
 from .metrics import MetricsSet

@@ -21,7 +21,7 @@ padding never enters the top-k.
 
 from __future__ import annotations
 
-import functools
+
 import os
 
 import jax
