@@ -37,7 +37,13 @@ def _merge_gathered(best_d, best_i):
 class DistributedExactSearcher:
     """Row-sharded exact brute-force top-k over a device mesh."""
 
-    def __init__(self, embeddings: np.ndarray, mesh=None, row_tile: int = 1024):
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        mesh=None,
+        row_tile: int = 1024,
+        dtype=None,
+    ):
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
         embeddings = np.asarray(embeddings, dtype=np.float32)
@@ -53,6 +59,8 @@ class DistributedExactSearcher:
         sq = np.full(n_pad, np.inf, dtype=np.float32)
         sq[:n] = np.einsum("nd,nd->n", embeddings, embeddings)
 
+        if dtype is not None:
+            emb = jnp.asarray(emb, dtype=dtype)
         self.emb = jax.device_put(emb, NamedSharding(self.mesh, P(DATA_AXIS)))
         self.emb_sq = jax.device_put(sq, NamedSharding(self.mesh, P(DATA_AXIS)))
         self._per_dev = per_dev
