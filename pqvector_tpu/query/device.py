@@ -326,7 +326,32 @@ class DeviceIvfSearcher:
             gather_bytes = q.shape[0] * nprobe * lmax
             mode = "masked" if gather_bytes > self.n else "gather"
 
-        if mode == "masked":
+        if mode == "pallas":
+            # Fused Pallas kernel: per-tile top-k extracted in VMEM instead of
+            # the XLA lax.top_k merge (see kernels/scan_topk.py). Opt-in until
+            # hardware profiling promotes it to the default.
+            from ..kernels.scan_topk import pallas_masked_topk
+
+            max_probe = 1
+            while max_probe < nprobe:
+                max_probe *= 2
+            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
+                            self.index.n_clusters)
+            emb_sq = jnp.where(jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq)
+            d2, ids = pallas_masked_topk(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.row_cluster,
+                self.emb,
+                emb_sq,
+                jnp.int32(nprobe),
+                k,
+                max_probe=max_probe,
+                tile=self.row_tile,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "masked":
             # max_probe buckets (powers of two) so an nprobe sweep shares one
             # compiled executable per bucket.
             max_probe = 1

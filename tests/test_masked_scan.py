@@ -41,3 +41,12 @@ def test_bad_mode_rejected(setup):
 
     with pytest.raises(ValidationError, match="mode"):
         searcher.search(queries, k=3, nprobe=2, mode="wat")
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 12])
+def test_pallas_mode_matches_gather(setup, nprobe):
+    _, _, searcher, queries = setup
+    d_g, i_g = searcher.search(queries, k=6, nprobe=nprobe, mode="gather")
+    d_p, i_p = searcher.search(queries, k=6, nprobe=nprobe, mode="pallas")
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_p), rtol=1e-5, atol=1e-6)
