@@ -90,3 +90,38 @@ def test_query_harness_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Recall@10: 100.00%" in out
     assert "vector_topk" in out
+
+
+def test_query_harness_without_id_column(tmp_path, monkeypatch):
+    """No id column: recall matches by vector identity (the reference's
+    FNV vector-hash fallback, query.rs:498-569)."""
+    import argparse
+
+    from pqvector_tpu.bench import harness
+    from pqvector_tpu.bench.datasets import synthetic_embeddings
+
+    monkeypatch.chdir(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = synthetic_embeddings(300, 8, seed=9)
+    path = tmp_path / "noid.parquet"
+    pq.write_table(
+        pa.table({"embedding": pa.array(list(emb), pa.list_(pa.float32()))}), path
+    )
+    args = argparse.Namespace(
+        path=str(path),
+        vector_column="embedding",
+        id_column=None,
+        build_mode="inplace",
+        nprobe=64,
+        max_candidates=None,
+        n_clusters=8,
+        k=5,
+        query_row=7,
+        metrics=False,
+        rows=300,
+        dim=8,
+    )
+    results = harness.run(args)
+    assert results["inplace_recall"] == 1.0

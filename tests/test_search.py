@@ -109,3 +109,58 @@ def test_search_on_multi_row_group_file(tmp_path):
     np.testing.assert_allclose(
         [r.distance for r in results], np.sqrt(d[expect]), rtol=1e-5
     )
+
+
+def test_search_on_cluster_sorted_file(tmp_path):
+    """cluster_sorted rewrite: candidates are contiguous; results must match
+    the unsorted build's results by vector identity."""
+    src = tmp_path / "src.parquet"
+    dst = tmp_path / "sorted.parquet"
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 8)).astype(np.float32)
+    table = pa.table(
+        {
+            "id": pa.array(range(400), pa.int32()),
+            "vec": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(table, src)
+    IndexBuilder(src, "vec").n_clusters(8).cluster_sorted().build_new(dst)
+
+    q = vecs[50]
+    results = TopkBuilder(dst, q).k(5).nprobe(8).search()
+    # nprobe == n_clusters -> exhaustive; map back through the permutation.
+    sorted_ids = pq.read_table(dst).column("id").to_pylist()
+    got_original_ids = [sorted_ids[r.row_idx] for r in results]
+    d = ((vecs - q) ** 2).sum(1)
+    want = np.argsort(d, kind="stable")[:5].tolist()
+    assert got_original_ids == want
+
+
+def test_engine_on_cluster_sorted_file(tmp_path):
+    from pqvector_tpu.engine import Session, VectorTopKOptions
+
+    src = tmp_path / "src.parquet"
+    dst = tmp_path / "sorted.parquet"
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 6)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(300), pa.int32()),
+                "vec": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        src,
+    )
+    IndexBuilder(src, "vec").n_clusters(6).cluster_sorted().build_new(dst)
+    session = Session(VectorTopKOptions(nprobe=6))
+    session.register_parquet("t", dst)
+    q = vecs[123]
+    lit = "[" + ", ".join(str(v) for v in q) + "]"
+    out = session.sql(
+        f"SELECT id FROM t ORDER BY array_distance(vec, {lit}) LIMIT 4"
+    ).collect()
+    d = ((vecs - q) ** 2).sum(1)
+    want = np.argsort(d, kind="stable")[:4].tolist()
+    assert out.column("id").to_pylist() == want
