@@ -295,14 +295,32 @@ class DeviceIvfSearcher:
             q = q / jnp.maximum(norms, 1e-30)
         return q
 
-    def exact(self, queries: np.ndarray, k: int):
+    def exact(self, queries: np.ndarray, k: int, mode: str = "xla"):
         """Exact brute-force top-k. Returns (sqrt distances [B,k], ids [B,k]);
-        missing slots (k > n) have id -1 and distance inf."""
+        missing slots (k > n) have id -1 and distance inf.
+
+        ``mode="pallas"`` routes through the fused scan kernel
+        (kernels/scan_topk.py)."""
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
-        d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
-        ids = jnp.where(ids >= self.n, -1, ids)
+        if mode == "pallas":
+            from ..kernels.scan_topk import pallas_exact_topk
+
+            emb_sq = jnp.where(jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq)
+            d2, ids = pallas_exact_topk(
+                q,
+                self.emb,
+                emb_sq,
+                k,
+                tile=self.row_tile,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "xla":
+            d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
+        else:
+            raise ValidationError(f"Unknown exact mode '{mode}'")
+        ids = jnp.where(jnp.isinf(d2) | (ids >= self.n), -1, ids)
         return jnp.sqrt(d2), ids
 
     def search(self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"):

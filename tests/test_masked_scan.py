@@ -50,3 +50,11 @@ def test_pallas_mode_matches_gather(setup, nprobe):
     d_p, i_p = searcher.search(queries, k=6, nprobe=nprobe, mode="pallas")
     np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_p), rtol=1e-5, atol=1e-6)
+
+
+def test_exact_pallas_mode_matches_xla(setup):
+    x, _, searcher, queries = setup
+    d_x, i_x = searcher.exact(queries, k=6, mode="xla")
+    d_p, i_p = searcher.exact(queries, k=6, mode="pallas")
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_p), rtol=1e-5, atol=1e-6)
