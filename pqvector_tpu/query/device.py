@@ -215,6 +215,7 @@ class DeviceIvfSearcher:
         dtype: jnp.dtype = jnp.float32,
         row_tile: int = 2048,
         metric: str = "l2",
+        cluster_sorted: bool = False,
     ):
         if metric not in ("l2", "cosine"):
             raise ValidationError(f"Unsupported metric '{metric}'")
@@ -223,6 +224,25 @@ class DeviceIvfSearcher:
             from ..index.metrics import normalize_rows
 
             embeddings = normalize_rows(embeddings)
+
+        # North-star resident layout (SURVEY.md §7 step 7): permute rows into
+        # cluster order in HBM so each inverted list is a contiguous range —
+        # gathers hit consecutive rows and masked scans see runs of equal
+        # cluster ids. Returned ids are mapped back to original rows.
+        self._gid: np.ndarray | None = None
+        if cluster_sorted and not np.array_equal(
+            index.row_ids, np.arange(index.total_rows, dtype=index.row_ids.dtype)
+        ):
+            order = np.asarray(index.row_ids, dtype=np.int64)
+            self._gid = order.astype(np.int32)
+            embeddings = np.ascontiguousarray(embeddings[order])
+            index = IvfIndex(
+                dim=index.dim,
+                n_clusters=index.n_clusters,
+                centroids=index.centroids,
+                list_offsets=index.list_offsets,
+                row_ids=np.arange(index.total_rows, dtype=np.uint32),
+            )
         n, d = embeddings.shape
         if d != index.dim:
             raise ValidationError(
@@ -241,6 +261,7 @@ class DeviceIvfSearcher:
         self._sentinel = n  # any padded id points here (inf norm)
 
         self.emb = jnp.asarray(emb, dtype=dtype)
+        self._gid_dev = None if self._gid is None else jnp.asarray(self._gid)
         self.emb_sq = jnp.asarray(sq)
         self.centroids = jnp.asarray(index.centroids)
         self.c_sq = jnp.sum(self.centroids * self.centroids, axis=1)
@@ -320,8 +341,7 @@ class DeviceIvfSearcher:
             d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
-        ids = jnp.where(jnp.isinf(d2) | (ids >= self.n), -1, ids)
-        return jnp.sqrt(d2), ids
+        return jnp.sqrt(d2), self._map_ids(d2, ids)
 
     def search(self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"):
         """IVF top-k. Returns (sqrt distances [B,k], ids [B,k]); slots beyond
@@ -403,8 +423,13 @@ class DeviceIvfSearcher:
             )
         else:
             raise ValidationError(f"Unknown search mode '{mode}'")
-        ids = jnp.where(jnp.isinf(d2) | (ids >= self.n), -1, ids)
-        return jnp.sqrt(d2), ids
+        return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def _map_ids(self, d2, ids):
+        invalid = jnp.isinf(d2) | (ids >= self.n) | (ids < 0)
+        if self._gid_dev is not None:
+            ids = self._gid_dev[jnp.clip(ids, 0, self.n - 1)]
+        return jnp.where(invalid, -1, ids)
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))

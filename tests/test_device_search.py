@@ -117,3 +117,22 @@ def test_bfloat16_storage_close_ranking(setup):
         # bf16 scoring may permute near-ties; require >=80% overlap@10.
         overlap = len(set(np.asarray(i16[b]).tolist()) & set(want_ids.tolist()))
         assert overlap >= 8
+
+
+def test_cluster_sorted_resident_layout(setup):
+    """cluster_sorted=True permutes HBM rows but returns original ids."""
+    x, index, _, queries = setup
+    base = DeviceIvfSearcher(index, x, row_tile=128)
+    sorted_s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    # Inverted lists became contiguous ranges internally.
+    np.testing.assert_array_equal(
+        np.asarray(sorted_s.index.row_ids), np.arange(index.total_rows)
+    )
+    for nprobe in (1, 4, 10):
+        d_b, i_b = base.search(queries, k=5, nprobe=nprobe)
+        d_s, i_s = sorted_s.search(queries, k=5, nprobe=nprobe)
+        np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_s))
+        np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_s), rtol=1e-5)
+    d_b, i_b = base.exact(queries, k=5)
+    d_s, i_s = sorted_s.exact(queries, k=5)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_s))
