@@ -221,7 +221,7 @@ def main():
         if nprobe > index.n_clusters:
             break
         t0 = time.perf_counter()
-        _, ids = searcher.search(queries, args.k, nprobe, mode="masked")
+        _, ids = searcher.search(queries, args.k, nprobe)
         ids = np.asarray(jax.block_until_ready(ids))
         r = recall_at_k(truth_ids, ids)
         log(
@@ -254,7 +254,7 @@ def main():
         return reps * batch / (time.perf_counter() - t0)
 
     qps = sustained_qps(
-        lambda: searcher.search(qbatch, args.k, chosen, mode="masked")[1], 5.0
+        lambda: searcher.search(qbatch, args.k, chosen)[1], 5.0
     )
     log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
 

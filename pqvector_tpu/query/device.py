@@ -262,6 +262,7 @@ class DeviceIvfSearcher:
 
         self.emb = jnp.asarray(emb, dtype=dtype)
         self._gid_dev = None if self._gid is None else jnp.asarray(self._gid)
+        self._emb_sq_pallas = None  # lazy: finite-sentinel copy for kernels
         self.emb_sq = jnp.asarray(sq)
         self.centroids = jnp.asarray(index.centroids)
         self.c_sq = jnp.sum(self.centroids * self.centroids, axis=1)
@@ -316,25 +317,40 @@ class DeviceIvfSearcher:
             q = q / jnp.maximum(norms, 1e-30)
         return q
 
-    def exact(self, queries: np.ndarray, k: int, mode: str = "xla"):
+    @staticmethod
+    def _pallas_tile(row_tile: int, batch: int) -> int:
+        """Largest divisor of ``row_tile`` whose [B, tile] f32 score block
+        fits the VMEM budget alongside the embedding tile and probe mask
+        (~6 MB for scores keeps the whole kernel under the 16 MB scoped
+        limit). Must divide ``row_tile`` because the padded row count is a
+        multiple of it."""
+        budget = max(6 * 1024 * 1024 // (4 * max(batch, 1)), 128)
+        tile = row_tile
+        while tile > budget and tile % 2 == 0:
+            tile //= 2
+        return tile
+
+    def exact(self, queries: np.ndarray, k: int, mode: str = "auto"):
         """Exact brute-force top-k. Returns (sqrt distances [B,k], ids [B,k]);
         missing slots (k > n) have id -1 and distance inf.
 
         ``mode="pallas"`` routes through the fused scan kernel
-        (kernels/scan_topk.py)."""
+        (kernels/scan_topk.py) — the default on TPU (4x+ the XLA merge);
+        "auto" picks pallas on TPU and the XLA path elsewhere."""
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "xla"
         if mode == "pallas":
             from ..kernels.scan_topk import pallas_exact_topk
 
-            emb_sq = jnp.where(jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq)
             d2, ids = pallas_exact_topk(
                 q,
                 self.emb,
-                emb_sq,
+                self._pallas_emb_sq(),
                 k,
-                tile=self.row_tile,
+                tile=self._pallas_tile(self.row_tile, q.shape[0]),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "xla":
@@ -360,9 +376,13 @@ class DeviceIvfSearcher:
         tile = min(self.row_tile, 2048)
 
         if mode == "auto":
-            lmax = int(self.clusters.shape[1])
-            gather_bytes = q.shape[0] * nprobe * lmax
-            mode = "masked" if gather_bytes > self.n else "gather"
+            if jax.default_backend() == "tpu":
+                # Fused kernel: measured 13x the XLA masked scan at 1M rows.
+                mode = "pallas"
+            else:
+                lmax = int(self.clusters.shape[1])
+                gather_bytes = q.shape[0] * nprobe * lmax
+                mode = "masked" if gather_bytes > self.n else "gather"
 
         if mode == "pallas":
             # Fused Pallas kernel: per-tile top-k extracted in VMEM instead of
@@ -375,18 +395,17 @@ class DeviceIvfSearcher:
                 max_probe *= 2
             max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
                             self.index.n_clusters)
-            emb_sq = jnp.where(jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq)
             d2, ids = pallas_masked_topk(
                 q,
                 self.centroids,
                 self.c_sq,
                 self.row_cluster,
                 self.emb,
-                emb_sq,
+                self._pallas_emb_sq(),
                 jnp.int32(nprobe),
                 k,
                 max_probe=max_probe,
-                tile=self.row_tile,
+                tile=self._pallas_tile(self.row_tile, q.shape[0]),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "masked":
@@ -424,6 +443,13 @@ class DeviceIvfSearcher:
         else:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def _pallas_emb_sq(self):
+        if self._emb_sq_pallas is None:
+            self._emb_sq_pallas = jnp.where(
+                jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq
+            )
+        return self._emb_sq_pallas
 
     def _map_ids(self, d2, ids):
         invalid = jnp.isinf(d2) | (ids >= self.n) | (ids < 0)
