@@ -15,7 +15,11 @@ import numpy as np
 import pyarrow as pa
 
 from ..errors import ExecutionError, PlanError
-from ..io.embed import parse_index_metadata, read_index_from_payload
+from ..io.embed import (
+    PQ_VECTOR_METRIC_KEY,
+    parse_index_metadata,
+    read_index_from_payload,
+)
 from ..io.thrift import read_key_value_metadata
 from .access import ScanFile
 from .options import VectorTopKOptions
@@ -128,7 +132,17 @@ class VectorIndexScanExec(ExecutionPlan):
                 f"Query dimension mismatch: expected {index.dim}, got "
                 f"{self.query.size}"
             )
-        return index.candidate_rows(self.query, self.options.nprobe)
+        query = self.query
+        metric = dict(kv).get(PQ_VECTOR_METRIC_KEY, "l2")
+        if metric == "cosine":
+            # Cosine-trained centroids live on the unit sphere (extension key,
+            # io/embed.py); probing with the raw query would pick the wrong
+            # clusters. The TopK scoring itself stays euclidean — that is
+            # what SQL's array_distance means.
+            from ..index.metrics import normalize_vector
+
+            query = normalize_vector(query)
+        return index.candidate_rows(query, self.options.nprobe)
 
     def tree_lines(self) -> list[str]:
         return [

@@ -84,3 +84,39 @@ def test_l2_default_unchanged(tmp_path):
 def test_invalid_metric_rejected(tmp_path):
     with pytest.raises(ValidationError):
         IndexBuilder(tmp_path / "x.parquet", "vec").metric("dot")
+
+
+def test_engine_probe_uses_cosine_space(tmp_path):
+    """On a cosine-indexed file the SQL index probe must normalize the query
+    before choosing clusters; otherwise a large-magnitude query lands in the
+    wrong clusters entirely."""
+    from pqvector_tpu.engine import Session, VectorTopKOptions
+
+    rng = np.random.default_rng(12)
+    dirs = rng.standard_normal((120, 6)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    scales = rng.uniform(0.5, 20.0, (120, 1)).astype(np.float32)
+    vecs = dirs * scales
+    path = tmp_path / "cos.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(120), pa.int32()),
+                "vec": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        path,
+    )
+    IndexBuilder(path, "vec").n_clusters(4).metric("cosine").build_inplace()
+
+    # Query = row 31's direction scaled hugely.
+    q = vecs[31] * 100.0
+    lit = "[" + ", ".join(str(v) for v in q) + "]"
+    session = Session(VectorTopKOptions(nprobe=1))
+    session.register_parquet("t", path)
+    out = session.sql(
+        f"SELECT id FROM t ORDER BY array_distance(vec, {lit}) LIMIT 5"
+    ).collect()
+    # nprobe=1 on normalized space must surface row 31's cluster; row 31
+    # itself is the directionally-identical candidate, so it must appear.
+    assert 31 in out.column("id").to_pylist()
