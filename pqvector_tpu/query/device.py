@@ -320,11 +320,11 @@ class DeviceIvfSearcher:
     @staticmethod
     def _pallas_tile(row_tile: int, batch: int) -> int:
         """Largest divisor of ``row_tile`` whose [B, tile] f32 score block
-        fits the VMEM budget alongside the embedding tile and probe mask
-        (~6 MB for scores keeps the whole kernel under the 16 MB scoped
-        limit). Must divide ``row_tile`` because the padded row count is a
-        multiple of it."""
-        budget = max(6 * 1024 * 1024 // (4 * max(batch, 1)), 128)
+        fits the VMEM budget. Mosaic's stack accounting charges ~4x the score
+        block (extraction temporaries), so ~2.5 MB of scores keeps the kernel
+        under the 16 MB scoped limit. Must divide ``row_tile`` because the
+        padded row count is a multiple of it."""
+        budget = max(int(2.5 * 1024 * 1024) // (4 * max(batch, 1)), 128)
         tile = row_tile
         while tile > budget and tile % 2 == 0:
             tile //= 2
