@@ -51,7 +51,7 @@ def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
     scores = jnp.dot(
         q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
     )  # [B, T]
-    partial = sq_ref[0].reshape(1, -1) - 2.0 * scores
+    partial = sq_ref[0, 0].reshape(1, -1) - 2.0 * scores
     d, idx = _extract_topk(partial, i * tile, k)
     out_d_ref[0] = d
     out_i_ref[0] = idx
@@ -64,10 +64,10 @@ def _masked_scan_kernel(
     scores = jnp.dot(
         q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
     )  # [B, T]
-    partial = sq_ref[0].reshape(1, -1) - 2.0 * scores
+    partial = sq_ref[0, 0].reshape(1, -1) - 2.0 * scores
     # probed[b, t] = mask[b, cl[t]] via one-hot matmul (no dynamic gather).
     onehot = (
-        cl_ref[0].reshape(1, -1)
+        cl_ref[0, 0].reshape(1, -1)
         == jax.lax.broadcasted_iota(jnp.int32, (kc, tile), 0)
     ).astype(jnp.float32)  # [kc, T]
     probed = (
@@ -116,9 +116,11 @@ def pallas_exact_topk(
     b = q.shape[0]
     nt = n_pad // tile
     qf = q.astype(emb.dtype)
-    # 1-D operands are passed as [nt, tile] so block layouts stay legal for
-    # any tile (1-D blocks require 1024-element alignment on TPU).
-    sq2 = emb_sq.reshape(nt, tile)
+    # 1-D operands are passed as [nt, 1, tile] so every block dimension
+    # equals the array dimension or indexes the grid — legal for any tile
+    # (1-D blocks require 1024-element alignment; (1, tile) blocks fail the
+    # sublane-divisibility rule).
+    sq2 = emb_sq.reshape(nt, 1, tile)
 
     tile_d, tile_i = pl.pallas_call(
         functools.partial(_scan_kernel, k=k, tile=tile),
@@ -130,7 +132,7 @@ def pallas_exact_topk(
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, b, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -170,8 +172,8 @@ def pallas_masked_topk(
     mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe.astype(jnp.float32))
 
     qf = q.astype(emb.dtype)
-    sq2 = emb_sq.reshape(nt, tile)
-    cl2 = row_cluster.reshape(nt, tile)
+    sq2 = emb_sq.reshape(nt, 1, tile)
+    cl2 = row_cluster.reshape(nt, 1, tile)
     tile_d, tile_i = pl.pallas_call(
         functools.partial(_masked_scan_kernel, k=k, tile=tile, kc=kc_pad),
         out_shape=(
@@ -182,8 +184,8 @@ def pallas_masked_topk(
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, kc_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
