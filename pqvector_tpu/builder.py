@@ -43,6 +43,7 @@ class IndexBuilder:
         self._block_rows = 8192
         self._cluster_sorted = False
         self._metric = "l2"
+        self._streaming_batch_rows: int | None = None
 
     # Fluent setters (parquet.rs:42-55).
     def n_clusters(self, n_clusters: int) -> "IndexBuilder":
@@ -107,7 +108,7 @@ class IndexBuilder:
         the projected read is strictly better).
         """
         config = self._build_config()
-        if getattr(self, "_streaming_batch_rows", None):
+        if self._streaming_batch_rows:
             index = self._build_streaming(config)
         else:
             embeddings = read_embedding_column(self._source, self._embedding_column)

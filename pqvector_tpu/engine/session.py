@@ -62,6 +62,7 @@ class Session:
         self.options = options or VectorTopKOptions()
         self.object_store = object_store
         self._tables: dict[str, _Table] = {}
+        self._searchers: dict = {}
         self._rules = []
         if enable_vector_topk:
             self._rules.append(VectorTopKPhysicalOptimizerRule(self.options))
@@ -90,8 +91,6 @@ class Session:
                 "pqvector_tpu.dist for sharded multi-file serving"
             )
         cache_key = (name, table.paths[0])
-        if getattr(self, "_searchers", None) is None:
-            self._searchers = {}
         if cache_key not in self._searchers:
             from ..query.device import DeviceIvfSearcher
 
