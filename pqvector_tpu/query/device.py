@@ -324,7 +324,10 @@ class DeviceIvfSearcher:
         block (extraction temporaries), so ~2.5 MB of scores keeps the kernel
         under the 16 MB scoped limit. Must divide ``row_tile`` because the
         padded row count is a multiple of it."""
-        budget = max(int(2.5 * 1024 * 1024) // (4 * max(batch, 1)), 128)
+        # Empirical stack model: tile=4096 at B=256 fits (4 MB scores);
+        # B=1024 needs <=2.5 MB (larger q/output/iota blocks eat the rest).
+        budget_bytes = 4 * 1024 * 1024 if batch <= 256 else int(2.5 * 1024 * 1024)
+        budget = max(budget_bytes // (4 * max(batch, 1)), 128)
         tile = row_tile
         while tile > budget and tile % 2 == 0:
             tile //= 2
