@@ -26,12 +26,18 @@ _NEG_INF = -3.0e38
 _POS_INF = 3.0e38
 
 
-def _extract_topk_flat(partial: jnp.ndarray, base: jnp.ndarray, k: int):
+def _extract_topk(partial: jnp.ndarray, base: jnp.ndarray, k: int):
     """Tile-local top-k by iterative min extraction (k small).
 
     Row ids are ``base + column``, so no gather is needed — only min/argmin
     (f32, Mosaic-supported), iota compares, and selects. Cost: ~3k passes
     over the tile.
+
+    A hierarchical group-min variant (top-k groups by min -> one-hot-matmul
+    gather -> tiny exact extraction) was measured at 10.1 ms vs 12.5 ms for
+    the exact scan but produced wrong ids under compiled Mosaic (interpret
+    mode was exact) — suspect the in-kernel [B,T]->[B,G,S] reshape or the
+    batched dot_general lowering. Revisit with a Mosaic-native layout.
     """
     b, t = partial.shape
     out_d = []
@@ -45,74 +51,6 @@ def _extract_topk_flat(partial: jnp.ndarray, base: jnp.ndarray, k: int):
         out_i.append(base + first)
         work = jnp.where(col_iota == first[:, None], _POS_INF, work)
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)  # [B, k]
-
-
-_GROUP = 128  # sub-group width for hierarchical extraction
-
-
-def _extract_topk(partial: jnp.ndarray, base: jnp.ndarray, k: int):
-    """Tile-local top-k via hierarchical group-min extraction.
-
-    The flat extractor costs ~3k passes over the tile (k.B.n total across the
-    scan — the measured bottleneck). This version reduces per-tile work to
-    ~2 passes plus O(k.G) and O(k.kS) small-matrix work:
-
-    1. group mins over ``_GROUP``-wide sub-groups — 1 pass,
-    2. top-k *groups* by min (extraction over [B, G] — 128x cheaper). The k
-       smallest group-mins provably cover the true top-k elements: if a
-       winner's group were outside the k smallest mins, at least k groups
-       would each contain an element smaller than it, contradicting its
-       top-k membership,
-    3. gather the selected groups with a per-row one-hot matmul (no dynamic
-       gathers) and run exact extraction on the tiny [B, k*_GROUP] remainder.
-    """
-    b, t = partial.shape
-    g = t // _GROUP
-    # Need at least k distinct groups (else a group could be selected twice,
-    # duplicating elements in the remainder) and enough width to pay off.
-    if t < 2 * _GROUP or t % _GROUP != 0 or g < k:
-        return _extract_topk_flat(partial, base, k)
-    grouped = partial.reshape(b, g, _GROUP)
-    gmin = jnp.min(grouped, axis=2)  # [B, G]
-
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (b, g), 1)
-    sel_rows = []
-    group_ids = []
-    work = gmin
-    for _ in range(k):
-        first = jnp.argmin(work, axis=1).astype(jnp.int32)  # [B]
-        hit = g_iota == first[:, None]  # [B, G]
-        sel_rows.append(hit.astype(jnp.float32))
-        group_ids.append(first)
-        work = jnp.where(hit, _POS_INF, work)
-    sel = jnp.stack(sel_rows, axis=1)  # [B, k, G]
-    groups = jnp.stack(group_ids, axis=1)  # [B, k]
-
-    # [B, k, G] @ [B, G, S] -> [B, k, S]: per-row group gather as matmul.
-    sub = jax.lax.dot_general(
-        sel,
-        grouped,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    flat = sub.reshape(b, k * _GROUP)
-    # Global element ids of the gathered columns.
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (b, k, _GROUP), 2)
-    flat_ids = (base + groups[:, :, None] * _GROUP + s_iota).reshape(b, k * _GROUP)
-
-    out_d = []
-    out_i = []
-    kt = k * _GROUP
-    f_iota = jax.lax.broadcasted_iota(jnp.int32, (b, kt), 1)
-    for _ in range(k):
-        best = jnp.min(flat, axis=1)
-        first = jnp.argmin(flat, axis=1).astype(jnp.int32)
-        hit = f_iota == first[:, None]
-        out_d.append(best)
-        # id at the winning position, retrieved by masked sum (no gather).
-        out_i.append(jnp.sum(jnp.where(hit, flat_ids, 0), axis=1))
-        flat = jnp.where(hit, _POS_INF, flat)
-    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
 def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
