@@ -58,7 +58,7 @@ def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
     scores = jnp.dot(
         q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
     )  # [B, T]
-    partial = sq_ref[0, 0].reshape(1, -1) - 2.0 * scores
+    partial = sq_ref[0] - 2.0 * scores  # sq block is [1, 1, tile] -> [1, T]
     d, idx = _extract_topk(partial, i * tile, k)
     out_d_ref[0] = d
     out_i_ref[0] = idx
@@ -71,10 +71,10 @@ def _masked_scan_kernel(
     scores = jnp.dot(
         q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
     )  # [B, T]
-    partial = sq_ref[0, 0].reshape(1, -1) - 2.0 * scores
+    partial = sq_ref[0] - 2.0 * scores  # sq block is [1, 1, tile] -> [1, T]
     # probed[b, t] = mask[b, cl[t]] via one-hot matmul (no dynamic gather).
     onehot = (
-        cl_ref[0, 0].reshape(1, -1)
+        cl_ref[0]  # [1, T]
         == jax.lax.broadcasted_iota(jnp.int32, (kc, tile), 0)
     ).astype(jnp.float32)  # [kc, T]
     probed = (
