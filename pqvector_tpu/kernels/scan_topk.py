@@ -73,9 +73,11 @@ def _masked_scan_kernel(
     )  # [B, T]
     partial = sq_ref[0] - 2.0 * scores  # sq block is [1, 1, tile] -> [1, T]
     # probed[b, t] = mask[b, cl[t]] via one-hot matmul (no dynamic gather).
+    # Cluster ids ship as f32 (exact below 2^24): int32 (1, 1, tile) blocks
+    # mis-lower on this Mosaic version (observed id scrambling on chip).
     onehot = (
-        cl_ref[0]  # [1, T]
-        == jax.lax.broadcasted_iota(jnp.int32, (kc, tile), 0)
+        cl_ref[0]  # [1, T] f32
+        == jax.lax.broadcasted_iota(jnp.float32, (kc, tile), 0)
     ).astype(jnp.float32)  # [kc, T]
     probed = (
         jnp.dot(mask_ref[:], onehot, preferred_element_type=jnp.float32) > 0.5
@@ -180,7 +182,7 @@ def pallas_masked_topk(
 
     qf = q.astype(emb.dtype)
     sq2 = emb_sq.reshape(nt, 1, tile)
-    cl2 = row_cluster.reshape(nt, 1, tile)
+    cl2 = row_cluster.astype(jnp.float32).reshape(nt, 1, tile)
     tile_d, tile_i = pl.pallas_call(
         functools.partial(_masked_scan_kernel, k=k, tile=tile, kc=kc_pad),
         out_shape=(
