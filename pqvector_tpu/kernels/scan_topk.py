@@ -77,7 +77,7 @@ def _masked_scan_kernel(
     # mis-lower on this Mosaic version (observed id scrambling on chip).
     onehot = (
         cl_ref[0]  # [1, T] f32
-        == jax.lax.broadcasted_iota(jnp.float32, (kc, tile), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (kc, tile), 0).astype(jnp.float32)
     ).astype(jnp.float32)  # [kc, T]
     probed = (
         jnp.dot(mask_ref[:], onehot, preferred_element_type=jnp.float32) > 0.5
