@@ -312,3 +312,15 @@ def test_reference_procedure_file_decodes(tmp_path):
 
     results = TopkBuilder(path, np.array([0.0, 0.0])).k(2).nprobe(2).search()
     assert results[0].row_idx == 0
+
+
+def test_extract_embeddings_from_sliced_table():
+    """Sliced Arrow chunks have nonzero value offsets; extraction must
+    respect them."""
+    vecs = [[float(i), float(i + 10)] for i in range(10)]
+    table = pa.table({"vec": pa.array(vecs, pa.list_(pa.float32()))})
+    sliced = table.slice(3, 4)
+    emb = extract_embeddings(sliced, EmbeddingColumn("vec"))
+    np.testing.assert_array_equal(
+        emb.data, np.array(vecs[3:7], dtype=np.float32)
+    )
