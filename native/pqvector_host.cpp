@@ -382,7 +382,9 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
                              const char* offset_key, const char* column_key,
                              const char* magic, size_t magic_len,
                              const char* const* extra_keys,
-                             const char* const* extra_vals, size_t n_extra) {
+                             const char* const* extra_vals, size_t n_extra,
+                             const char* const* extra_drop_keys,
+                             size_t n_extra_drop) {
   FILE* f = std::fopen(path, "r+b");
   if (!f) return ERR_IO;
 
@@ -440,6 +442,11 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
       set_vals.push_back(extra_vals[i]);
       drop_keys.push_back(extra_keys[i]);
     }
+    // Keys from previous index appends that this append does not set (e.g.
+    // a stale pq_vector_metric after a rebuild with a different metric)
+    // must still be stripped.
+    for (size_t i = 0; i < n_extra_drop; ++i)
+      drop_keys.push_back(extra_drop_keys[i]);
     std::string new_meta;
     int src = splice(meta.data(), meta.size(), set_keys.data(),
                      set_vals.data(), set_keys.size(), drop_keys.data(),

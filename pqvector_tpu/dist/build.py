@@ -19,7 +19,7 @@ from ..index.ivf import IvfIndex
 from ..index.kmeans import (
     _kmeans_pp_init,
     default_n_clusters,
-    sample_indices,
+    sample_indices_host,
     train_sample_size,
 )
 from ..types import Embeddings
@@ -47,11 +47,12 @@ def build_ivf_index_distributed(
 
     # Training sample (5%/100k rules) — small, so seeded on one device.
     sample_size = train_sample_size(n, n_clusters)
-    key = jax.random.PRNGKey(np.uint32(config.seed ^ 0x5A5A5A5A))
     if sample_size == n:
         sample = jnp.asarray(x)
     else:
-        idx = np.asarray(sample_indices(key, n, sample_size))
+        # Host-side index draw (device sampling is pathological on the
+        # tunneled backend; see index/kmeans.py:sample_indices_host).
+        idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
         sample = jnp.asarray(x[idx])
 
     init_key = jax.random.PRNGKey(config.seed)

@@ -23,7 +23,7 @@ from .kmeans import (
     assign_clusters,
     default_n_clusters,
     k_means,
-    sample_indices,
+    sample_indices_host,
     train_sample_size,
 )
 
@@ -72,10 +72,11 @@ def build_ivf_index(
         centroids, _ = k_means(x, params)
     else:
         # Deterministic 5% sample without replacement
-        # (/root/reference/src/ivf/index.rs:222-242).
-        key = jax.random.PRNGKey(np.uint32(config.seed ^ 0x5A5A5A5A))
-        idx = sample_indices(key, n, sample_size)
-        centroids, _ = k_means(jnp.take(x, idx, axis=0), params)
+        # (/root/reference/src/ivf/index.rs:222-242). Indices are drawn on
+        # host (device sampling measured at 157 s for n=1.2M on the
+        # tunneled v5e; the draw needs no vector data), gather on device.
+        idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
+        centroids, _ = k_means(jnp.take(x, jnp.asarray(idx), axis=0), params)
 
     # The reference always runs a fresh full-data assignment pass to build the
     # inverted lists, even when k-means saw every row (:193-206).

@@ -70,15 +70,31 @@ def _block_count(n: int, block: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n", "m"))
 def sample_indices(key: jax.Array, n: int, m: int) -> jnp.ndarray:
-    """Uniform random m-subset of [0, n) without replacement.
+    """Uniform random m-subset of [0, n) without replacement (device).
 
     Implemented as argsort over random keys + slice. Both
     ``jax.random.choice(replace=False)`` (14s+ at n=20k) and
     ``lax.top_k`` with large k (minutes at m=50k) are pathological on this
-    backend; a full sort of random keys is fast and shape-static.
+    backend. NOTE: measured 157 s at n=1.2M on the tunneled v5e — prefer
+    ``sample_indices_host`` whenever the index choice can happen on host
+    (sampling needs no device data, only the row count).
     """
     scores = jax.random.uniform(key, (n,))
     return jnp.argsort(scores)[:m]
+
+
+def sample_indices_host(seed: int, n: int, m: int) -> np.ndarray:
+    """Uniform random m-subset of [0, n) without replacement, on host.
+
+    Index sampling depends only on (seed, n, m) — never on vector data — so
+    there is no reason to burn device time on it: numpy's generator does the
+    draw in milliseconds where the device argsort path took minutes at
+    n=1M+ (see docs/PERFORMANCE.md). Deterministic per seed, mirroring
+    ``sample_embeddings`` (/root/reference/src/ivf/index.rs:222-242; the
+    reference also seeds a host RNG for this).
+    """
+    rng = np.random.default_rng(np.uint64(seed))
+    return rng.choice(n, size=m, replace=False).astype(np.int64)
 
 
 def _pad_rows(x: jnp.ndarray, block: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -243,15 +259,19 @@ def k_means(
         raise ValidationError("n_clusters cannot exceed number of vectors")
 
     key = jax.random.PRNGKey(params.seed)
-    key, init_key, sample_key = jax.random.split(key, 3)
+    key, init_key, _ = jax.random.split(key, 3)  # third slot was the old
+    # device sampling key; kept in the split so init_key's stream (and thus
+    # seeded centroid reproducibility) is unchanged.
 
     init_sample_size = min(n, _INIT_SAMPLE_CAP)
     init_sample_size = max(init_sample_size, k)
     if init_sample_size == n:
         init_sample = x
     else:
-        idx = sample_indices(sample_key, n, init_sample_size)
-        init_sample = jnp.take(x, idx, axis=0)
+        # Host-side index draw (device sampling measured pathological on
+        # this backend); the row gather itself stays on device.
+        idx = sample_indices_host(params.seed ^ 0x3C3C3C3C, n, init_sample_size)
+        init_sample = jnp.take(x, jnp.asarray(idx), axis=0)
 
     centroids0 = _kmeans_pp_init(init_sample, init_key, k)
 

@@ -190,6 +190,7 @@ def append_index_inplace(
         PQ_VECTOR_EMBEDDING_COLUMN_KEY,
         PQ_VECTOR_INDEX_MAGIC,
         extra_kv=extra_kv,
+        extra_drop_keys=tuple(sorted(_PQ_KEYS)),
     ):
         return
 

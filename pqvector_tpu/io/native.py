@@ -98,6 +98,8 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_size_t,
         ]
         lib.pqv_version.restype = ctypes.c_char_p
         lib.pqv_decode_data_page.restype = ctypes.c_int64
@@ -175,12 +177,19 @@ def append_index_inplace_native(
     column_key: str,
     magic: bytes,
     extra_kv: dict[str, str] | None = None,
+    extra_drop_keys: tuple[str, ...] = (),
 ) -> bool:
-    """Native in-place embed; False if the library is unavailable."""
+    """Native in-place embed; False if the library is unavailable.
+
+    ``extra_drop_keys``: keys from previous appends that this call does not
+    set but must strip anyway (e.g. a stale ``pq_vector_metric`` when
+    rebuilding an indexed cosine file with the default l2 metric).
+    """
     lib = load()
     if lib is None:
         return False
     extra = list((extra_kv or {}).items())
+    drops = [k for k in extra_drop_keys if k not in dict(extra)]
     rc = lib.pqv_append_index_inplace(
         os.fspath(path).encode(),
         index_bytes,
@@ -193,6 +202,8 @@ def append_index_inplace_native(
         _str_array([k for k, _ in extra]),
         _str_array([v for _, v in extra]),
         len(extra),
+        _str_array(drops),
+        len(drops),
     )
     if rc != 0:
         raise FormatError(_ERRORS.get(rc, f"native append error {rc}"))

@@ -120,3 +120,22 @@ def test_engine_probe_uses_cosine_space(tmp_path):
     # nprobe=1 on normalized space must surface row 31's cluster; row 31
     # itself is the directionally-identical candidate, so it must appear.
     assert 31 in out.column("id").to_pylist()
+
+
+def test_rebuild_with_l2_strips_stale_metric_key(cosine_path):
+    """Rebuilding an indexed cosine file with the default l2 metric must
+    strip the old ``pq_vector_metric`` key (both the native append path and
+    the Python fallback drop all pq keys before splicing new ones); a stale
+    cosine flag would make every later search normalize queries against an
+    L2-built index."""
+    path, vecs = cosine_path
+    assert read_index_metric(path) == "cosine"
+    IndexBuilder(path, "vec").n_clusters(4).build_inplace()  # default l2
+    assert read_index_metric(path) == "l2"
+    kv = pq.ParquetFile(path).metadata.metadata
+    assert b"pq_vector_metric" not in kv
+    # And the search surface agrees with L2 again: nearest by raw L2.
+    q = vecs[17] * 3.0
+    results = TopkBuilder(path, q).k(3).nprobe(4).search()
+    d = np.linalg.norm(vecs - q, axis=1)
+    assert [r.row_idx for r in results] == np.argsort(d, kind="stable")[:3].tolist()
