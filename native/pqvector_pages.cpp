@@ -493,4 +493,37 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
   return rows;
 }
 
+// Batched page decode: each page is a slice of one contiguous buffer (the
+// caller coalesces file reads); values and row lengths are written
+// back-to-back with per-page start offsets recorded (arrays of n_pages+1)
+// so the caller can vectorize row extraction. One library call replaces a
+// ctypes round-trip per page — the per-page Python/FFI overhead was the
+// dominant cost of selective reads on 1-row-per-page files.
+// Returns total rows decoded, or a negative error code.
+int64_t pqv_decode_pages(const uint8_t* buf, size_t buf_len,
+                         const uint64_t* offsets, const uint64_t* lens,
+                         size_t n_pages, const char* codec, int32_t ptype,
+                         int32_t max_def, int32_t max_rep, float* out_values,
+                         size_t value_cap, int64_t* out_row_lengths,
+                         size_t row_cap, int64_t* page_value_start,
+                         int64_t* page_row_start) {
+  size_t vpos = 0, rpos = 0;
+  for (size_t p = 0; p < n_pages; ++p) {
+    if (offsets[p] + lens[p] > buf_len) return ERR_TRUNCATED;
+    page_value_start[p] = static_cast<int64_t>(vpos);
+    page_row_start[p] = static_cast<int64_t>(rpos);
+    int64_t nvals = 0;
+    int64_t rows = pqv_decode_data_page(
+        buf + offsets[p], lens[p], codec, ptype, max_def, max_rep,
+        out_values + vpos, value_cap - vpos, out_row_lengths + rpos,
+        row_cap - rpos, &nvals);
+    if (rows < 0) return rows;
+    vpos += static_cast<size_t>(nvals);
+    rpos += static_cast<size_t>(rows);
+  }
+  page_value_start[n_pages] = static_cast<int64_t>(vpos);
+  page_row_start[n_pages] = static_cast<int64_t>(rpos);
+  return static_cast<int64_t>(rpos);
+}
+
 }  // extern "C"

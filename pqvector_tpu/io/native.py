@@ -116,6 +116,24 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int64),  # out_num_values
         ]
+        lib.pqv_decode_pages.restype = ctypes.c_int64
+        lib.pqv_decode_pages.argtypes = [
+            ctypes.c_char_p,  # concatenated page bytes
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # page offsets (uint64*)
+            ctypes.c_void_p,  # page lens (uint64*)
+            ctypes.c_size_t,  # n_pages
+            ctypes.c_char_p,  # codec
+            ctypes.c_int32,  # ptype
+            ctypes.c_int32,  # max_def
+            ctypes.c_int32,  # max_rep
+            ctypes.c_void_p,  # out_values (float32*)
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # out_row_lengths (int64*)
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # page_value_start (int64*, n_pages+1)
+            ctypes.c_void_p,  # page_row_start (int64*, n_pages+1)
+        ]
         _lib = lib
         return _lib
 
@@ -245,6 +263,58 @@ def decode_data_page_native(
             _ERRORS.get(rows, f"native page decode error {rows}")
         )
     return values[: num_values.value].copy(), row_lengths[:rows].copy()
+
+
+def decode_pages_native(
+    buf: bytes,
+    offsets,
+    lens,
+    codec: str,
+    ptype: int,
+    max_def: int,
+    max_rep: int,
+    row_cap: int,
+    value_cap: int,
+):
+    """Batched page decode: one FFI call for all selected pages of a span.
+
+    Returns ``(values f32 [nv], row_lengths i64 [nr], page_value_start
+    [n_pages+1], page_row_start [n_pages+1])`` or None when the library is
+    unavailable. Raises FormatError on decode errors (caller falls back to
+    the per-page Python decoder).
+    """
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    lens = np.ascontiguousarray(lens, dtype=np.uint64)
+    n_pages = offsets.size
+    values = np.empty(value_cap, dtype=np.float32)
+    row_lengths = np.empty(row_cap, dtype=np.int64)
+    pvs = np.empty(n_pages + 1, dtype=np.int64)
+    prs = np.empty(n_pages + 1, dtype=np.int64)
+    rc = lib.pqv_decode_pages(
+        buf,
+        len(buf),
+        offsets.ctypes.data,
+        lens.ctypes.data,
+        n_pages,
+        codec.encode(),
+        ptype,
+        max_def,
+        max_rep,
+        values.ctypes.data,
+        value_cap,
+        row_lengths.ctypes.data,
+        row_cap,
+        pvs.ctypes.data,
+        prs.ctypes.data,
+    )
+    if rc < 0:
+        raise FormatError(_ERRORS.get(rc, f"native page decode error {rc}"))
+    return values[: pvs[n_pages]], row_lengths[:rc], pvs, prs
 
 
 if __name__ == "__main__":

@@ -569,6 +569,9 @@ class PageSelectiveReader:
         order = np.argsort(rows, kind="stable")
         with open(self.path, "rb") as f:
             rg_of = np.searchsorted(self._rg_starts, rows, side="right") - 1
+            batched = self._read_rows_batched(rows, rg_of, dim, f)
+            if batched is not None:
+                return batched
             page_cache: tuple[int, int, DecodedPage, np.ndarray] | None = None
             for oi in order:
                 row = int(rows[oi])
@@ -599,4 +602,93 @@ class PageSelectiveReader:
                         "Selected embeddings do not match expected dimensions"
                     )
                 out[oi] = page.values[start : start + dim]
+        return out
+
+    # Gap below which two selected pages are fetched in one read: with the
+    # 1-row-per-page layout, neighboring candidate pages are usually within
+    # one vector (~4·dim bytes) of each other, so coalescing turns thousands
+    # of seek+read pairs into a handful of span reads.
+    _COALESCE_GAP = 1 << 16
+
+    def _read_rows_batched(
+        self, rows: np.ndarray, rg_of: np.ndarray, dim: int, f
+    ) -> np.ndarray | None:
+        """All selected pages of a row group in one native decode call.
+
+        The per-page loop in read_rows pays a Python + ctypes round-trip per
+        page; on 1-row-per-page files that overhead dominates the query path
+        (the reference amortizes it inside parquet-rs, search.rs:186-198).
+        Returns None — and the caller falls back to the per-page loop — when
+        the native library is unavailable or a page needs the Python decoder.
+        """
+        from .native import decode_pages_native
+
+        out = np.empty((rows.size, dim), dtype=np.float32)
+        try:
+            for rg in np.unique(rg_of):
+                rg = int(rg)
+                sel = np.flatnonzero(rg_of == rg)
+                locs = self._locations(rg, f)
+                firsts = np.array([loc.first_row_index for loc in locs], np.int64)
+                local = rows[sel] - int(self._rg_starts[rg])
+                pidx = np.searchsorted(firsts, local, side="right") - 1
+                upages = np.unique(pidx)
+                page_rows_all = np.diff(
+                    np.concatenate([firsts, [self.row_groups[rg].num_rows]])
+                )
+                offs = np.array([locs[p].offset for p in upages], np.int64)
+                sizes = np.array(
+                    [locs[p].compressed_page_size for p in upages], np.int64
+                )
+                # Coalesce near-adjacent pages into span reads.
+                parts: list[bytes] = []
+                buf_offsets = np.empty(upages.size, np.uint64)
+                pos = 0
+                i = 0
+                while i < upages.size:
+                    j = i
+                    while (
+                        j + 1 < upages.size
+                        and offs[j + 1] <= offs[j] + sizes[j] + self._COALESCE_GAP
+                    ):
+                        j += 1
+                    span = int(offs[j] + sizes[j] - offs[i])
+                    f.seek(int(offs[i]))
+                    data = f.read(span)
+                    if len(data) != span:
+                        raise FormatError("Truncated page span read")
+                    parts.append(data)
+                    buf_offsets[i : j + 1] = pos + (offs[i : j + 1] - offs[i])
+                    pos += span
+                    i = j + 1
+                buf = b"".join(parts)
+                n_page_rows = int(page_rows_all[upages].sum())
+                chunk = self.row_groups[rg].chunks[self.leaf_idx]
+                res = decode_pages_native(
+                    buf,
+                    buf_offsets,
+                    sizes,
+                    chunk.codec,
+                    self.leaf.ptype,
+                    self.leaf.max_def,
+                    self.leaf.max_rep,
+                    row_cap=n_page_rows,
+                    value_cap=n_page_rows * dim,
+                )
+                if res is None:
+                    return None
+                values, row_lengths, _, prs = res
+                # Global row index of each candidate inside the decoded batch.
+                ppos = np.searchsorted(upages, pidx)
+                gidx = prs[ppos] + (local - firsts[pidx])
+                if np.any(gidx >= prs[ppos + 1]):
+                    raise ExecutionError("Row beyond decoded page")
+                if np.any(row_lengths[gidx] != dim):
+                    raise ExecutionError(
+                        "Selected embeddings do not match expected dimensions"
+                    )
+                starts = np.concatenate([[0], np.cumsum(row_lengths)])[gidx]
+                out[sel] = values[starts[:, None] + np.arange(dim)]
+        except FormatError:
+            return None  # unsupported codec/encoding: per-page Python decoder
         return out

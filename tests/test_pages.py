@@ -150,3 +150,42 @@ def test_native_page_decode_matches_python(tmp_path, vectors):
         assert nat is not None
         np.testing.assert_array_equal(nat[0], py.values)
         np.testing.assert_array_equal(nat[1], py.row_lengths)
+
+
+def test_batched_read_matches_python_fallback(tmp_path, vectors, monkeypatch):
+    """read_rows through the batched native decode equals the per-page loop."""
+    from pqvector_tpu.io import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    path = tmp_path / "batched.parquet"
+    write_file(
+        path,
+        vectors,
+        compression="zstd",
+        use_dictionary=False,
+        data_page_size=64,
+        write_batch_size=16,
+        row_group_size=200,
+    )
+    rng = np.random.default_rng(9)
+    rows = rng.integers(0, 500, size=64)
+    reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
+    batched = reader._read_rows_batched(
+        np.asarray(rows, np.int64),
+        np.searchsorted(reader._rg_starts, rows, side="right") - 1,
+        12,
+        open(path, "rb"),
+    )
+    assert batched is not None  # the fast path really ran
+    got = reader.read_rows(rows, 12)
+    np.testing.assert_array_equal(batched, got)
+
+    # Pure-Python fallback agrees bit-for-bit.
+    monkeypatch.setattr(
+        "pqvector_tpu.io.native.decode_pages_native", lambda *a, **k: None
+    )
+    fallback = reader.read_rows(rows, 12)
+    np.testing.assert_array_equal(got, fallback)
+    np.testing.assert_allclose(got, vectors[rows], rtol=1e-6)
