@@ -137,6 +137,12 @@ def main():
     parser.add_argument("--recall-target", type=float, default=0.95)
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
+        "--mode", default="auto",
+        choices=("auto", "pallas", "masked", "gather", "approx"),
+        help="device search mode (see DeviceIvfSearcher.search); 'approx' "
+        "uses the hardware ApproxTopK extraction",
+    )
+    parser.add_argument(
         "--bf16", action="store_true",
         help="store embeddings in bfloat16 (halves HBM traffic; winners are "
         "re-scored against stored values in f32)",
@@ -221,7 +227,7 @@ def main():
         if nprobe > index.n_clusters:
             break
         t0 = time.perf_counter()
-        _, ids = searcher.search(queries, args.k, nprobe)
+        _, ids = searcher.search(queries, args.k, nprobe, mode=args.mode)
         ids = np.asarray(jax.block_until_ready(ids))
         r = recall_at_k(truth_ids, ids)
         log(
@@ -254,7 +260,7 @@ def main():
         return reps * batch / (time.perf_counter() - t0)
 
     qps = sustained_qps(
-        lambda: searcher.search(qbatch, args.k, chosen)[1], 5.0
+        lambda: searcher.search(qbatch, args.k, chosen, mode=args.mode)[1], 5.0
     )
     log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
 

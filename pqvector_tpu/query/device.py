@@ -143,6 +143,130 @@ def _ivf_topk_impl(
     return _refine_and_sort(q, emb, best_d, best_i)
 
 
+def _exact_approx_topk_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    k: int,
+    chunk: int,
+    recall_target: float,
+):
+    """Exact scan with hardware ApproxTopK extraction.
+
+    The iterative per-tile extraction in the Pallas kernels costs ~3k VPU
+    passes per row tile — the measured bottleneck at B=256 (PERFORMANCE.md).
+    TPU's PartialReduce op (``lax.approx_min_k``) extracts candidate minima
+    in ~one pass at a configurable recall target; winners are then re-scored
+    exactly and re-sorted, so returned distances are exact and only the
+    *selection* is approximate (like the IVF probe itself).
+    """
+    b, d = q.shape
+    n_pad = emb.shape[0]
+    qf = q.astype(emb.dtype)
+
+    def chunk_topk(x, x2, base):
+        scores = jnp.dot(qf, x.T, preferred_element_type=jnp.float32)
+        partial = x2[None, :] - 2.0 * scores
+        vals, idx = jax.lax.approx_min_k(partial, k, recall_target=recall_target)
+        return vals, base + idx.astype(jnp.int32)
+
+    nc = n_pad // chunk
+    parts_d = []
+    parts_i = []
+    if nc:
+        emb_t = emb[: nc * chunk].reshape(nc, chunk, d)
+        sq_t = emb_sq[: nc * chunk].reshape(nc, chunk)
+
+        def step(_, inputs):
+            ci, (xt, x2t) = inputs
+            return None, chunk_topk(xt, x2t, ci * chunk)
+
+        _, (cd, cix) = jax.lax.scan(
+            step, None, (jnp.arange(nc, dtype=jnp.int32), (emb_t, sq_t))
+        )
+        parts_d.append(jnp.transpose(cd, (1, 0, 2)).reshape(b, nc * k))
+        parts_i.append(jnp.transpose(cix, (1, 0, 2)).reshape(b, nc * k))
+    if n_pad > nc * chunk:  # static tail (n_pad is not a chunk multiple)
+        td, tix = chunk_topk(
+            emb[nc * chunk :], emb_sq[nc * chunk :], nc * chunk
+        )
+        parts_d.append(td)
+        parts_i.append(tix)
+
+    all_d = jnp.concatenate(parts_d, axis=1)
+    all_i = jnp.concatenate(parts_i, axis=1)
+    neg, pos = jax.lax.top_k(-all_d, k)
+    best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
+def _ivf_approx_masked_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    centroids: jnp.ndarray,  # [kc, d] f32
+    c_sq: jnp.ndarray,  # [kc] f32
+    row_cluster: jnp.ndarray,  # [n_pad] i32 (kc = pad rows)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    nprobe: jnp.ndarray,  # scalar i32
+    k: int,
+    max_probe: int,
+    chunk: int,
+    recall_target: float,
+):
+    """Masked IVF scan with ApproxTopK extraction (see _exact_approx_topk)."""
+    b, d = q.shape
+    kc = centroids.shape[0]
+    n_pad = emb.shape[0]
+    qf = q.astype(emb.dtype)
+
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)
+    in_probe = jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe
+    mask = jnp.zeros((b, kc + 1), jnp.bool_)
+    mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
+
+    def chunk_topk(x, x2, cl, base):
+        scores = jnp.dot(qf, x.T, preferred_element_type=jnp.float32)
+        partial = x2[None, :] - 2.0 * scores
+        probed = jnp.take(mask, cl, axis=1)  # [B, C]
+        partial = jnp.where(probed, partial, jnp.inf)
+        vals, idx = jax.lax.approx_min_k(partial, k, recall_target=recall_target)
+        return vals, base + idx.astype(jnp.int32)
+
+    nc = n_pad // chunk
+    parts_d = []
+    parts_i = []
+    if nc:
+        emb_t = emb[: nc * chunk].reshape(nc, chunk, d)
+        sq_t = emb_sq[: nc * chunk].reshape(nc, chunk)
+        cl_t = row_cluster[: nc * chunk].reshape(nc, chunk)
+
+        def step(_, inputs):
+            ci, (xt, x2t, ct) = inputs
+            return None, chunk_topk(xt, x2t, ct, ci * chunk)
+
+        _, (cd, cix) = jax.lax.scan(
+            step, None, (jnp.arange(nc, dtype=jnp.int32), (emb_t, sq_t, cl_t))
+        )
+        parts_d.append(jnp.transpose(cd, (1, 0, 2)).reshape(b, nc * k))
+        parts_i.append(jnp.transpose(cix, (1, 0, 2)).reshape(b, nc * k))
+    if n_pad > nc * chunk:
+        td, tix = chunk_topk(
+            emb[nc * chunk :],
+            emb_sq[nc * chunk :],
+            row_cluster[nc * chunk :],
+            nc * chunk,
+        )
+        parts_d.append(td)
+        parts_i.append(tix)
+
+    all_d = jnp.concatenate(parts_d, axis=1)
+    all_i = jnp.concatenate(parts_i, axis=1)
+    neg, pos = jax.lax.top_k(-all_d, k)
+    best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
 def _ivf_masked_scan_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -252,6 +376,10 @@ class DeviceIvfSearcher:
         self.n = n
         self.dim = d
         self.row_tile = row_tile
+        # Selection recall for the "approx" modes (hardware ApproxTopK
+        # extraction). Winners are always re-scored exactly; this bounds only
+        # the chance a true winner is missed, like the IVF probe itself.
+        self.approx_recall_target = 0.99
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -339,7 +467,10 @@ class DeviceIvfSearcher:
 
         ``mode="pallas"`` routes through the fused scan kernel
         (kernels/scan_topk.py) — the default on TPU (4x+ the XLA merge);
-        "auto" picks pallas on TPU and the XLA path elsewhere."""
+        "auto" picks pallas on TPU and the XLA path elsewhere.
+        ``mode="approx"`` extracts winners with the hardware ApproxTopK
+        reduction at ``self.approx_recall_target`` selection recall —
+        returned distances stay exact (winners are re-scored)."""
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
@@ -358,6 +489,15 @@ class DeviceIvfSearcher:
             )
         elif mode == "xla":
             d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
+        elif mode == "approx":
+            d2, ids = _exact_approx_topk(
+                q,
+                self.emb,
+                self.emb_sq,
+                k,
+                chunk=self._approx_chunk(),
+                recall_target=self.approx_recall_target,
+            )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
@@ -368,7 +508,11 @@ class DeviceIvfSearcher:
 
         ``mode``: "gather" fetches only probed clusters (low-latency small
         batches); "masked" does one masked full HBM pass (wins when
-        ``B * nprobe * avg_cluster > n``); "auto" picks by that inequality.
+        ``B * nprobe * avg_cluster > n``); "pallas" fuses the masked scan +
+        extraction in VMEM (TPU default); "approx" is the masked scan with
+        hardware ApproxTopK extraction (selection recall =
+        ``self.approx_recall_target``, distances exact); "auto" picks
+        pallas on TPU, gather/masked by the traffic inequality elsewhere.
         """
         q = self._check_queries(queries)
         if k <= 0:
@@ -431,6 +575,25 @@ class DeviceIvfSearcher:
                 max_probe=max_probe,
                 tile=self.row_tile,
             )
+        elif mode == "approx":
+            max_probe = 1
+            while max_probe < nprobe:
+                max_probe *= 2
+            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
+                            self.index.n_clusters)
+            d2, ids = _ivf_approx_masked(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.row_cluster,
+                self.emb,
+                self.emb_sq,
+                jnp.int32(nprobe),
+                k=k,
+                max_probe=max_probe,
+                chunk=self._approx_chunk(),
+                recall_target=self.approx_recall_target,
+            )
         elif mode == "gather":
             d2, ids = _ivf_topk(
                 q,
@@ -447,6 +610,12 @@ class DeviceIvfSearcher:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
+    def _approx_chunk(self) -> int:
+        """Score-chunk rows for the approx modes: big enough to amortize the
+        ApproxTopK custom-call per chunk, small enough that the transient
+        [B, chunk] score block stays modest (128 MB at B=256)."""
+        return min(self.emb.shape[0], 64 * self.row_tile)
+
     def _pallas_emb_sq(self):
         if self._emb_sq_pallas is None:
             self._emb_sq_pallas = jnp.where(
@@ -462,7 +631,14 @@ class DeviceIvfSearcher:
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
+_exact_approx_topk = jax.jit(
+    _exact_approx_topk_impl, static_argnames=("k", "chunk", "recall_target")
+)
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_masked_scan = jax.jit(
     _ivf_masked_scan_impl, static_argnames=("k", "max_probe", "tile")
+)
+_ivf_approx_masked = jax.jit(
+    _ivf_approx_masked_impl,
+    static_argnames=("k", "max_probe", "chunk", "recall_target"),
 )

@@ -136,3 +136,37 @@ def test_cluster_sorted_resident_layout(setup):
     d_b, i_b = base.exact(queries, k=5)
     d_s, i_s = sorted_s.exact(queries, k=5)
     np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_s))
+
+
+def test_exact_approx_mode_matches_numpy(setup):
+    """mode='approx' (hardware ApproxTopK on TPU) lowers to exact top-k on
+    CPU, so ids/distances must match the brute-force oracle here. Exercises
+    the chunked scan + static tail (row_tile=128, chunk=min(n_pad, 8192))."""
+    x, _, searcher, queries = setup
+    dists, ids = searcher.exact(queries, k=5, mode="approx")
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want_ids)
+        np.testing.assert_allclose(np.asarray(dists[b]), want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_approx_mode_matches_gather(setup):
+    x, index, searcher, queries = setup
+    k, nprobe = 4, 3
+    d_a, i_a = searcher.search(queries, k=k, nprobe=nprobe, mode="approx")
+    d_g, i_g = searcher.search(queries, k=k, nprobe=nprobe, mode="gather")
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_g))
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_g), rtol=1e-5)
+
+
+def test_ivf_approx_missing_slots(setup):
+    """k larger than the probed candidate count: surplus slots are -1/inf."""
+    x, index, searcher, queries = setup
+    smallest = int(np.argmin(index.cluster_sizes()))
+    c = np.asarray(index.centroids[smallest], np.float32)
+    d, ids = searcher.search(c, k=index.total_rows, nprobe=1, mode="approx")
+    n_cand = int(index.cluster_sizes()[smallest])
+    ids = np.asarray(ids)[0]
+    assert (ids[n_cand:] == -1).all()
+    assert np.isinf(np.asarray(d)[0][n_cand:]).all()
+    assert (ids[:n_cand] != -1).all()
