@@ -242,30 +242,39 @@ def main():
         log(f"recall target not reached; using nprobe={chosen}")
 
     # 5. Sustained batched QPS at the operating point ----------------
-    # Dispatches are issued asynchronously and synchronized once at the end:
-    # this measures pipelined throughput (a serving loop keeps the device
-    # queue full), not per-call round-trip latency.
+    # Dispatches are issued asynchronously (a serving loop keeps the device
+    # queue full) but each call's query carries a data dependency on the
+    # previous call's output, and the final result is materialized with
+    # np.asarray: through the axon tunnel `block_until_ready` can return
+    # before the work is done, so only a host round-trip of data that
+    # transitively depends on every dispatch proves execution (CLAUDE.md).
     batch = min(args.batch, args.queries)
     qbatch = queries[:batch]
 
-    def sustained_qps(fn, budget_s, max_reps=400):
-        jax.block_until_ready(fn())  # warmup
+    def sustained_qps(fn, budget_s, max_reps=400, chunk_reps=25):
+        d, ids = fn(qbatch)  # warmup + compile
+        np.asarray(ids)
         reps = 0
         t0 = time.perf_counter()
-        last = None
+        q = qbatch
+        # Issue in chunks of chained dispatches and materialize between
+        # chunks: dispatch issue never blocks, so the budget check only
+        # binds at a synchronization point.
         while time.perf_counter() - t0 < budget_s and reps < max_reps:
-            last = fn()
-            reps += 1
-        jax.block_until_ready(last)
+            for _ in range(chunk_reps):
+                d, ids = fn(q)
+                q = qbatch + 0.0 * d[:, :1]  # chain: depends on last call
+                reps += 1
+            np.asarray(ids)
         return reps * batch / (time.perf_counter() - t0)
 
     qps = sustained_qps(
-        lambda: searcher.search(qbatch, args.k, chosen, mode=args.mode)[1], 5.0
+        lambda q: searcher.search(q, args.k, chosen, mode=args.mode), 5.0
     )
     log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
 
     # Bonus: exact-scan throughput (recall 1.0).
-    exact_qps = sustained_qps(lambda: searcher.exact(qbatch, args.k)[1], 3.0)
+    exact_qps = sustained_qps(lambda q: searcher.exact(q, args.k), 3.0)
     log(f"device exact-scan QPS (recall=1.0): {exact_qps:.0f}")
 
     # 6. CPU single-core baseline at the same nprobe -----------------
