@@ -198,7 +198,7 @@ def main():
     log(f"index: k={index.n_clusters} dim={index.dim} rows={index.total_rows}")
 
     # 3. Device searcher + ground truth ------------------------------
-    truth_searcher = DeviceIvfSearcher(index, emb, row_tile=4096)
+    truth_searcher = DeviceIvfSearcher(index, emb, row_tile=4096, cluster_sorted=True)
     rng = np.random.default_rng(7)
     q_rows = rng.integers(0, args.rows, args.queries)
     queries = emb[q_rows] + 0.05 * rng.standard_normal(
@@ -214,7 +214,9 @@ def main():
     if args.bf16:
         import jax.numpy as jnp
 
-        searcher = DeviceIvfSearcher(index, emb, row_tile=4096, dtype=jnp.bfloat16)
+        searcher = DeviceIvfSearcher(
+            index, emb, row_tile=4096, dtype=jnp.bfloat16, cluster_sorted=True
+        )
     else:
         searcher = truth_searcher
 
@@ -242,39 +244,50 @@ def main():
         log(f"recall target not reached; using nprobe={chosen}")
 
     # 5. Sustained batched QPS at the operating point ----------------
-    # Dispatches are issued asynchronously (a serving loop keeps the device
-    # queue full) but each call's query carries a data dependency on the
-    # previous call's output, and the final result is materialized with
-    # np.asarray: through the axon tunnel `block_until_ready` can return
-    # before the work is done, so only a host round-trip of data that
-    # transitively depends on every dispatch proves execution (CLAUDE.md).
+    # Each timed call runs `chunk_reps` data-dependency-chained batches
+    # inside ONE device dispatch (DeviceIvfSearcher.search_loop) and the
+    # result is materialized with np.asarray: through the axon tunnel every
+    # dispatch pays ~15-20 ms host/transport overhead (which floors
+    # per-dispatch QPS regardless of kernel speed) and `block_until_ready`
+    # can return early — only a host round-trip of data that transitively
+    # depends on every batch proves execution (CLAUDE.md). This measures
+    # device throughput the way a co-located serving loop would see it.
     batch = min(args.batch, args.queries)
     qbatch = queries[:batch]
 
-    def sustained_qps(fn, budget_s, max_reps=400, chunk_reps=25):
-        d, ids = fn(qbatch)  # warmup + compile
-        np.asarray(ids)
+    def sustained_qps(loop_fn, budget_s, max_calls=16, chunk_reps=25):
+        np.asarray(loop_fn(qbatch, 1)[1])  # compile both shapes
+        np.asarray(loop_fn(qbatch, chunk_reps)[1])
         reps = 0
         t0 = time.perf_counter()
-        q = qbatch
-        # Issue in chunks of chained dispatches and materialize between
-        # chunks: dispatch issue never blocks, so the budget check only
-        # binds at a synchronization point.
-        while time.perf_counter() - t0 < budget_s and reps < max_reps:
-            for _ in range(chunk_reps):
-                d, ids = fn(q)
-                q = qbatch + 0.0 * d[:, :1]  # chain: depends on last call
-                reps += 1
+        while time.perf_counter() - t0 < budget_s and reps < max_calls * chunk_reps:
+            _, ids = loop_fn(qbatch, chunk_reps)
             np.asarray(ids)
+            reps += chunk_reps
         return reps * batch / (time.perf_counter() - t0)
 
-    qps = sustained_qps(
-        lambda q: searcher.search(q, args.k, chosen, mode=args.mode), 5.0
-    )
+    def _repeat_dispatch(fn, q0, r):
+        d = ids = None
+        q = q0
+        for _ in range(r):
+            d, ids = fn(q)
+            q = q0 + 0.0 * d[:, :1]
+        return d, ids
+
+    if args.mode in ("auto", "pallas"):
+        ivf_loop = lambda q, r: searcher.search_loop(q, args.k, chosen, reps=r)
+    else:  # measure non-default modes one dispatch per batch
+        ivf_loop = lambda q, r: _repeat_dispatch(
+            lambda qq: searcher.search(qq, args.k, chosen, mode=args.mode), q, r
+        )
+
+    qps = sustained_qps(ivf_loop, 5.0)
     log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
 
     # Bonus: exact-scan throughput (recall 1.0).
-    exact_qps = sustained_qps(lambda q: searcher.exact(q, args.k), 3.0)
+    exact_qps = sustained_qps(
+        lambda q, r: searcher.exact_loop(q, args.k, reps=r), 3.0
+    )
     log(f"device exact-scan QPS (recall=1.0): {exact_qps:.0f}")
 
     # 6. CPU single-core baseline at the same nprobe -----------------

@@ -410,6 +410,13 @@ class DeviceIvfSearcher:
             np.arange(index.n_clusters, dtype=np.int32), sizes
         )
         self.row_cluster = jnp.asarray(row_cluster)
+        # Sorted cluster ids (cluster_sorted layout, or data already stored
+        # in cluster order) let the masked Pallas kernel use per-tile local
+        # cluster tables — the mask matmul shrinks from kc to ~tile/avg_size
+        # columns. Cache of tile-size -> (local_cluster, tile_clusters, cmax).
+        self._row_cluster_host = row_cluster
+        self._row_cluster_sorted = bool(np.all(np.diff(row_cluster) >= 0))
+        self._tile_tables: dict[int, tuple[jnp.ndarray, jnp.ndarray, int]] = {}
 
     @classmethod
     def from_parquet(
@@ -532,29 +539,53 @@ class DeviceIvfSearcher:
                 mode = "masked" if gather_bytes > self.n else "gather"
 
         if mode == "pallas":
-            # Fused Pallas kernel: per-tile top-k extracted in VMEM instead of
-            # the XLA lax.top_k merge (see kernels/scan_topk.py). Opt-in until
-            # hardware profiling promotes it to the default.
-            from ..kernels.scan_topk import pallas_masked_topk
+            # Fused Pallas kernel: per-tile top-k extracted in VMEM instead
+            # of the XLA lax.top_k merge (see kernels/scan_topk.py). With a
+            # cluster-sorted layout the mask work runs on per-tile local
+            # cluster tables (~100x fewer mask MACs, identical results).
+            from ..kernels.scan_topk import (
+                pallas_masked_local_topk,
+                pallas_masked_topk,
+            )
 
             max_probe = 1
             while max_probe < nprobe:
                 max_probe *= 2
             max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
                             self.index.n_clusters)
-            d2, ids = pallas_masked_topk(
-                q,
-                self.centroids,
-                self.c_sq,
-                self.row_cluster,
-                self.emb,
-                self._pallas_emb_sq(),
-                jnp.int32(nprobe),
-                k,
-                max_probe=max_probe,
-                tile=self._pallas_tile(self.row_tile, q.shape[0]),
-                interpret=jax.default_backend() != "tpu",
-            )
+            tile_p = self._pallas_tile(self.row_tile, q.shape[0])
+            interpret = jax.default_backend() != "tpu"
+            if self._row_cluster_sorted:
+                lcl, tc, cmax = self._tile_cluster_table(tile_p)
+                d2, ids = pallas_masked_local_topk(
+                    q,
+                    self.centroids,
+                    self.c_sq,
+                    lcl,
+                    tc,
+                    self.emb,
+                    self._pallas_emb_sq(),
+                    jnp.int32(nprobe),
+                    k,
+                    max_probe=max_probe,
+                    tile=tile_p,
+                    cmax=cmax,
+                    interpret=interpret,
+                )
+            else:
+                d2, ids = pallas_masked_topk(
+                    q,
+                    self.centroids,
+                    self.c_sq,
+                    self.row_cluster,
+                    self.emb,
+                    self._pallas_emb_sq(),
+                    jnp.int32(nprobe),
+                    k,
+                    max_probe=max_probe,
+                    tile=tile_p,
+                    interpret=interpret,
+                )
         elif mode == "masked":
             # max_probe buckets (powers of two) so an nprobe sweep shares one
             # compiled executable per bucket.
@@ -610,6 +641,97 @@ class DeviceIvfSearcher:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
+    def _tile_cluster_table(self, tile: int):
+        """(local_cluster [n_pad] f32, tile_clusters [nt, cmax] i32, cmax)
+        for the local-mask kernel; requires sorted row_cluster."""
+        if tile not in self._tile_tables:
+            rc = self._row_cluster_host
+            nt = rc.size // tile
+            parts = rc.reshape(nt, tile)
+            uniques = [np.unique(parts[t]) for t in range(nt)]
+            # 128-lane floor: smaller last dims mis-lower under Mosaic
+            # (observed id scrambling at cmax=16 on chip).
+            cmax = max(128, -(-max(u.size for u in uniques) // 128) * 128)
+            # Pad slots point at the sentinel cluster (n_clusters), whose
+            # mask bit is never set; no row maps to a pad slot.
+            tc = np.full((nt, cmax), self.index.n_clusters, dtype=np.int32)
+            lcl = np.empty((nt, tile), dtype=np.float32)
+            for t, u in enumerate(uniques):
+                tc[t, : u.size] = u
+                lcl[t] = np.searchsorted(u, parts[t])
+            self._tile_tables[tile] = (
+                jnp.asarray(lcl.reshape(-1)),
+                jnp.asarray(tc),
+                cmax,
+            )
+        return self._tile_tables[tile]
+
+    def search_loop(self, queries, k: int, nprobe: int, reps: int = 16):
+        """``reps`` data-dependency-chained IVF searches in ONE dispatch.
+
+        Through the axon tunnel every dispatch pays ~15-20 ms of host/
+        transport overhead, which floors single-dispatch QPS measurements
+        regardless of kernel speed (PERFORMANCE.md). Chaining the batches
+        inside one jitted ``lax.scan`` measures true device throughput the
+        way a co-located serving loop would see it. Returns the last
+        iteration's (sqrt distances, ids); every iteration's winners feed
+        the next query, so materializing the result proves all ``reps``
+        executed.
+        """
+        q = self._check_queries(queries)
+        if k <= 0:
+            raise ValidationError("k must be > 0")
+        nprobe = min(max(nprobe, 1), self.index.n_clusters)
+        max_probe = 1
+        while max_probe < nprobe:
+            max_probe *= 2
+        max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
+                        self.index.n_clusters)
+        tile_p = self._pallas_tile(self.row_tile, q.shape[0])
+        interpret = jax.default_backend() != "tpu"
+        use_local = self._row_cluster_sorted
+        if use_local:
+            lcl, tc, cmax = self._tile_cluster_table(tile_p)
+        else:
+            lcl = jnp.zeros(1, jnp.float32)
+            tc = jnp.zeros((1, 1), jnp.int32)
+            cmax = 1
+        d2, ids = _masked_pallas_loop(
+            q,
+            self.centroids,
+            self.c_sq,
+            self.row_cluster,
+            lcl,
+            tc,
+            self.emb,
+            self._pallas_emb_sq(),
+            jnp.int32(nprobe),
+            k=k,
+            max_probe=max_probe,
+            tile=tile_p,
+            cmax=cmax,
+            reps=reps,
+            use_local=use_local,
+            interpret=interpret,
+        )
+        return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def exact_loop(self, queries, k: int, reps: int = 16):
+        """``reps`` chained exact scans in one dispatch (see search_loop)."""
+        q = self._check_queries(queries)
+        if k <= 0:
+            raise ValidationError("k must be > 0")
+        d2, ids = _exact_pallas_loop(
+            q,
+            self.emb,
+            self._pallas_emb_sq(),
+            k=k,
+            tile=self._pallas_tile(self.row_tile, q.shape[0]),
+            reps=reps,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return jnp.sqrt(d2), self._map_ids(d2, ids)
+
     def _approx_chunk(self) -> int:
         """Score-chunk rows for the approx modes: big enough to amortize the
         ApproxTopK custom-call per chunk, small enough that the transient
@@ -628,6 +750,55 @@ class DeviceIvfSearcher:
         if self._gid_dev is not None:
             ids = self._gid_dev[jnp.clip(ids, 0, self.n - 1)]
         return jnp.where(invalid, -1, ids)
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_probe", "tile", "cmax", "reps", "use_local", "interpret"
+    ),
+)
+def _masked_pallas_loop(
+    q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
+    k, max_probe, tile, cmax, reps, use_local, interpret,
+):
+    from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
+
+    def body(q):
+        if use_local:
+            return pallas_masked_local_topk(
+                q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
+                max_probe=max_probe, tile=tile, cmax=cmax, interpret=interpret,
+            )
+        return pallas_masked_topk(
+            q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe, k,
+            max_probe=max_probe, tile=tile, interpret=interpret,
+        )
+
+    def step(q, _):
+        d2, ids = body(q)
+        # Next query depends on this iteration's output (forces execution).
+        return q0 + 0.0 * d2[:, :1], (d2, ids)
+
+    _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+    return d2s[-1], idss[-1]
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("k", "tile", "reps", "interpret")
+)
+def _exact_pallas_loop(q0, emb, emb_sq, k, tile, reps, interpret):
+    from ..kernels.scan_topk import pallas_exact_topk
+
+    def step(q, _):
+        d2, ids = pallas_exact_topk(q, emb, emb_sq, k, tile=tile, interpret=interpret)
+        return q0 + 0.0 * d2[:, :1], (d2, ids)
+
+    _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+    return d2s[-1], idss[-1]
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))

@@ -170,3 +170,42 @@ def test_ivf_approx_missing_slots(setup):
     assert (ids[n_cand:] == -1).all()
     assert np.isinf(np.asarray(d)[0][n_cand:]).all()
     assert (ids[:n_cand] != -1).all()
+
+
+def test_cluster_sorted_pallas_local_mask(setup):
+    """Pallas mode on a cluster_sorted searcher routes through the per-tile
+    local cluster tables (interpret mode on CPU) and matches the gather path."""
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    assert s._row_cluster_sorted
+    k, nprobe = 4, 3
+    d_p, i_p = s.search(queries, k=k, nprobe=nprobe, mode="pallas")
+    assert s._tile_tables  # the local-table path really ran
+    d_g, i_g = s.search(queries, k=k, nprobe=nprobe, mode="gather")
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_g))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_g), rtol=1e-5)
+
+
+def test_search_loop_matches_single(setup):
+    """The in-dispatch loop API returns the same results as one search call
+    (the loop re-issues the same query batch via the chained dependency)."""
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    d1, i1 = s.search(queries, k=4, nprobe=3, mode="pallas")
+    dl, il = s.search_loop(queries, k=4, nprobe=3, reps=2)
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(d1), rtol=1e-5)
+
+    de, ie = s.exact(queries, k=4, mode="pallas")
+    dle, ile = s.exact_loop(queries, k=4, reps=2)
+    np.testing.assert_array_equal(np.asarray(ile), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(dle), np.asarray(de), rtol=1e-5)
+
+
+def test_search_loop_unsorted_layout(setup):
+    """Loop API falls back to the global-mask kernel on unsorted layouts."""
+    x, index, searcher, queries = setup
+    assert not searcher._row_cluster_sorted
+    d1, i1 = searcher.search(queries, k=4, nprobe=3, mode="pallas")
+    dl, il = searcher.search_loop(queries, k=4, nprobe=3, reps=2)
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
