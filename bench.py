@@ -256,8 +256,7 @@ def main():
     qbatch = queries[:batch]
 
     def sustained_qps(loop_fn, budget_s, max_calls=16, chunk_reps=25):
-        np.asarray(loop_fn(qbatch, 1)[1])  # compile both shapes
-        np.asarray(loop_fn(qbatch, chunk_reps)[1])
+        np.asarray(loop_fn(qbatch, chunk_reps)[1])  # compile + warm
         reps = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < budget_s and reps < max_calls * chunk_reps:
@@ -267,11 +266,14 @@ def main():
         return reps * batch / (time.perf_counter() - t0)
 
     def _repeat_dispatch(fn, q0, r):
+        import jax.numpy as jnp
+
         d = ids = None
         q = q0
         for _ in range(r):
             d, ids = fn(q)
-            q = q0 + 0.0 * d[:, :1]
+            link = jnp.where(jnp.isfinite(d[:, :1]), d[:, :1], 0.0)
+            q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
     if args.mode in ("auto", "pallas"):

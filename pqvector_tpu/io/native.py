@@ -70,6 +70,19 @@ def load() -> ctypes.CDLL | None:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            # A stale .so from an older checkout lacks newer entry points
+            # (symbol lookup raises AttributeError at binding time below,
+            # which would escape to callers expecting the None fallback).
+            # Rebuild once if the newest symbol is missing.
+            if not hasattr(lib, "pqv_decode_pages"):
+                del lib
+                if not ensure_built(force=True):
+                    _load_failed = True
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
+                if not hasattr(lib, "pqv_decode_pages"):
+                    _load_failed = True
+                    return None
         except OSError:
             _load_failed = True
             return None

@@ -143,6 +143,59 @@ def _ivf_topk_impl(
     return _refine_and_sort(q, emb, best_d, best_i)
 
 
+def _approx_min_k_clamped(partial, k, recall_target):
+    """approx_min_k that honors k > width (pads results with +inf / id 0)."""
+    width = partial.shape[1]
+    kk = min(k, width)
+    vals, idx = jax.lax.approx_min_k(partial, kk, recall_target=recall_target)
+    if kk < k:
+        b = partial.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, k - kk), jnp.inf, vals.dtype)], axis=1
+        )
+        idx = jnp.concatenate([idx, jnp.zeros((b, k - kk), idx.dtype)], axis=1)
+    return vals, idx
+
+
+def _approx_scan(q, emb, chunk_topk, operands, k, chunk):
+    """Shared chunked-scan scaffolding for the ApproxTopK modes.
+
+    ``operands`` are per-row arrays ([n_pad] or [n_pad, d]) fed to
+    ``chunk_topk(slices..., base)`` per chunk; a static tail handles n_pad
+    not being a chunk multiple. Winners from all chunks are merged exactly.
+    """
+    b = q.shape[0]
+    n_pad = operands[0].shape[0]
+    nc = n_pad // chunk
+    parts_d = []
+    parts_i = []
+    if nc:
+        chunked = tuple(
+            op[: nc * chunk].reshape((nc, chunk) + op.shape[1:])
+            for op in operands
+        )
+
+        def step(_, inputs):
+            ci, slices = inputs
+            return None, chunk_topk(*slices, ci * chunk)
+
+        _, (cd, cix) = jax.lax.scan(
+            step, None, (jnp.arange(nc, dtype=jnp.int32), chunked)
+        )
+        parts_d.append(jnp.transpose(cd, (1, 0, 2)).reshape(b, nc * k))
+        parts_i.append(jnp.transpose(cix, (1, 0, 2)).reshape(b, nc * k))
+    if n_pad > nc * chunk:  # static tail (n_pad is not a chunk multiple)
+        td, tix = chunk_topk(*(op[nc * chunk :] for op in operands), nc * chunk)
+        parts_d.append(td)
+        parts_i.append(tix)
+
+    all_d = jnp.concatenate(parts_d, axis=1)
+    all_i = jnp.concatenate(parts_i, axis=1)
+    neg, pos = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
+    best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
+    return _refine_and_sort(q, emb, best_d, best_i)
+
+
 def _exact_approx_topk_impl(
     q: jnp.ndarray,  # [B, d] f32
     emb: jnp.ndarray,  # [n_pad, d]
@@ -160,44 +213,15 @@ def _exact_approx_topk_impl(
     exactly and re-sorted, so returned distances are exact and only the
     *selection* is approximate (like the IVF probe itself).
     """
-    b, d = q.shape
-    n_pad = emb.shape[0]
     qf = q.astype(emb.dtype)
 
     def chunk_topk(x, x2, base):
         scores = jnp.dot(qf, x.T, preferred_element_type=jnp.float32)
         partial = x2[None, :] - 2.0 * scores
-        vals, idx = jax.lax.approx_min_k(partial, k, recall_target=recall_target)
+        vals, idx = _approx_min_k_clamped(partial, k, recall_target)
         return vals, base + idx.astype(jnp.int32)
 
-    nc = n_pad // chunk
-    parts_d = []
-    parts_i = []
-    if nc:
-        emb_t = emb[: nc * chunk].reshape(nc, chunk, d)
-        sq_t = emb_sq[: nc * chunk].reshape(nc, chunk)
-
-        def step(_, inputs):
-            ci, (xt, x2t) = inputs
-            return None, chunk_topk(xt, x2t, ci * chunk)
-
-        _, (cd, cix) = jax.lax.scan(
-            step, None, (jnp.arange(nc, dtype=jnp.int32), (emb_t, sq_t))
-        )
-        parts_d.append(jnp.transpose(cd, (1, 0, 2)).reshape(b, nc * k))
-        parts_i.append(jnp.transpose(cix, (1, 0, 2)).reshape(b, nc * k))
-    if n_pad > nc * chunk:  # static tail (n_pad is not a chunk multiple)
-        td, tix = chunk_topk(
-            emb[nc * chunk :], emb_sq[nc * chunk :], nc * chunk
-        )
-        parts_d.append(td)
-        parts_i.append(tix)
-
-    all_d = jnp.concatenate(parts_d, axis=1)
-    all_i = jnp.concatenate(parts_i, axis=1)
-    neg, pos = jax.lax.top_k(-all_d, k)
-    best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
-    return _refine_and_sort(q, emb, best_d, best_i)
+    return _approx_scan(q, emb, chunk_topk, (emb, emb_sq), k, chunk)
 
 
 def _ivf_approx_masked_impl(
@@ -214,9 +238,8 @@ def _ivf_approx_masked_impl(
     recall_target: float,
 ):
     """Masked IVF scan with ApproxTopK extraction (see _exact_approx_topk)."""
-    b, d = q.shape
+    b = q.shape[0]
     kc = centroids.shape[0]
-    n_pad = emb.shape[0]
     qf = q.astype(emb.dtype)
 
     c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
@@ -230,41 +253,10 @@ def _ivf_approx_masked_impl(
         partial = x2[None, :] - 2.0 * scores
         probed = jnp.take(mask, cl, axis=1)  # [B, C]
         partial = jnp.where(probed, partial, jnp.inf)
-        vals, idx = jax.lax.approx_min_k(partial, k, recall_target=recall_target)
+        vals, idx = _approx_min_k_clamped(partial, k, recall_target)
         return vals, base + idx.astype(jnp.int32)
 
-    nc = n_pad // chunk
-    parts_d = []
-    parts_i = []
-    if nc:
-        emb_t = emb[: nc * chunk].reshape(nc, chunk, d)
-        sq_t = emb_sq[: nc * chunk].reshape(nc, chunk)
-        cl_t = row_cluster[: nc * chunk].reshape(nc, chunk)
-
-        def step(_, inputs):
-            ci, (xt, x2t, ct) = inputs
-            return None, chunk_topk(xt, x2t, ct, ci * chunk)
-
-        _, (cd, cix) = jax.lax.scan(
-            step, None, (jnp.arange(nc, dtype=jnp.int32), (emb_t, sq_t, cl_t))
-        )
-        parts_d.append(jnp.transpose(cd, (1, 0, 2)).reshape(b, nc * k))
-        parts_i.append(jnp.transpose(cix, (1, 0, 2)).reshape(b, nc * k))
-    if n_pad > nc * chunk:
-        td, tix = chunk_topk(
-            emb[nc * chunk :],
-            emb_sq[nc * chunk :],
-            row_cluster[nc * chunk :],
-            nc * chunk,
-        )
-        parts_d.append(td)
-        parts_i.append(tix)
-
-    all_d = jnp.concatenate(parts_d, axis=1)
-    all_i = jnp.concatenate(parts_i, axis=1)
-    neg, pos = jax.lax.top_k(-all_d, k)
-    best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
-    return _refine_and_sort(q, emb, best_d, best_i)
+    return _approx_scan(q, emb, chunk_topk, (emb, emb_sq, row_cluster), k, chunk)
 
 
 def _ivf_masked_scan_impl(
@@ -548,14 +540,10 @@ class DeviceIvfSearcher:
                 pallas_masked_topk,
             )
 
-            max_probe = 1
-            while max_probe < nprobe:
-                max_probe *= 2
-            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
-                            self.index.n_clusters)
+            max_probe = self._max_probe_bucket(nprobe)
             tile_p = self._pallas_tile(self.row_tile, q.shape[0])
             interpret = jax.default_backend() != "tpu"
-            if self._row_cluster_sorted:
+            if self._use_local_mask(tile_p, q.shape[0]):
                 lcl, tc, cmax = self._tile_cluster_table(tile_p)
                 d2, ids = pallas_masked_local_topk(
                     q,
@@ -589,11 +577,7 @@ class DeviceIvfSearcher:
         elif mode == "masked":
             # max_probe buckets (powers of two) so an nprobe sweep shares one
             # compiled executable per bucket.
-            max_probe = 1
-            while max_probe < nprobe:
-                max_probe *= 2
-            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
-                            self.index.n_clusters)
+            max_probe = self._max_probe_bucket(nprobe)
             d2, ids = _ivf_masked_scan(
                 q,
                 self.centroids,
@@ -607,11 +591,7 @@ class DeviceIvfSearcher:
                 tile=self.row_tile,
             )
         elif mode == "approx":
-            max_probe = 1
-            while max_probe < nprobe:
-                max_probe *= 2
-            max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
-                            self.index.n_clusters)
+            max_probe = self._max_probe_bucket(nprobe)
             d2, ids = _ivf_approx_masked(
                 q,
                 self.centroids,
@@ -640,6 +620,27 @@ class DeviceIvfSearcher:
         else:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def _use_local_mask(self, tile: int, batch: int) -> bool:
+        """Local-mask kernel needs sorted cluster ids AND a bounded lmask
+        buffer: the pre-gathered [nt, B, cmax] mask costs
+        (n_pad/tile)*B*cmax*4 bytes of HBM — ~10 GB at B=1024 on 10M rows.
+        Cap it at 256 MB; beyond that the global-mask kernel wins anyway
+        (its extra matmul is batch-linear too, but needs no buffer)."""
+        if not self._row_cluster_sorted:
+            return False
+        nt = self.emb.shape[0] // tile
+        cmax = self._tile_tables.get(tile, (None, None, 128))[2]
+        return nt * batch * cmax * 4 <= (256 << 20)
+
+    def _max_probe_bucket(self, nprobe: int) -> int:
+        """Power-of-two max_probe bucket (floor 128) so an nprobe sweep
+        shares one compiled executable per bucket."""
+        max_probe = 1
+        while max_probe < nprobe:
+            max_probe *= 2
+        return min(max(max_probe, min(128, self.index.n_clusters)),
+                   self.index.n_clusters)
 
     def _tile_cluster_table(self, tile: int):
         """(local_cluster [n_pad] f32, tile_clusters [nt, cmax] i32, cmax)
@@ -682,14 +683,10 @@ class DeviceIvfSearcher:
         if k <= 0:
             raise ValidationError("k must be > 0")
         nprobe = min(max(nprobe, 1), self.index.n_clusters)
-        max_probe = 1
-        while max_probe < nprobe:
-            max_probe *= 2
-        max_probe = min(max(max_probe, min(128, self.index.n_clusters)),
-                        self.index.n_clusters)
+        max_probe = self._max_probe_bucket(nprobe)
         tile_p = self._pallas_tile(self.row_tile, q.shape[0])
         interpret = jax.default_backend() != "tpu"
-        use_local = self._row_cluster_sorted
+        use_local = self._use_local_mask(tile_p, q.shape[0])
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -781,7 +778,10 @@ def _masked_pallas_loop(
     def step(q, _):
         d2, ids = body(q)
         # Next query depends on this iteration's output (forces execution).
-        return q0 + 0.0 * d2[:, :1], (d2, ids)
+        # Non-finite top-1 (no candidates) is zeroed so 0*inf -> NaN cannot
+        # poison the chain.
+        link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+        return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
     return d2s[-1], idss[-1]
@@ -795,7 +795,8 @@ def _exact_pallas_loop(q0, emb, emb_sq, k, tile, reps, interpret):
 
     def step(q, _):
         d2, ids = pallas_exact_topk(q, emb, emb_sq, k, tile=tile, interpret=interpret)
-        return q0 + 0.0 * d2[:, :1], (d2, ids)
+        link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+        return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
     return d2s[-1], idss[-1]

@@ -209,3 +209,18 @@ def test_search_loop_unsorted_layout(setup):
     d1, i1 = searcher.search(queries, k=4, nprobe=3, mode="pallas")
     dl, il = searcher.search_loop(queries, k=4, nprobe=3, reps=2)
     np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
+
+
+def test_exact_approx_k_exceeds_n(setup):
+    """approx mode honors the k > n contract (surplus slots -1/inf) instead
+    of tripping approx_min_k's k < width requirement."""
+    x, _, searcher, queries = setup
+    n = x.shape[0]
+    d, ids = searcher.exact(queries[:2], k=n + 40, mode="approx")
+    ids = np.asarray(ids)
+    d = np.asarray(d)
+    assert ids.shape == (2, n + 40)
+    assert (ids[:, n:] == -1).all()
+    assert np.isinf(d[:, n:]).all()
+    want_ids, _ = brute_force(x, queries[0], 5)
+    np.testing.assert_array_equal(ids[0][:5], want_ids)

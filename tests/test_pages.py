@@ -172,12 +172,13 @@ def test_batched_read_matches_python_fallback(tmp_path, vectors, monkeypatch):
     rng = np.random.default_rng(9)
     rows = rng.integers(0, 500, size=64)
     reader = PageSelectiveReader(path, EmbeddingColumn("vec"))
-    batched = reader._read_rows_batched(
-        np.asarray(rows, np.int64),
-        np.searchsorted(reader._rg_starts, rows, side="right") - 1,
-        12,
-        open(path, "rb"),
-    )
+    with open(path, "rb") as f:
+        batched = reader._read_rows_batched(
+            np.asarray(rows, np.int64),
+            np.searchsorted(reader._rg_starts, rows, side="right") - 1,
+            12,
+            f,
+        )
     assert batched is not None  # the fast path really ran
     got = reader.read_rows(rows, 12)
     np.testing.assert_array_equal(batched, got)
