@@ -16,6 +16,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS even under the axon sitecustomize, which pins
+# jax_platforms=axon so the env var alone is ignored. Without this, the test
+# suite's example subprocesses would run k-means on the real TPU (violating
+# the one-TPU-process rule and failing whenever the chip is busy).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from pqvector_tpu import IndexBuilder, has_pq_vector_index  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -375,6 +376,21 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
   if (!parse_page_header(raw, raw_len, h)) return ERR_MALFORMED;
   if (h.page_type != 0 && h.page_type != 3) return ERR_UNSUPPORTED;
   if (h.encoding != 0) return ERR_UNSUPPORTED;  // PLAIN only
+  // Header-declared sizes are untrusted (hostile/corrupt files must fail with
+  // an error code, never read out of bounds or terminate): sign-check every
+  // size, bound the V2 level lengths by both body sizes, and cap the
+  // decompression scratch so a forged uncompressed_size cannot bad_alloc
+  // across the extern-C boundary.
+  if (h.num_values < 0 || h.compressed_size < 0 || h.uncompressed_size < 0 ||
+      h.rep_levels_len < 0 || h.def_levels_len < 0)
+    return ERR_MALFORMED;
+  if (h.page_type == 3) {
+    int64_t levels = static_cast<int64_t>(h.rep_levels_len) + h.def_levels_len;
+    if (levels > h.compressed_size || levels > h.uncompressed_size)
+      return ERR_MALFORMED;
+  }
+  constexpr int64_t kMaxPageBytes = int64_t{1} << 30;  // 1 GiB sanity cap
+  if (h.uncompressed_size > kMaxPageBytes) return ERR_MALFORMED;
   if (h.header_len + static_cast<size_t>(h.compressed_size) > raw_len)
     return ERR_TRUNCATED;
 
@@ -405,7 +421,11 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
     }
     size_t want = h.uncompressed_size - h.rep_levels_len - h.def_levels_len;
     if (h.v2_is_compressed) {
-      scratch.resize(want);
+      try {
+        scratch.resize(want);
+      } catch (const std::bad_alloc&) {
+        return ERR_CAPACITY;
+      }
       size_t got = 0;
       int rc = decompress(codec, vals, vals_len, scratch.data(), want, &got);
       if (rc) return rc;
@@ -416,7 +436,11 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
       values_len = vals_len;
     }
   } else {  // V1: whole body compressed; levels have u32 length prefixes
-    scratch.resize(h.uncompressed_size);
+    try {
+      scratch.resize(h.uncompressed_size);
+    } catch (const std::bad_alloc&) {
+      return ERR_CAPACITY;
+    }
     size_t got = 0;
     int rc = decompress(codec, body, h.compressed_size, scratch.data(),
                         scratch.size(), &got);

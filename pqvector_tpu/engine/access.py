@@ -65,7 +65,17 @@ def access_plan_for_rows(row_groups: list[int], rows: np.ndarray) -> ParquetAcce
         return ParquetAccessPlan.new_none(n_groups)
     starts = np.concatenate([[0], np.cumsum(np.asarray(row_groups, dtype=np.int64))])
     rows = np.asarray(rows, dtype=np.int64)
-    group_of = np.clip(np.searchsorted(starts, rows, side="right") - 1, 0, n_groups - 1)
+    # Candidate ids beyond the file's rows mean a corrupt/stale index payload;
+    # report that instead of silently mapping them into the last group (same
+    # bounds discipline as io/pages.py read_rows and query/selective.py).
+    if rows.size and (rows.min() < 0 or rows.max() >= starts[-1]):
+        from ..errors import ExecutionError
+
+        raise ExecutionError(
+            f"Candidate row id {int(rows.max())} out of bounds for file with "
+            f"{int(starts[-1])} rows (corrupt or stale index payload?)"
+        )
+    group_of = np.searchsorted(starts, rows, side="right") - 1
     plan = ParquetAccessPlan.new_none(n_groups)
     for g in np.unique(group_of):
         local = rows[group_of == g] - starts[g]

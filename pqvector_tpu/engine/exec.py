@@ -261,7 +261,13 @@ class VectorTopKExec(ExecutionPlan):
                 valid_mask = np.asarray(chunk.is_valid())
             if pa.types.is_fixed_size_list(typ):
                 lengths = np.full(n, typ.list_size, dtype=np.int64)
-                flat = chunk.flatten()
+                # chunk.flatten() drops null slots, which would misalign every
+                # later row against starts = i*list_size; the raw values
+                # buffer keeps null slots in place (their garbage values are
+                # excluded via valid_mask below).
+                flat = chunk.values.slice(
+                    chunk.offset * typ.list_size, n * typ.list_size
+                )
                 starts = np.arange(n, dtype=np.int64) * typ.list_size
             else:
                 offsets = np.asarray(chunk.offsets)

@@ -89,6 +89,13 @@ class VectorIndexScanExec(ExecutionPlan):
         path = file.object_path
         file_size = file.file_size
         tail = store.get_range(path, file_size - _FOOTER_SIZE, file_size)
+        if tail[4:] == b"PARE":
+            # Match the precise io-path error (parquet.rs:556-558 rejects
+            # encrypted footers explicitly rather than as "not parquet").
+            raise ExecutionError(
+                f"Parquet file '{path}' has an encrypted footer; "
+                "pq_vector indexes require plaintext footers"
+            )
         if tail[4:] != b"PAR1":
             raise ExecutionError(f"'{path}' is not a valid parquet file")
         metadata_len = int.from_bytes(tail[:4], "little")

@@ -14,6 +14,13 @@ Requirements: exactly one ASC sort key (:139-145) whose expression is
 exactly one Parquet scan under the sort with a nonzero file count (:149-159),
 ``k = min(sort.fetch, limit.fetch)`` (:161-169). Any ``skip > 0`` above
 disables the rewrite (:59-63).
+
+Note on shapes 1 and 3: our planner (engine/session.py:plan_statement) is
+single-partition and only ever emits ``SortExec``/``GlobalLimitExec``, so the
+``SortPreservingMergeExec`` and ``LocalLimitExec`` branches fire only on
+hand-constructed plans (tests/test_rule_shapes.py). They are kept for parity
+bookkeeping with the reference's four shapes and so externally-built plans
+(or a future multi-partition planner) rewrite identically.
 """
 
 from __future__ import annotations

@@ -426,6 +426,23 @@ def decode_data_page(
         raise ExecutionError(
             f"Embedding pages must be PLAIN encoded, got encoding {header.encoding}"
         )
+    # Header-declared sizes are untrusted; reject instead of slicing with
+    # bogus offsets (the native decoder applies the same checks).
+    if (
+        header.num_values < 0
+        or header.compressed_size < 0
+        or header.uncompressed_size < 0
+        or header.rep_levels_len < 0
+        or header.def_levels_len < 0
+    ):
+        raise ExecutionError("Malformed page header: negative size field")
+    if header.page_type == _PAGE_DATA_V2 and (
+        header.rep_levels_len + header.def_levels_len
+        > min(header.compressed_size, header.uncompressed_size)
+    ):
+        raise ExecutionError(
+            "Malformed page header: level lengths exceed page size"
+        )
 
     n = header.num_values
     rep_bits = (leaf.max_rep).bit_length() if leaf.max_rep else 0

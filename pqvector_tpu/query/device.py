@@ -409,6 +409,7 @@ class DeviceIvfSearcher:
         self._row_cluster_host = row_cluster
         self._row_cluster_sorted = bool(np.all(np.diff(row_cluster) >= 0))
         self._tile_tables: dict[int, tuple[jnp.ndarray, jnp.ndarray, int]] = {}
+        self._cmax_cache: dict[int, int] = {}
 
     @classmethod
     def from_parquet(
@@ -630,8 +631,22 @@ class DeviceIvfSearcher:
         if not self._row_cluster_sorted:
             return False
         nt = self.emb.shape[0] // tile
-        cmax = self._tile_tables.get(tile, (None, None, 128))[2]
+        cmax = self._cmax_for_tile(tile)
         return nt * batch * cmax * 4 <= (256 << 20)
+
+    def _cmax_for_tile(self, tile: int) -> int:
+        """True 128-padded cmax for a tile size, computed without building
+        the full tile table (the gate must not guess: a mispredicted cmax
+        could admit a surprise multi-GB lmask buffer). For sorted cluster
+        ids the per-tile distinct count is run-boundaries-within-tile + 1."""
+        cached = self._tile_tables.get(tile)
+        if cached is not None:
+            return cached[2]
+        if tile not in self._cmax_cache:
+            parts = self._row_cluster_host.reshape(-1, tile)
+            nuniq = int((np.diff(parts, axis=1) != 0).sum(axis=1).max()) + 1
+            self._cmax_cache[tile] = max(128, _round_up(nuniq, 128))
+        return self._cmax_cache[tile]
 
     def _max_probe_bucket(self, nprobe: int) -> int:
         """Power-of-two max_probe bucket (floor 128) so an nprobe sweep
