@@ -446,7 +446,7 @@ class DeviceIvfSearcher:
         return q
 
     @staticmethod
-    def _pallas_tile(row_tile: int, batch: int) -> int:
+    def _pallas_tile(row_tile: int, batch: int, stream: bool = False) -> int:
         """Largest divisor of ``row_tile`` whose [B, tile] f32 score block
         fits the VMEM budget. Mosaic's stack accounting charges ~4x the score
         block (extraction temporaries), so ~2.5 MB of scores keeps the kernel
@@ -455,6 +455,12 @@ class DeviceIvfSearcher:
         # Empirical stack model: tile=4096 at B=256 fits (4 MB scores);
         # B=1024 needs <=2.5 MB (larger q/output/iota blocks eat the rest).
         budget_bytes = 4 * 1024 * 1024 if batch <= 256 else int(2.5 * 1024 * 1024)
+        if stream:
+            # Mosaic's stack accounting charges the stream merge's unrolled
+            # tail its own [B, tile] temporaries (measured 21.8 MB at
+            # tile=4096, B=256 vs the 16 MB scoped limit); half-size blocks
+            # keep it at ~11 MB.
+            budget_bytes //= 2
         budget = max(budget_bytes // (4 * max(batch, 1)), 128)
         tile = row_tile
         while tile > budget and tile % 2 == 0:
@@ -475,8 +481,27 @@ class DeviceIvfSearcher:
         if k <= 0:
             raise ValidationError("k must be > 0")
         if mode == "auto":
-            mode = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if mode == "pallas":
+            if jax.default_backend() == "tpu":
+                # Streaming-threshold kernel (round 2): running top-k carried
+                # across tiles, extraction passes gated on actual improvement
+                # — measured 2.6x the round-1 per-tile extraction kernel.
+                mode = "stream" if k <= 128 else "pallas"
+            else:
+                mode = "xla"
+        if mode == "stream":
+            from ..kernels.stream_topk import pallas_stream_exact_topk
+
+            tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=True)
+            d2, ids = pallas_stream_exact_topk(
+                q,
+                self.emb,
+                self._pallas_emb_sq(),
+                k,
+                tile=tile_p,
+                subtiles=self.row_tile // tile_p,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "pallas":
             from ..kernels.scan_topk import pallas_exact_topk
 
             d2, ids = pallas_exact_topk(
@@ -524,14 +549,46 @@ class DeviceIvfSearcher:
 
         if mode == "auto":
             if jax.default_backend() == "tpu":
-                # Fused kernel: measured 13x the XLA masked scan at 1M rows.
-                mode = "pallas"
+                # Stream kernel (round 2): active-tile compaction + threshold
+                # extraction — n-sublinear HBM traffic on cluster-sorted
+                # layouts. Fused round-1 kernel otherwise.
+                if self._can_stream_masked(k, q.shape[0]):
+                    mode = "stream"
+                else:
+                    mode = "pallas"
             else:
                 lmax = int(self.clusters.shape[1])
                 gather_bytes = q.shape[0] * nprobe * lmax
                 mode = "masked" if gather_bytes > self.n else "gather"
 
-        if mode == "pallas":
+        if mode == "stream":
+            if not self._can_stream_masked(k, q.shape[0]):
+                raise ValidationError(
+                    "stream mode needs a cluster-sorted layout, k <= 128, and "
+                    "a probe mask that fits VMEM (batch * n_clusters)"
+                )
+            from ..kernels.stream_topk import pallas_stream_masked_topk
+
+            max_probe = self._max_probe_bucket(nprobe)
+            tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=True)
+            lcl, tc, cmax = self._tile_cluster_table(tile_p)
+            d2, ids = pallas_stream_masked_topk(
+                q,
+                self.centroids,
+                self.c_sq,
+                lcl,
+                tc,
+                self.emb,
+                self._pallas_emb_sq(),
+                jnp.int32(nprobe),
+                k,
+                max_probe=max_probe,
+                tile=tile_p,
+                cmax=cmax,
+                subtiles=self.row_tile // tile_p,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "pallas":
             # Fused Pallas kernel: per-tile top-k extracted in VMEM instead
             # of the XLA lax.top_k merge (see kernels/scan_topk.py). With a
             # cluster-sorted layout the mask work runs on per-tile local
@@ -622,6 +679,15 @@ class DeviceIvfSearcher:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
+    def _can_stream_masked(self, k: int, batch: int) -> bool:
+        """Stream masked kernel eligibility: cluster-sorted layout (tile
+        tables exist), k fits the 128-lane accumulator, and the resident
+        [B, kc_pad] probe mask fits the VMEM budget (~6 MB)."""
+        if not self._row_cluster_sorted or k > 128:
+            return False
+        kc_pad = _round_up(self.index.n_clusters + 1, 128)
+        return batch * kc_pad * 4 <= (6 << 20)
+
     def _use_local_mask(self, tile: int, batch: int) -> bool:
         """Local-mask kernel needs sorted cluster ids AND a bounded lmask
         buffer: the pre-gathered [nt, B, cmax] mask costs
@@ -682,7 +748,9 @@ class DeviceIvfSearcher:
             )
         return self._tile_tables[tile]
 
-    def search_loop(self, queries, k: int, nprobe: int, reps: int = 16):
+    def search_loop(
+        self, queries, k: int, nprobe: int, reps: int = 16, mode: str = "auto"
+    ):
         """``reps`` data-dependency-chained IVF searches in ONE dispatch.
 
         Through the axon tunnel every dispatch pays ~15-20 ms of host/
@@ -699,9 +767,16 @@ class DeviceIvfSearcher:
             raise ValidationError("k must be > 0")
         nprobe = min(max(nprobe, 1), self.index.n_clusters)
         max_probe = self._max_probe_bucket(nprobe)
-        tile_p = self._pallas_tile(self.row_tile, q.shape[0])
         interpret = jax.default_backend() != "tpu"
-        use_local = self._use_local_mask(tile_p, q.shape[0])
+        if mode == "auto":
+            mode = (
+                "stream" if self._can_stream_masked(k, q.shape[0]) else "pallas"
+            )
+        use_stream = mode == "stream"
+        use_approx = mode == "approx"
+        tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
+        use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
+            and not use_approx
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -716,7 +791,7 @@ class DeviceIvfSearcher:
             lcl,
             tc,
             self.emb,
-            self._pallas_emb_sq(),
+            self._pallas_emb_sq() if not use_approx else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
             max_probe=max_probe,
@@ -724,22 +799,33 @@ class DeviceIvfSearcher:
             cmax=cmax,
             reps=reps,
             use_local=use_local,
+            use_stream=use_stream,
+            use_approx=use_approx,
+            chunk=self._approx_chunk(),
+            recall_target=self.approx_recall_target,
+            subtiles=self.row_tile // tile_p,
             interpret=interpret,
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
-    def exact_loop(self, queries, k: int, reps: int = 16):
+    def exact_loop(self, queries, k: int, reps: int = 16, mode: str = "auto"):
         """``reps`` chained exact scans in one dispatch (see search_loop)."""
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
+        if mode == "auto":
+            mode = "stream" if k <= 128 else "pallas"
+        use_stream = mode == "stream"
+        tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
         d2, ids = _exact_pallas_loop(
             q,
             self.emb,
             self._pallas_emb_sq(),
             k=k,
-            tile=self._pallas_tile(self.row_tile, q.shape[0]),
+            tile=tile_p,
             reps=reps,
+            use_stream=use_stream,
+            subtiles=self.row_tile // tile_p,
             interpret=jax.default_backend() != "tpu",
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
@@ -770,16 +856,31 @@ import functools as _functools
 @_functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "max_probe", "tile", "cmax", "reps", "use_local", "interpret"
+        "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
+        "use_approx", "chunk", "recall_target", "subtiles", "interpret",
     ),
 )
 def _masked_pallas_loop(
     q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
-    k, max_probe, tile, cmax, reps, use_local, interpret,
+    k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
+    chunk, recall_target, subtiles, interpret,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
+    from ..kernels.stream_topk import pallas_stream_masked_topk
 
     def body(q):
+        if use_approx:
+            return _ivf_approx_masked_impl(
+                q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
+                k=k, max_probe=max_probe, chunk=chunk,
+                recall_target=recall_target,
+            )
+        if use_stream:
+            return pallas_stream_masked_topk(
+                q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
+                max_probe=max_probe, tile=tile, cmax=cmax, subtiles=subtiles,
+                interpret=interpret,
+            )
         if use_local:
             return pallas_masked_local_topk(
                 q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
@@ -803,13 +904,23 @@ def _masked_pallas_loop(
 
 
 @_functools.partial(
-    jax.jit, static_argnames=("k", "tile", "reps", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile", "reps", "use_stream", "subtiles", "interpret"),
 )
-def _exact_pallas_loop(q0, emb, emb_sq, k, tile, reps, interpret):
+def _exact_pallas_loop(
+    q0, emb, emb_sq, k, tile, reps, use_stream, subtiles, interpret
+):
     from ..kernels.scan_topk import pallas_exact_topk
+    from ..kernels.stream_topk import pallas_stream_exact_topk
 
     def step(q, _):
-        d2, ids = pallas_exact_topk(q, emb, emb_sq, k, tile=tile, interpret=interpret)
+        if use_stream:
+            d2, ids = pallas_stream_exact_topk(
+                q, emb, emb_sq, k, tile=tile, subtiles=subtiles,
+                interpret=interpret,
+            )
+        else:
+            d2, ids = pallas_exact_topk(q, emb, emb_sq, k, tile=tile, interpret=interpret)
         link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
         return q0 + 0.0 * link, (d2, ids)
 

@@ -224,3 +224,48 @@ def test_exact_approx_k_exceeds_n(setup):
     assert np.isinf(d[:, n:]).all()
     want_ids, _ = brute_force(x, queries[0], 5)
     np.testing.assert_array_equal(ids[0][:5], want_ids)
+
+
+def test_stream_modes_match_existing(setup):
+    """Round-2 stream kernels agree with the round-1 paths at the device API
+    level (exact + IVF across nprobe), including id mapping back to original
+    rows on the cluster_sorted layout."""
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    de, ie = s.exact(queries, k=5, mode="stream")
+    dx, ix = s.exact(queries, k=5, mode="xla")
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(de), np.asarray(dx), rtol=1e-5)
+    for nprobe in (1, 4, 10):
+        d_s, i_s = s.search(queries, k=5, nprobe=nprobe, mode="stream")
+        d_g, i_g = s.search(queries, k=5, nprobe=nprobe, mode="gather")
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_g))
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_g), rtol=1e-5)
+
+
+def test_stream_loop_matches_single(setup):
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    d1, i1 = s.search(queries, k=4, nprobe=3, mode="stream")
+    dl, il = s.search_loop(queries, k=4, nprobe=3, reps=2, mode="stream")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
+    de, ie = s.exact(queries, k=4, mode="stream")
+    dle, ile = s.exact_loop(queries, k=4, reps=2, mode="stream")
+    np.testing.assert_array_equal(np.asarray(ile), np.asarray(ie))
+
+
+def test_stream_mode_rejected_on_unsorted(setup):
+    x, index, searcher, queries = setup
+    assert not searcher._row_cluster_sorted
+    with pytest.raises(ValidationError):
+        searcher.search(queries, k=4, nprobe=3, mode="stream")
+
+
+def test_search_loop_approx_mode(setup):
+    """Loop API supports the ApproxTopK mode (fair best-of-modes timing);
+    on CPU approx_min_k is exact, so ids match the stream loop."""
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    d1, i1 = s.search_loop(queries, k=4, nprobe=3, reps=2, mode="stream")
+    da, ia = s.search_loop(queries, k=4, nprobe=3, reps=2, mode="approx")
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(i1))
