@@ -85,6 +85,11 @@ class ParquetScanExec(ExecutionPlan):
         self._schema = schema
         self.projection = projection
         self.access_plans = access_plans or {}
+        # Pages decoded by the page-exact selective path (0 when the
+        # row-group fallback served the scan); the reference's analog is the
+        # row-selection-driven page pruning inside its rewritten scan
+        # (/root/reference/src/df_vector/access.rs:161-176).
+        self._pages_read = self.metrics.counter("pages_read")
 
     def schema(self) -> pa.Schema:
         if self.projection is None:
@@ -94,7 +99,16 @@ class ParquetScanExec(ExecutionPlan):
     def with_access_plans(
         self, access_plans: dict[str, ParquetAccessPlan]
     ) -> "ParquetScanExec":
-        return ParquetScanExec(self.files, self._schema, self.projection, access_plans)
+        clone = ParquetScanExec(
+            self.files, self._schema, self.projection, access_plans
+        )
+        # The TopK operator executes the rewritten clone and discards it
+        # (exec.py:_execute_with_candidates); sharing the metrics set keeps
+        # pages_read/output_rows visible on the displayed plan, like the
+        # reference's metrics surfacing through its rewritten scan.
+        clone.metrics = self.metrics
+        clone._pages_read = self._pages_read
+        return clone
 
     def execute(self, context: TaskContext) -> pa.Table:
         tables: list[pa.Table] = []
@@ -114,10 +128,17 @@ class ParquetScanExec(ExecutionPlan):
         if plan is None:
             table = pf.read(columns=columns)
             return _strip_metadata(table)
+        selected = [
+            (g, sel) for g, sel in enumerate(plan.groups) if not sel.skip
+        ]
+        if selected and all(
+            sel.rows is not None and not sel.scan_all for _, sel in selected
+        ):
+            table = self._read_selected_pages(pf, path, selected)
+            if table is not None:
+                return _strip_metadata(table)
         parts: list[pa.Table] = []
-        for group_idx, sel in enumerate(plan.groups):
-            if sel.skip:
-                continue
+        for group_idx, sel in selected:
             tbl = pf.read_row_group(group_idx, columns=columns)
             if not sel.scan_all and sel.rows is not None:
                 tbl = tbl.take(pa.array(sel.rows))
@@ -126,9 +147,121 @@ class ParquetScanExec(ExecutionPlan):
             return _strip_metadata(pf.schema_arrow.empty_table() if columns is None else self.schema().empty_table())
         return _strip_metadata(pa.concat_tables(parts))
 
+    def _read_selected_pages(
+        self, pf: pq.ParquetFile, path: str, selected
+    ) -> pa.Table | None:
+        """Decode only the selected rows' PAGES for float32-valued columns.
+
+        The reference attaches RowSelections so its rewritten scan decodes
+        only selected rows — on the 1-vector-per-page layout its writer
+        forces, that is page-exact I/O
+        (/root/reference/src/df_vector/access.rs:161-176,
+        src/ivf/parquet.rs:324-326). Here every float32 list/flat column is
+        served by the page-exact reader (io/pages.py) when the file carries
+        an offset index; other columns fall back to row-group reads + take.
+        Returns None when the page path can't serve any projected column.
+        """
+        from ..errors import ExecutionError as _ExecErr
+        from ..errors import FormatError as _FmtErr
+        from ..io.pages import PageSelectiveReader
+        from ..types import EmbeddingColumn
+
+        names = self.projection
+        if names is None:
+            names = [f.name for f in pf.schema_arrow]
+        starts = np.concatenate(
+            [
+                [0],
+                np.cumsum(
+                    [
+                        pf.metadata.row_group(i).num_rows
+                        for i in range(pf.metadata.num_row_groups)
+                    ]
+                ),
+            ]
+        )
+        global_rows = np.concatenate(
+            [starts[g] + np.asarray(sel.rows, np.int64) for g, sel in selected]
+        )
+
+        arrays: dict[str, pa.Array] = {}
+        pages_total = 0
+        for name in names:
+            typ = pf.schema_arrow.field(name).type
+            if not _page_path_type(typ):
+                continue
+            try:
+                reader = PageSelectiveReader(path, EmbeddingColumn(name))
+                if not reader.supports_page_reads:
+                    continue
+                vals, lens, pages = reader.read_rows_ragged(global_rows)
+            except (_ExecErr, _FmtErr):
+                continue  # dict pages / nulls / etc: row-group fallback
+            arr = _rebuild_float_array(typ, vals, lens)
+            if arr is None:
+                continue
+            arrays[name] = arr
+            pages_total += pages
+        if not arrays:
+            return None
+
+        fallback = [n for n in names if n not in arrays]
+        if fallback:
+            parts = [
+                pf.read_row_group(g, columns=fallback).take(pa.array(sel.rows))
+                for g, sel in selected
+            ]
+            fb = pa.concat_tables(parts)
+            for n in fallback:
+                arrays[n] = fb.column(n)
+        self._pages_read.add(pages_total)
+        return pa.table({n: arrays[n] for n in names})
+
+    def tree_lines(self) -> list[str]:
+        # Only surfaced when the page-exact path actually ran, so plans
+        # served by the row-group fallback render exactly as before.
+        if self._pages_read.value:
+            return [f"pages_read={self._pages_read.value}"]
+        return []
+
 
 def _strip_metadata(table: pa.Table) -> pa.Table:
     return table.replace_schema_metadata(None)
+
+
+def _page_path_type(typ: pa.DataType) -> bool:
+    """Columns the page-exact reader can serve losslessly: float32 values
+    only (the page decoder narrows f64 -> f32, fine for index *building* but
+    not for returning SQL results)."""
+    if pa.types.is_float32(typ):
+        return True
+    if (
+        pa.types.is_list(typ)
+        or pa.types.is_large_list(typ)
+        or pa.types.is_fixed_size_list(typ)
+    ):
+        return typ.value_type == pa.float32()
+    return False
+
+
+def _rebuild_float_array(
+    typ: pa.DataType, vals: np.ndarray, lens: np.ndarray
+) -> pa.Array | None:
+    values = pa.array(vals, pa.float32())
+    if pa.types.is_float32(typ):
+        if lens.size and not np.all(lens == 1):
+            return None
+        return values
+    if pa.types.is_fixed_size_list(typ):
+        if lens.size and not np.all(lens == typ.list_size):
+            return None
+        return pa.FixedSizeListArray.from_arrays(values, typ.list_size)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    if pa.types.is_large_list(typ):
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), values
+        )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
 class FilterExec(ExecutionPlan):

@@ -621,6 +621,72 @@ class PageSelectiveReader:
                 out[oi] = page.values[start : start + dim]
         return out
 
+    def read_rows_ragged(
+        self, rows: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Page-exact read of ``rows`` without a dimension contract.
+
+        Returns ``(values f32, row_lengths i64, pages_read)`` with rows in
+        input order. Unlike :meth:`read_rows` this serves ANY float32 leaf
+        column (list, fixed-size list, or flat): row lengths come from the
+        pages themselves. Used by the SQL engine's selective scan
+        (engine/physical.py), where the reference decodes only selected rows
+        of the rewritten scan (/root/reference/src/df_vector/exec.rs:241-244
+        via access.rs:161-176 row selections).
+        """
+        rows = np.asarray(rows, dtype=np.int64)
+        if rows.size == 0:
+            return (
+                np.empty(0, np.float32),
+                np.empty(0, np.int64),
+                0,
+            )
+        total_rows = int(self._rg_starts[-1])
+        if rows.min() < 0 or rows.max() >= total_rows:
+            raise ExecutionError(
+                f"Selected row {int(rows.max())} out of bounds for file with "
+                f"{total_rows} rows"
+            )
+        order = np.argsort(rows, kind="stable")
+        out_vals: list[np.ndarray] = [None] * rows.size
+        out_lens = np.empty(rows.size, np.int64)
+        pages_read = 0
+        with open(self.path, "rb") as f:
+            rg_of = np.searchsorted(self._rg_starts, rows, side="right") - 1
+            page_cache = None  # (rg, pidx, page, row_offsets)
+            for oi in order:
+                row = int(rows[oi])
+                rg = int(rg_of[oi])
+                local = row - int(self._rg_starts[rg])
+                locs = self._locations(rg, f)
+                firsts = [loc.first_row_index for loc in locs]
+                pidx = int(np.searchsorted(firsts, local, side="right") - 1)
+                if (
+                    page_cache is not None
+                    and page_cache[0] == rg
+                    and page_cache[1] == pidx
+                ):
+                    _, _, page, row_offsets = page_cache
+                else:
+                    loc = locs[pidx]
+                    f.seek(loc.offset)
+                    raw = f.read(loc.compressed_page_size)
+                    chunk = self.row_groups[rg].chunks[self.leaf_idx]
+                    page = _decode_page(raw, chunk.codec, self.leaf)
+                    row_offsets = np.concatenate(
+                        [[0], np.cumsum(page.row_lengths)]
+                    )
+                    page_cache = (rg, pidx, page, row_offsets)
+                    pages_read += 1
+                in_page = local - int(firsts[pidx])
+                if in_page >= page.row_lengths.size:
+                    raise ExecutionError("Row beyond decoded page")
+                start = int(row_offsets[in_page])
+                length = int(page.row_lengths[in_page])
+                out_lens[oi] = length
+                out_vals[oi] = page.values[start : start + length]
+        return np.concatenate(out_vals), out_lens, pages_read
+
     # Gap below which two selected pages are fetched in one read: with the
     # 1-row-per-page layout, neighboring candidate pages are usually within
     # one vector (~4·dim bytes) of each other, so coalescing turns thousands
