@@ -116,3 +116,38 @@ def test_distributed_exact_bf16(mesh, data):
     want = set(np.argsort(d)[:5].tolist())
     assert ids[0][0] == 5
     assert len(set(ids[0].tolist()) & want) >= 4  # bf16 may permute near-ties
+
+
+def test_distributed_fused_matches_gather(mesh, data):
+    """The fused per-shard stream-kernel path returns the same ids as the
+    gather path (and therefore the single-device searcher)."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    queries = data[[10, 99, 230]]
+    for nprobe in (1, 3, 6):
+        d_g, i_g = dist.search(queries, k=4, nprobe=nprobe)
+        d_f, i_f = dist.search_fused(queries, k=4, nprobe=nprobe)
+        np.testing.assert_array_equal(i_f, i_g)
+        np.testing.assert_allclose(d_f, d_g, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_fused_loop_matches_single_call(mesh, data):
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    queries = data[[5, 77]]
+    d1, i1 = dist.search_fused(queries, k=3, nprobe=2)
+    dl, il = dist.search_loop(queries, k=3, nprobe=2, reps=2)
+    np.testing.assert_array_equal(il, i1)
+    np.testing.assert_allclose(dl, d1, rtol=1e-5)
+
+
+def test_distributed_fused_device_count_invariant(data):
+    """Results must not depend on the mesh size (2 vs 8 devices)."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    queries = data[[1, 150]]
+    results = []
+    for n_dev in (2, 8):
+        dist = DistributedIvfSearcher(index, data, mesh=make_mesh(n_dev), tile=8)
+        results.append(dist.search_fused(queries, k=4, nprobe=3))
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-4)
