@@ -138,7 +138,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
         "--mode", default="auto",
-        choices=("auto", "pallas", "masked", "gather", "approx"),
+        choices=("auto", "stream", "pallas", "masked", "gather", "approx"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction",
     )
@@ -276,15 +276,73 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    if args.mode in ("auto", "pallas"):
-        ivf_loop = lambda q, r: searcher.search_loop(q, args.k, chosen, reps=r)
-    else:  # measure non-default modes one dispatch per batch
+    loop_modes = ("stream", "pallas", "approx")
+
+    def measure_mode(mode, qb, budget_s=4.0):
+        b = qb.shape[0]
+
+        def loop(q, r):
+            return searcher.search_loop(q, args.k, chosen, reps=r, mode=mode)
+
+        np.asarray(loop(qb, 2)[1])  # compile + warm
+        reps = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget_s and reps < 16 * 25:
+            _, ids = loop(qb, 25)
+            np.asarray(ids)
+            reps += 25
+        return reps * b / (time.perf_counter() - t0)
+
+    if args.mode in ("auto", "stream", "pallas", "approx"):
+        # Best-of-modes at the headline batch: every candidate mode must
+        # keep recall@k >= target at the chosen nprobe (approx's selection
+        # recall is re-checked; exact-selection modes share the sweep's
+        # recall by construction).
+        mode_qps: dict[str, float] = {}
+        modes = loop_modes if args.mode == "auto" else (args.mode,)
+        for mode in modes:
+            if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
+                continue
+            if mode == "approx":
+                _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
+                r_m = recall_at_k(truth_ids, np.asarray(ids_m))
+                if r_m < args.recall_target:
+                    log(f"mode=approx recall {r_m:.4f} < target; excluded")
+                    continue
+            mode_qps[mode] = measure_mode(mode, qbatch)
+            log(f"mode={mode}: {mode_qps[mode]:.0f} QPS @ B={batch}")
+        best_mode = max(mode_qps, key=mode_qps.get)
+        qps = mode_qps[best_mode]
+        log(
+            f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f} "
+            f"(best mode: {best_mode})"
+        )
+        # Secondary: large-batch operating point (B=1024) unless smoke.
+        b1024_qps = None
+        if not args.smoke and args.queries >= 256:
+            rng_b = np.random.default_rng(13)
+            big_rows = rng_b.integers(0, args.rows, 1024)
+            big = emb[big_rows] + 0.05 * rng_b.standard_normal(
+                (1024, args.dim)
+            ).astype(np.float32)
+            b1024 = {}
+            for mode in mode_qps:
+                if mode == "stream" and not searcher._can_stream_masked(
+                    args.k, 1024
+                ):
+                    continue
+                b1024[mode] = measure_mode(mode, big)
+                log(f"mode={mode}: {b1024[mode]:.0f} QPS @ B=1024")
+            if b1024:
+                b1024_qps = max(b1024.values())
+    else:  # gather/masked: one dispatch per batch
         ivf_loop = lambda q, r: _repeat_dispatch(
             lambda qq: searcher.search(qq, args.k, chosen, mode=args.mode), q, r
         )
-
-    qps = sustained_qps(ivf_loop, 5.0)
-    log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
+        qps = sustained_qps(ivf_loop, 5.0)
+        b1024_qps = None
+        best_mode = args.mode
+        log(f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f}")
 
     # Bonus: exact-scan throughput (recall 1.0).
     exact_qps = sustained_qps(
@@ -301,7 +359,11 @@ def main():
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / max(cpu_qps, 1e-9), 2),
+        "mode": best_mode,
+        "exact_qps": round(exact_qps, 1),
     }
+    if b1024_qps is not None:
+        result["b1024_qps"] = round(b1024_qps, 1)
     print(json.dumps(result), flush=True)
 
 

@@ -107,15 +107,22 @@ class IndexBuilder:
         file, parquet.rs:216-305, but in-place mode never rewrites data, so
         the projected read is strictly better).
         """
+        from .utils.profiling import stage
+
         config = self._build_config()
         if self._streaming_batch_rows:
             index = self._build_streaming(config)
         else:
-            embeddings = read_embedding_column(self._source, self._embedding_column)
-            index = build_ivf_index(self._train_embeddings(embeddings), config)
-        append_index_inplace(
-            self._source, index, self._embedding_column, metric=self._metric
-        )
+            with stage("build.read"):
+                embeddings = read_embedding_column(
+                    self._source, self._embedding_column
+                )
+            with stage("build.index"):
+                index = build_ivf_index(self._train_embeddings(embeddings), config)
+        with stage("build.append"):
+            append_index_inplace(
+                self._source, index, self._embedding_column, metric=self._metric
+            )
         return index
 
     def _build_streaming(self, config: IvfBuildConfig) -> IvfIndex:

@@ -58,8 +58,7 @@ def build_ivf_index(
     if n_clusters > n:
         raise ValidationError("n_clusters cannot exceed number of vectors")
 
-    # One host->HBM transfer; everything below is device work.
-    x = jnp.asarray(embeddings.data, dtype=jnp.float32)
+    from ..utils.profiling import stage
 
     sample_size = train_sample_size(n, n_clusters)
     params = KMeansParams(
@@ -68,17 +67,30 @@ def build_ivf_index(
         seed=config.seed,
         block_rows=config.block_rows,
     )
+    data = np.ascontiguousarray(embeddings.data, dtype=np.float32)
     if sample_size == n:
-        centroids, _ = k_means(x, params)
+        with stage("build.transfer"):
+            x = jnp.asarray(data)
+        with stage("build.train"):
+            centroids, _ = k_means(x, params)
     else:
         # Deterministic 5% sample without replacement
         # (/root/reference/src/ivf/index.rs:222-242). Indices are drawn on
         # host (device sampling measured at 157 s for n=1.2M on the
-        # tunneled v5e; the draw needs no vector data), gather on device.
+        # tunneled v5e; the draw needs no vector data) and the sample rows
+        # are gathered on HOST, so training ships ~5% of the bytes first
+        # and the full-matrix transfer streams while Lloyd runs (device_put
+        # is async; only the assignment pass below depends on it).
         idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
-        centroids, _ = k_means(jnp.take(x, jnp.asarray(idx), axis=0), params)
+        with stage("build.sample_transfer"):
+            sample = jnp.asarray(data[idx])
+        with stage("build.transfer_enqueue"):
+            x = jax.device_put(data)
+        with stage("build.train"):
+            centroids, _ = k_means(sample, params)
 
     # The reference always runs a fresh full-data assignment pass to build the
     # inverted lists, even when k-means saw every row (:193-206).
-    assignments = assign_clusters(x, centroids, config.block_rows)
+    with stage("build.assign"):
+        assignments = assign_clusters(x, centroids, config.block_rows)
     return IvfIndex.from_assignments(centroids, assignments)
