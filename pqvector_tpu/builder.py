@@ -113,12 +113,18 @@ class IndexBuilder:
         if self._streaming_batch_rows:
             index = self._build_streaming(config)
         else:
-            with stage("build.read"):
-                embeddings = read_embedding_column(
-                    self._source, self._embedding_column
-                )
+            # Pipelined path: decode chunks overlap the host->HBM transfer
+            # (see build_ivf_index_staged); same deterministic result as
+            # read-then-build.
+            from .index.build import build_ivf_index_staged
+
             with stage("build.index"):
-                index = build_ivf_index(self._train_embeddings(embeddings), config)
+                index = build_ivf_index_staged(
+                    self._source,
+                    self._embedding_column,
+                    config,
+                    normalize=self._metric == "cosine",
+                )
         with stage("build.append"):
             append_index_inplace(
                 self._source, index, self._embedding_column, metric=self._metric

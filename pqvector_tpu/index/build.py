@@ -94,3 +94,67 @@ def build_ivf_index(
     with stage("build.assign"):
         assignments = assign_clusters(x, centroids, config.block_rows)
     return IvfIndex.from_assignments(centroids, assignments)
+
+
+def build_ivf_index_staged(
+    path,
+    embedding_column,
+    config: IvfBuildConfig | None = None,
+    batch_rows: int = 131072,
+    normalize: bool = False,
+) -> IvfIndex:
+    """Pipelined build: Parquet decode overlaps the host->HBM transfer.
+
+    ``build_ivf_index`` decodes the whole column, then ships one 500 MB+
+    array through the (slow) host->device path; here each decoded chunk is
+    ``device_put`` immediately (async), so the transfer streams while pyarrow
+    decodes the next chunk — build wall-clock approaches
+    max(decode, transfer) + train + assign instead of their sum. Same
+    deterministic result as the unstaged path: the training sample is
+    gathered (on device) at the same host-drawn indices, and assignment
+    uses the same jitted kernels.
+    """
+    from ..utils.profiling import stage
+    from .streaming import iter_embedding_batches
+
+    config = config or IvfBuildConfig()
+    with stage("build.decode+transfer"):
+        chunks = []
+        rows = 0
+        dim = None
+        for part in iter_embedding_batches(path, embedding_column, batch_rows):
+            dim = part.shape[1] if dim is None else dim
+            if part.shape[1] != dim:
+                raise ValidationError("Inconsistent embedding dimensions")
+            rows += len(part)
+            chunks.append(jax.device_put(part))  # async; overlaps next decode
+        if rows == 0:
+            raise ValidationError("Cannot build IVF index with zero vectors")
+        x = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        del chunks
+        if normalize:
+            norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+            x = x / jnp.maximum(norms, 1e-30)
+
+    n = rows
+    n_clusters = (
+        config.n_clusters if config.n_clusters is not None else default_n_clusters(n)
+    )
+    if n_clusters > n:
+        raise ValidationError("n_clusters cannot exceed number of vectors")
+    sample_size = train_sample_size(n, n_clusters)
+    params = KMeansParams(
+        n_clusters=n_clusters,
+        max_iters=config.max_iters,
+        seed=config.seed,
+        block_rows=config.block_rows,
+    )
+    with stage("build.train"):
+        if sample_size == n:
+            centroids, _ = k_means(x, params)
+        else:
+            idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
+            centroids, _ = k_means(jnp.take(x, jnp.asarray(idx), axis=0), params)
+    with stage("build.assign"):
+        assignments = assign_clusters(x, centroids, config.block_rows)
+    return IvfIndex.from_assignments(centroids, assignments)

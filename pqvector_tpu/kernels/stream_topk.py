@@ -60,35 +60,26 @@ _POS_INF = 3.0e38
 _LANES = 128  # top-k accumulator width (k <= 128; reference default k=100)
 
 
-def _insert(acc_d, acc_i, valid, lane, bv, bc, base_id):
-    """Vectored per-row insertion: rows whose candidate ``bv`` beats their
-    current k-th best replace their worst slot with (bv, base_id + bc).
-    Returns the per-row inserted mask. Strict ``<`` keeps the earlier
-    (lower-id) element on ties — the size-k-heap invariant
-    (/root/reference/src/ivf/search.rs:112-127)."""
-    cur = jnp.where(valid, acc_d[:], _NEG_INF)  # [B, 128]
+def _one_pass(work, accd, acci, valid, lane, col_iota, base_id, k):
+    """One extraction+insert pass, all VALUES (no ref round-trips: Mosaic
+    fuses value-based unrolled passes; interleaving VMEM ref writes/reads
+    was measured ~3x slower — docs/PERFORMANCE.md)."""
+    bv = jnp.min(work, axis=1)
+    bc = jnp.argmin(work, axis=1).astype(jnp.int32)
+    cur = jnp.where(valid, accd, _NEG_INF)  # [B, 128]
     tau = jnp.max(cur, axis=1)  # [B] current k-th best
+    # Strict <: ties keep the earlier (lower-id) element — the size-k-heap
+    # invariant (/root/reference/src/ivf/search.rs:112-127).
     ins = bv < tau
-    worst = jnp.argmax(cur, axis=1).astype(jnp.int32)  # [B]
+    worst = jnp.argmax(cur, axis=1).astype(jnp.int32)
     sel = (lane == worst[:, None]) & ins[:, None]
-    acc_d[:] = jnp.where(sel, bv[:, None], acc_d[:])
-    acc_i[:] = jnp.where(sel, base_id + bc[:, None], acc_i[:])
-    return ins
+    accd = jnp.where(sel, bv[:, None], accd)
+    acci = jnp.where(sel, base_id + bc[:, None], acci)
+    work = jnp.where(col_iota == bc[:, None], _POS_INF, work)
+    return work, accd, acci, ins
 
 
-def _extract_insert(work_ref, acc_d, acc_i, valid, lane, col_iota, base_id):
-    """One extraction pass: each row's current work minimum is inserted
-    (where it improves) and poisoned out of the work buffer. Returns the
-    per-row inserted mask."""
-    w = work_ref[:]
-    bv = jnp.min(w, axis=1)
-    bc = jnp.argmin(w, axis=1).astype(jnp.int32)
-    ins = _insert(acc_d, acc_i, valid, lane, bv, bc, base_id)
-    work_ref[:] = jnp.where(col_iota == bc[:, None], _POS_INF, w)
-    return ins
-
-
-def _merge_tile(partial, base_id, acc_d, acc_i, work_ref, k):
+def _merge_tile(partial, base_id, acc_d, acc_i, k):
     """Merge one tile's distances into the running top-k accumulators.
 
     ``partial``: [B, T] squared distances (masked slots = +3e38).
@@ -97,47 +88,59 @@ def _merge_tile(partial, base_id, acc_d, acc_i, work_ref, k):
     1M-row batch cheaper than accumulating in the output refs directly
     (Pallas re-copies a written output block every grid step even under a
     constant index_map); the kernels copy scratch to the outputs once, at
-    the last grid step.
+    the last grid step. Within a tile the accumulators are read ONCE and
+    written ONCE; every extraction pass runs on values so Mosaic can fuse
+    (v1/v3 interleaved ref traffic per pass and ran slower than their own
+    saved work — docs/PERFORMANCE.md).
 
-    Branch structure, third design measured on chip (docs/PERFORMANCE.md):
-    scalar flag checks cost ~1-1.5 us each under Mosaic, so v1's per-pass
-    SMEM gate (10 checks/tile) ate its own savings, and v2's single
-    all-or-nothing tail ran the full k passes whenever any row improved
-    twice (common). v3 gates GEOMETRIC pass blocks {1, 2, k-3}: at most two
-    scalar checks per tile, and the expensive tail only runs when some row
-    still improved on the last pass of the previous block (measured 2.5
-    executed passes/tile at B=256 — block 1+2 covers the steady state).
+    Gating: geometric pass blocks {1, 2, k-3} via ``lax.cond`` with value
+    carries — a block runs only if the previous block's last pass still
+    inserted somewhere (expected executed passes/tile measured at 2.5,
+    B=256; the k-record argument in the module docstring).
     """
     b, t = partial.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, _LANES), 1)
     valid = lane < k
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
-    work_ref[:] = partial
+    accd = acc_d[:]
+    acci = acc_i[:]
 
-    # Block 1: one unconditional pass.
-    ins1 = _extract_insert(work_ref, acc_d, acc_i, valid, lane, col_iota, base_id)
-    if k == 1:
-        return
+    work, accd, acci, ins1 = _one_pass(
+        partial, accd, acci, valid, lane, col_iota, base_id, k
+    )
 
-    @pl.when(jnp.any(ins1))
-    def _():
-        # Block 2: two passes.
-        _extract_insert(work_ref, acc_d, acc_i, valid, lane, col_iota, base_id)
-        if k == 2:
-            return
-        ins3 = _extract_insert(
-            work_ref, acc_d, acc_i, valid, lane, col_iota, base_id
-        )
-        if k == 3:
-            return
+    if k > 1:
 
-        @pl.when(jnp.any(ins3))
-        def _():
-            # Tail: warm-up tiles where some row improves 4+ slots.
-            for _ in range(k - 3):
-                _extract_insert(
-                    work_ref, acc_d, acc_i, valid, lane, col_iota, base_id
+        def block2(ops):
+            work, accd, acci = ops
+            work, accd, acci, ins = _one_pass(
+                work, accd, acci, valid, lane, col_iota, base_id, k
+            )
+            if k > 2:
+                work, accd, acci, ins = _one_pass(
+                    work, accd, acci, valid, lane, col_iota, base_id, k
                 )
+            if k > 3:
+
+                def tail(ops):
+                    work, accd, acci = ops
+                    for _ in range(k - 3):
+                        work, accd, acci, _ = _one_pass(
+                            work, accd, acci, valid, lane, col_iota, base_id, k
+                        )
+                    return work, accd, acci
+
+                work, accd, acci = jax.lax.cond(
+                    jnp.any(ins), tail, lambda ops: ops, (work, accd, acci)
+                )
+            return work, accd, acci
+
+        work, accd, acci = jax.lax.cond(
+            jnp.any(ins1), block2, lambda ops: ops, (work, accd, acci)
+        )
+
+    acc_d[:] = accd
+    acc_i[:] = acci
 
 
 def _init_accumulators(out_d_ref, out_i_ref):
@@ -147,7 +150,7 @@ def _init_accumulators(out_d_ref, out_i_ref):
 
 
 def _exact_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref,
-                  acc_d, acc_i, work_ref, *, k, tile, subtiles):
+                  acc_d, acc_i, *, k, tile, subtiles):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -156,20 +159,17 @@ def _exact_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref,
 
     # `subtiles` sub-tiles per grid step: the per-step fixed cost (~12 us
     # measured through the grid machinery) dominates the merge compute, so
-    # one step DMAs a [subtiles*tile, d] block and runs the merge per
-    # sub-tile slice, amortizing the step overhead without growing the
-    # [B, tile] work buffers.
-    sq_row = sq_ref[0]  # [1, subtiles*tile]
+    # one step DMAs a [subtiles, tile, d] block and runs the merge per
+    # sub-tile, amortizing the step overhead without growing the [B, tile]
+    # work buffers. Sub-tile operands load via direct ref indexing (value
+    # slicing of a loaded row mis-lowers: Mosaic "Invalid input layout" on
+    # the subsequent broadcast).
     for f in range(subtiles):
         scores = jnp.dot(
-            q_ref[:],
-            emb_ref[f * tile : (f + 1) * tile, :].T,
-            preferred_element_type=jnp.float32,
+            q_ref[:], emb_ref[0, f].T, preferred_element_type=jnp.float32
         )  # [B, T]
-        partial = sq_row[:, f * tile : (f + 1) * tile] - 2.0 * scores
-        _merge_tile(
-            partial, (i * subtiles + f) * tile, acc_d, acc_i, work_ref, k
-        )
+        partial = sq_ref[0, f] - 2.0 * scores  # [1, T] - [B, T]
+        _merge_tile(partial, (i * subtiles + f) * tile, acc_d, acc_i, k)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -178,7 +178,7 @@ def _exact_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref,
 
 
 def _masked_kernel(sched_ref, q_ref, emb_ref, sq_ref, lcl_ref, tc_ref,
-                   mask_ref, out_d_ref, out_i_ref, acc_d, acc_i, work_ref,
+                   mask_ref, out_d_ref, out_i_ref, acc_d, acc_i,
                    *, k, tile, cmax, kc_pad, subtiles):
     i = pl.program_id(0)
     n_active = sched_ref[0]
@@ -190,16 +190,11 @@ def _masked_kernel(sched_ref, q_ref, emb_ref, sq_ref, lcl_ref, tc_ref,
     @pl.when(i < n_active)
     def _():
         tile_idx = sched_ref[1 + i]
-        sq_row = sq_ref[0]  # [1, subtiles*tile]
-        lcl_row = lcl_ref[0]  # [1, subtiles*tile]
-        tc_row = tc_ref[0]  # [1, subtiles*cmax]
         for f in range(subtiles):
             scores = jnp.dot(
-                q_ref[:],
-                emb_ref[f * tile : (f + 1) * tile, :].T,
-                preferred_element_type=jnp.float32,
+                q_ref[:], emb_ref[0, f].T, preferred_element_type=jnp.float32
             )
-            partial = sq_row[:, f * tile : (f + 1) * tile] - 2.0 * scores
+            partial = sq_ref[0, f] - 2.0 * scores  # [1, T] - [B, T]
             # Local probe mask, built on the MXU from resident operands (no
             # pre-gathered lmask buffer): tc row -> one-hot over clusters,
             # contracted with the [B, kc_pad] mask, then expanded to rows
@@ -209,13 +204,13 @@ def _masked_kernel(sched_ref, q_ref, emb_ref, sq_ref, lcl_ref, tc_ref,
                 jax.lax.broadcasted_iota(jnp.int32, (kc_pad, cmax), 0).astype(
                     jnp.float32
                 )
-                == tc_row[:, f * cmax : (f + 1) * cmax]  # [1, cmax] f32
+                == tc_ref[0, f]  # [1, cmax] f32
             ).astype(jnp.float32)  # [kc_pad, cmax]
             lmask = jnp.dot(
                 mask_ref[:], onehot_tc, preferred_element_type=jnp.float32
             )  # [B, cmax]
             onehot_lcl = (
-                lcl_row[:, f * tile : (f + 1) * tile]  # [1, T] f32
+                lcl_ref[0, f]  # [1, T] f32
                 == jax.lax.broadcasted_iota(
                     jnp.int32, (cmax, tile), 0
                 ).astype(jnp.float32)
@@ -226,12 +221,7 @@ def _masked_kernel(sched_ref, q_ref, emb_ref, sq_ref, lcl_ref, tc_ref,
             )  # [B, T]
             part = jnp.where(probed, partial, _POS_INF)
             _merge_tile(
-                part,
-                (tile_idx * subtiles + f) * tile,
-                acc_d,
-                acc_i,
-                work_ref,
-                k,
+                part, (tile_idx * subtiles + f) * tile, acc_d, acc_i, k
             )
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -259,15 +249,22 @@ def pallas_stream_exact_topk(
     step = tile * subtiles
     nt = n_pad // step
     qf = q.astype(emb.dtype)
-    sq2 = emb_sq.reshape(nt, 1, step)
+    emb4 = emb.reshape(nt, subtiles, tile, d)
+    sq2 = emb_sq.reshape(nt, subtiles, 1, tile)
 
     out_d, out_i = pl.pallas_call(
         functools.partial(_exact_kernel, k=k, tile=tile, subtiles=subtiles),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((step, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, step), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, subtiles, tile, d), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, subtiles, 1, tile), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec((b, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -280,10 +277,9 @@ def pallas_stream_exact_topk(
         scratch_shapes=[
             pltpu.VMEM((b, _LANES), jnp.float32),
             pltpu.VMEM((b, _LANES), jnp.int32),
-            pltpu.VMEM((b, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, emb, sq2)
+    )(qf, emb4, sq2)
     return _refine(q, emb, out_d[:, :k], out_i[:, :k])
 
 
@@ -354,19 +350,28 @@ def pallas_stream_masked_topk(
     sched = _tile_schedule(mask, tile_clusters.reshape(nt, subtiles * cmax))
 
     qf = q.astype(emb.dtype)
-    sq2 = emb_sq.reshape(nt, 1, step)
-    lcl2 = local_cluster.reshape(nt, 1, step)
-    tc_f = tile_clusters.astype(jnp.float32).reshape(nt, 1, subtiles * cmax)
+    emb4 = emb.reshape(nt, subtiles, tile, d)
+    sq2 = emb_sq.reshape(nt, subtiles, 1, tile)
+    lcl2 = local_cluster.reshape(nt, subtiles, 1, tile)
+    tc_f = tile_clusters.astype(jnp.float32).reshape(nt, subtiles, 1, cmax)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((b, d), lambda i, s: (0, 0)),
-            pl.BlockSpec((step, d), lambda i, s: (s[1 + i], 0)),
-            pl.BlockSpec((1, 1, step), lambda i, s: (s[1 + i], 0, 0)),
-            pl.BlockSpec((1, 1, step), lambda i, s: (s[1 + i], 0, 0)),
-            pl.BlockSpec((1, 1, subtiles * cmax), lambda i, s: (s[1 + i], 0, 0)),
+            pl.BlockSpec(
+                (1, subtiles, tile, d), lambda i, s: (s[1 + i], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, subtiles, 1, tile), lambda i, s: (s[1 + i], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, subtiles, 1, tile), lambda i, s: (s[1 + i], 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, subtiles, 1, cmax), lambda i, s: (s[1 + i], 0, 0, 0)
+            ),
             pl.BlockSpec((b, kc_pad), lambda i, s: (0, 0)),
         ],
         out_specs=(
@@ -376,7 +381,6 @@ def pallas_stream_masked_topk(
         scratch_shapes=[
             pltpu.VMEM((b, _LANES), jnp.float32),
             pltpu.VMEM((b, _LANES), jnp.int32),
-            pltpu.VMEM((b, tile), jnp.float32),
         ],
     )
     out_d, out_i = pl.pallas_call(
@@ -390,5 +394,5 @@ def pallas_stream_masked_topk(
             jax.ShapeDtypeStruct((b, _LANES), jnp.int32),
         ),
         interpret=interpret,
-    )(sched, qf, emb, sq2, lcl2, tc_f, mask)
+    )(sched, qf, emb4, sq2, lcl2, tc_f, mask)
     return _refine(q, emb, out_d[:, :k], out_i[:, :k])

@@ -498,7 +498,7 @@ class DeviceIvfSearcher:
                 self._pallas_emb_sq(),
                 k,
                 tile=tile_p,
-                subtiles=self.row_tile // tile_p,
+                subtiles=self._stream_subtiles(tile_p),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "pallas":
@@ -585,7 +585,7 @@ class DeviceIvfSearcher:
                 max_probe=max_probe,
                 tile=tile_p,
                 cmax=cmax,
-                subtiles=self.row_tile // tile_p,
+                subtiles=self._stream_subtiles(tile_p),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "pallas":
@@ -678,6 +678,12 @@ class DeviceIvfSearcher:
         else:
             raise ValidationError(f"Unknown search mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def _stream_subtiles(self, tile_p: int) -> int:
+        """Sub-tiles per grid step for the stream kernels: capped at 2 (the
+        [subtiles, tile, d] emb block is double-buffered; 4 sub-tiles of f32
+        measured 18.4 MB of scoped VMEM > the 16 MB limit)."""
+        return max(1, min(self.row_tile // tile_p, 2))
 
     def _can_stream_masked(self, k: int, batch: int) -> bool:
         """Stream masked kernel eligibility: cluster-sorted layout (tile
@@ -803,7 +809,7 @@ class DeviceIvfSearcher:
             use_approx=use_approx,
             chunk=self._approx_chunk(),
             recall_target=self.approx_recall_target,
-            subtiles=self.row_tile // tile_p,
+            subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
@@ -825,7 +831,7 @@ class DeviceIvfSearcher:
             tile=tile_p,
             reps=reps,
             use_stream=use_stream,
-            subtiles=self.row_tile // tile_p,
+            subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
