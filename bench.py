@@ -284,7 +284,10 @@ def main():
         def loop(q, r):
             return searcher.search_loop(q, args.k, chosen, reps=r, mode=mode)
 
-        np.asarray(loop(qb, 2)[1])  # compile + warm
+        # Warm with the SAME reps as the timed calls: `reps` is a static
+        # argument, so a different warm-up value leaves the timed executable
+        # uncompiled and the first timed call eats a full remote compile.
+        np.asarray(loop(qb, 25)[1])  # compile + warm
         reps = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < budget_s and reps < 16 * 25:
