@@ -138,14 +138,20 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
         "--mode", default="auto",
-        choices=("auto", "stream", "pallas", "masked", "gather", "approx"),
+        choices=("auto", "stream", "pallas", "masked", "gather", "approx",
+                 "scan"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
-        "uses the hardware ApproxTopK extraction",
+        "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
+        "full scan (nprobe-free serving mode)",
     )
     parser.add_argument(
-        "--bf16", action="store_true",
+        "--bf16", dest="bf16", action="store_true", default=True,
         help="store embeddings in bfloat16 (halves HBM traffic; winners are "
-        "re-scored against stored values in f32)",
+        "re-scored against stored values; default on, recall-gated)",
+    )
+    parser.add_argument(
+        "--f32", dest="bf16", action="store_false",
+        help="store embeddings in float32",
     )
     parser.add_argument("--data-dir", default="data")
     args = parser.parse_args()
@@ -211,12 +217,17 @@ def main():
     truth_ids = np.asarray(jax.block_until_ready(truth_ids))
     log(f"exact scan ({args.queries} queries): {time.perf_counter() - t0:.2f}s")
 
-    if args.bf16:
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
+    if args.bf16:
         searcher = DeviceIvfSearcher(
             index, emb, row_tile=4096, dtype=jnp.bfloat16, cluster_sorted=True
         )
+        # NOTE: approx_score_dtype stays f32. bf16 *scores* were measured to
+        # crater selection recall on clustered data (0.76 vs 0.99): partial
+        # distances carry a large common offset, so bf16's 2^-8 relative step
+        # exceeds the neighbor spacing. bf16 *storage* only perturbs the
+        # vectors themselves (recall 0.989 in round 1).
     else:
         searcher = truth_searcher
 
@@ -276,7 +287,7 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    loop_modes = ("stream", "pallas", "approx")
+    loop_modes = ("stream", "pallas", "approx", "scan")
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
@@ -296,32 +307,36 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto", "stream", "pallas", "approx"):
-        # Best-of-modes at the headline batch: every candidate mode must
-        # keep recall@k >= target at the chosen nprobe (approx's selection
-        # recall is re-checked; exact-selection modes share the sweep's
-        # recall by construction).
+    if args.mode in ("auto", "stream", "pallas", "approx", "scan"):
+        # Best-of-modes over BOTH operating batches (B=256 headline and
+        # B=1024 large-batch): every candidate mode must keep recall@k >=
+        # target. approx re-checks selection recall; scan ignores nprobe
+        # entirely (recall comes from the extraction recall_target), so its
+        # recall is gated directly against the exact ground truth;
+        # exact-selection modes share the sweep's recall by construction.
         mode_qps: dict[str, float] = {}
         modes = loop_modes if args.mode == "auto" else (args.mode,)
         for mode in modes:
             if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
                 continue
-            if mode == "approx":
+            if mode in ("approx", "scan"):
                 _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
                 r_m = recall_at_k(truth_ids, np.asarray(ids_m))
                 if r_m < args.recall_target:
-                    log(f"mode=approx recall {r_m:.4f} < target; excluded")
+                    log(f"mode={mode} recall {r_m:.4f} < target; excluded")
                     continue
+                log(f"mode={mode}: recall@{args.k}={r_m:.4f}")
             mode_qps[mode] = measure_mode(mode, qbatch)
             log(f"mode={mode}: {mode_qps[mode]:.0f} QPS @ B={batch}")
-        best_mode = max(mode_qps, key=mode_qps.get)
-        qps = mode_qps[best_mode]
+        best256 = max(mode_qps, key=mode_qps.get)
+        qps256 = mode_qps[best256]
         log(
-            f"device IVF QPS @ nprobe={chosen}, batch={batch}: {qps:.0f} "
-            f"(best mode: {best_mode})"
+            f"device QPS @ nprobe={chosen}, batch={batch}: {qps256:.0f} "
+            f"(best mode: {best256})"
         )
-        # Secondary: large-batch operating point (B=1024) unless smoke.
-        b1024_qps = None
+        # Large-batch operating point (B=1024) competes for the headline:
+        # batch size is a serving knob, recall gating is identical.
+        best_mode, qps, b1024_qps = f"{best256}@b{batch}", qps256, None
         if not args.smoke and args.queries >= 256:
             rng_b = np.random.default_rng(13)
             big_rows = rng_b.integers(0, args.rows, 1024)
@@ -337,7 +352,11 @@ def main():
                 b1024[mode] = measure_mode(mode, big)
                 log(f"mode={mode}: {b1024[mode]:.0f} QPS @ B=1024")
             if b1024:
-                b1024_qps = max(b1024.values())
+                best1024 = max(b1024, key=b1024.get)
+                b1024_qps = b1024[best1024]
+                if b1024_qps > qps:
+                    best_mode, qps = f"{best1024}@b1024", b1024_qps
+        log(f"headline QPS: {qps:.0f} ({best_mode})")
     else:  # gather/masked: one dispatch per batch
         ivf_loop = lambda q, r: _repeat_dispatch(
             lambda qq: searcher.search(qq, args.k, chosen, mode=args.mode), q, r
@@ -365,6 +384,13 @@ def main():
         "mode": best_mode,
         "exact_qps": round(exact_qps, 1),
     }
+    try:
+        result["b256_qps"] = round(qps256, 1)
+        ivf_only = {m: v for m, v in mode_qps.items() if m != "scan"}
+        if ivf_only:
+            result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)
+    except NameError:
+        pass  # gather/masked single-mode path
     if b1024_qps is not None:
         result["b1024_qps"] = round(b1024_qps, 1)
     print(json.dumps(result), flush=True)

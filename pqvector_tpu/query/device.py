@@ -203,6 +203,7 @@ def _exact_approx_topk_impl(
     k: int,
     chunk: int,
     recall_target: float,
+    score_dtype=jnp.float32,
 ):
     """Exact scan with hardware ApproxTopK extraction.
 
@@ -212,14 +213,22 @@ def _exact_approx_topk_impl(
     in ~one pass at a configurable recall target; winners are then re-scored
     exactly and re-sorted, so returned distances are exact and only the
     *selection* is approximate (like the IVF probe itself).
+
+    ``score_dtype=bfloat16`` halves the dominant cost: approx_min_k is a
+    fusion-barrier custom call, so the [B, chunk] score block materializes
+    in HBM (measured roofline-bound on that traffic at B=1024); bf16 scores
+    halve it at a ~2^-8 relative selection perturbation (winners are still
+    re-scored in f32).
     """
     qf = q.astype(emb.dtype)
 
     def chunk_topk(x, x2, base):
-        scores = jnp.dot(qf, x.T, preferred_element_type=jnp.float32)
-        partial = x2[None, :] - 2.0 * scores
+        scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
+        partial = (x2[None, :] - 2.0 * scores.astype(jnp.float32)).astype(
+            score_dtype
+        )
         vals, idx = _approx_min_k_clamped(partial, k, recall_target)
-        return vals, base + idx.astype(jnp.int32)
+        return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
     return _approx_scan(q, emb, chunk_topk, (emb, emb_sq), k, chunk)
 
@@ -236,6 +245,7 @@ def _ivf_approx_masked_impl(
     max_probe: int,
     chunk: int,
     recall_target: float,
+    score_dtype=jnp.float32,
 ):
     """Masked IVF scan with ApproxTopK extraction (see _exact_approx_topk)."""
     b = q.shape[0]
@@ -247,14 +257,17 @@ def _ivf_approx_masked_impl(
     in_probe = jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe
     mask = jnp.zeros((b, kc + 1), jnp.bool_)
     mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
+    big = jnp.array(jnp.inf, score_dtype)  # bf16 has inf; survives the merge
 
     def chunk_topk(x, x2, cl, base):
-        scores = jnp.dot(qf, x.T, preferred_element_type=jnp.float32)
-        partial = x2[None, :] - 2.0 * scores
+        scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
+        partial = (x2[None, :] - 2.0 * scores.astype(jnp.float32)).astype(
+            score_dtype
+        )
         probed = jnp.take(mask, cl, axis=1)  # [B, C]
-        partial = jnp.where(probed, partial, jnp.inf)
+        partial = jnp.where(probed, partial, big)
         vals, idx = _approx_min_k_clamped(partial, k, recall_target)
-        return vals, base + idx.astype(jnp.int32)
+        return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
     return _approx_scan(q, emb, chunk_topk, (emb, emb_sq, row_cluster), k, chunk)
 
@@ -372,6 +385,11 @@ class DeviceIvfSearcher:
         # extraction). Winners are always re-scored exactly; this bounds only
         # the chance a true winner is missed, like the IVF probe itself.
         self.approx_recall_target = 0.99
+        # Score dtype for the approx modes. approx_min_k is a fusion-barrier
+        # custom call, so the [B, chunk] score block materializes in HBM and
+        # dominates at large B; bfloat16 halves that traffic at a ~2^-8
+        # relative selection perturbation (winners are re-scored in f32).
+        self.approx_score_dtype = jnp.float32
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -522,6 +540,7 @@ class DeviceIvfSearcher:
                 k,
                 chunk=self._approx_chunk(),
                 recall_target=self.approx_recall_target,
+                score_dtype=self.approx_score_dtype,
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -662,6 +681,19 @@ class DeviceIvfSearcher:
                 max_probe=max_probe,
                 chunk=self._approx_chunk(),
                 recall_target=self.approx_recall_target,
+                score_dtype=self.approx_score_dtype,
+            )
+        elif mode == "scan":
+            # Serving mode: ApproxTopK full scan, nprobe ignored — recall
+            # comes from the extraction recall_target (see search_loop).
+            d2, ids = _exact_approx_topk(
+                q,
+                self.emb,
+                self.emb_sq,
+                k,
+                chunk=self._approx_chunk(),
+                recall_target=self.approx_recall_target,
+                score_dtype=self.approx_score_dtype,
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -767,6 +799,13 @@ class DeviceIvfSearcher:
         iteration's (sqrt distances, ids); every iteration's winners feed
         the next query, so materializing the result proves all ``reps``
         executed.
+
+        ``mode="scan"`` serves the query with the ApproxTopK full scan and
+        IGNORES nprobe: recall comes from the extraction's recall_target
+        (~0.99) instead of probe selection — measured both faster AND
+        higher-recall than every IVF mode on-chip at B >= 256 (XLA fuses
+        the scoring matmul into the PartialReduce custom call, so nothing
+        materializes; the masked approx mode pays a [B, chunk] gather).
         """
         q = self._check_queries(queries)
         if k <= 0:
@@ -780,9 +819,10 @@ class DeviceIvfSearcher:
             )
         use_stream = mode == "stream"
         use_approx = mode == "approx"
+        use_scan = mode == "scan"
         tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
-            and not use_approx
+            and not (use_approx or use_scan)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -797,7 +837,8 @@ class DeviceIvfSearcher:
             lcl,
             tc,
             self.emb,
-            self._pallas_emb_sq() if not use_approx else self.emb_sq,
+            self._pallas_emb_sq()
+            if not (use_approx or use_scan) else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
             max_probe=max_probe,
@@ -807,8 +848,10 @@ class DeviceIvfSearcher:
             use_local=use_local,
             use_stream=use_stream,
             use_approx=use_approx,
+            use_scan=use_scan,
             chunk=self._approx_chunk(),
             recall_target=self.approx_recall_target,
+            score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
@@ -822,15 +865,20 @@ class DeviceIvfSearcher:
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
+        use_approx = mode == "approx"
         tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
         d2, ids = _exact_pallas_loop(
             q,
             self.emb,
-            self._pallas_emb_sq(),
+            self.emb_sq if use_approx else self._pallas_emb_sq(),
             k=k,
             tile=tile_p,
             reps=reps,
             use_stream=use_stream,
+            use_approx=use_approx,
+            chunk=self._approx_chunk(),
+            recall_target=self.approx_recall_target,
+            score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )
@@ -863,23 +911,29 @@ import functools as _functools
     jax.jit,
     static_argnames=(
         "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-        "use_approx", "chunk", "recall_target", "subtiles", "interpret",
+        "use_approx", "use_scan", "chunk", "recall_target", "score_dtype",
+        "subtiles", "interpret",
     ),
 )
 def _masked_pallas_loop(
     q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
     k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
-    chunk, recall_target, subtiles, interpret,
+    use_scan, chunk, recall_target, score_dtype, subtiles, interpret,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
 
     def body(q):
+        if use_scan:
+            return _exact_approx_topk_impl(
+                q, emb, emb_sq, k=k, chunk=chunk,
+                recall_target=recall_target, score_dtype=score_dtype,
+            )
         if use_approx:
             return _ivf_approx_masked_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, chunk=chunk,
-                recall_target=recall_target,
+                recall_target=recall_target, score_dtype=score_dtype,
             )
         if use_stream:
             return pallas_stream_masked_topk(
@@ -911,16 +965,23 @@ def _masked_pallas_loop(
 
 @_functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "reps", "use_stream", "subtiles", "interpret"),
+    static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
+                     "recall_target", "score_dtype", "subtiles", "interpret"),
 )
 def _exact_pallas_loop(
-    q0, emb, emb_sq, k, tile, reps, use_stream, subtiles, interpret
+    q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
+    recall_target, score_dtype, subtiles, interpret,
 ):
     from ..kernels.scan_topk import pallas_exact_topk
     from ..kernels.stream_topk import pallas_stream_exact_topk
 
     def step(q, _):
-        if use_stream:
+        if use_approx:
+            d2, ids = _exact_approx_topk_impl(
+                q, emb, emb_sq, k=k, chunk=chunk,
+                recall_target=recall_target, score_dtype=score_dtype,
+            )
+        elif use_stream:
             d2, ids = pallas_stream_exact_topk(
                 q, emb, emb_sq, k, tile=tile, subtiles=subtiles,
                 interpret=interpret,
@@ -936,7 +997,8 @@ def _exact_pallas_loop(
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
 _exact_approx_topk = jax.jit(
-    _exact_approx_topk_impl, static_argnames=("k", "chunk", "recall_target")
+    _exact_approx_topk_impl,
+    static_argnames=("k", "chunk", "recall_target", "score_dtype"),
 )
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_masked_scan = jax.jit(
@@ -944,5 +1006,5 @@ _ivf_masked_scan = jax.jit(
 )
 _ivf_approx_masked = jax.jit(
     _ivf_approx_masked_impl,
-    static_argnames=("k", "max_probe", "chunk", "recall_target"),
+    static_argnames=("k", "max_probe", "chunk", "recall_target", "score_dtype"),
 )

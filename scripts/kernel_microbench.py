@@ -308,7 +308,7 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
-    n_pad = -(-args.rows // 4096) * 4096
+    n_pad = -(-args.rows // 8192) * 8192  # divisible by every variant's step
     emb = np.zeros((n_pad, args.dim), np.float32)
     emb[: args.rows] = rng.standard_normal((args.rows, args.dim), dtype=np.float32)
     sq = np.full(n_pad, _POS_INF, np.float32)
@@ -345,47 +345,85 @@ def main():
         log(f"truth: {time.perf_counter() - t0:.1f}s")
         return out
 
+    from pqvector_tpu.query.device import _exact_approx_topk
+
+    embh = embj.astype(jnp.bfloat16)  # bf16 storage variant
+    sq_inf = jnp.where(sqj >= _POS_INF / 2, jnp.inf, sqj)  # approx path wants inf
+    qb1024 = jnp.asarray(
+        rng.standard_normal((1024, args.dim), dtype=np.float32))
+    chunk = min(n_pad, 64 * 4096)
+
+    def approx(q, e, s, dt):
+        d2, ids = _exact_approx_topk(
+            q, e, s, args.k, chunk=chunk, recall_target=0.99, score_dtype=dt)
+        return d2, ids
+
+    # name -> (batch_queries, emb, sq, fn)
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
     variants = {
-        "v0_floor": lambda q, e, s: v0_floor(q, e, s, args.k, 2048, 2,
-                                             interpret=interp),
-        "v0_floor_t4096": lambda q, e, s: v0_floor(q, e, s, args.k, 4096, 1,
-                                                   interpret=interp),
-        "v1_scan": lambda q, e, s: pallas_exact_topk(q, e, s, args.k,
-                                                     tile=4096,
-                                                     interpret=interp),
-        "v2_stream": lambda q, e, s: pallas_stream_exact_topk(
-            q, e, s, args.k, tile=2048, subtiles=2, interpret=interp),
-        "v3_nocond": lambda q, e, s: v3_nocond(q, e, s, args.k, 2048, 2,
-                                               passes=3, interpret=interp),
-        "v3_nocond_p10": lambda q, e, s: v3_nocond(q, e, s, args.k, 2048, 2,
-                                                   passes=args.k,
-                                                   interpret=interp),
-        "v4_mingate": lambda q, e, s: v4_mingate(q, e, s, args.k, 2048, 2,
-                                                 warm=0, interpret=interp),
-        "v4_mingate_w32": lambda q, e, s: v4_mingate(q, e, s, args.k, 2048, 2,
-                                                     warm=32,
-                                                     interpret=interp),
+        "v0_floor": (q0, embj, sqj, lambda q, e, s: v0_floor(
+            q, e, s, args.k, 2048, 2, interpret=interp)),
+        "v0_floor_t4096": (q0, embj, sqj, lambda q, e, s: v0_floor(
+            q, e, s, args.k, 4096, 1, interpret=interp)),
+        "v0_floor_bf16": (q0, embh, sqj, lambda q, e, s: v0_floor(
+            q, e, s, args.k, 2048, 2, interpret=interp)),
+        "v1_scan": (q0, embj, sqj, lambda q, e, s: pallas_exact_topk(
+            q, e, s, args.k, tile=4096, interpret=interp)),
+        "v1_scan_bf16": (q0, embh, sqj, lambda q, e, s: pallas_exact_topk(
+            q, e, s, args.k, tile=4096, interpret=interp)),
+        "v2_stream": (q0, embj, sqj, lambda q, e, s: pallas_stream_exact_topk(
+            q, e, s, args.k, tile=2048, subtiles=2, interpret=interp)),
+        "v2_stream_bf16": (q0, embh, sqj,
+                           lambda q, e, s: pallas_stream_exact_topk(
+                               q, e, s, args.k, tile=2048, subtiles=2,
+                               interpret=interp)),
+        "v2_bf16_sub4": (q0, embh, sqj,
+                         lambda q, e, s: pallas_stream_exact_topk(
+                             q, e, s, args.k, tile=2048, subtiles=4,
+                             interpret=interp)),
+        "v3_nocond": (q0, embj, sqj, lambda q, e, s: v3_nocond(
+            q, e, s, args.k, 2048, 2, passes=3, interpret=interp)),
+        "v3_nocond_p10": (q0, embj, sqj, lambda q, e, s: v3_nocond(
+            q, e, s, args.k, 2048, 2, passes=args.k, interpret=interp)),
+        "v4_mingate": (q0, embj, sqj, lambda q, e, s: v4_mingate(
+            q, e, s, args.k, 2048, 2, warm=0, interpret=interp)),
+        "v4_mingate_w32": (q0, embj, sqj, lambda q, e, s: v4_mingate(
+            q, e, s, args.k, 2048, 2, warm=32, interpret=interp)),
+        "apx256_f32": (q0, embj, sq_inf,
+                       lambda q, e, s: approx(q, e, s, f32)),
+        "apx256_sbf16": (q0, embj, sq_inf,
+                         lambda q, e, s: approx(q, e, s, bf16)),
+        "apx256_all16": (q0, embh, sq_inf,
+                         lambda q, e, s: approx(q, e, s, bf16)),
+        "apx1024_f32": (qb1024, embj, sq_inf,
+                        lambda q, e, s: approx(q, e, s, f32)),
+        "apx1024_sbf16": (qb1024, embj, sq_inf,
+                          lambda q, e, s: approx(q, e, s, bf16)),
+        "apx1024_all16": (qb1024, embh, sq_inf,
+                          lambda q, e, s: approx(q, e, s, bf16)),
     }
     pick = args.variants.split(",") if args.variants else list(variants)
 
     tids = truth()
     for name in pick:
-        fn = variants[name]
+        qv, ev, sv, fn = variants[name]
+        bsz = qv.shape[0]
         t0 = time.perf_counter()
-        d2, ids = fn(q0, embj, sqj)
+        d2, ids = fn(qv, ev, sv)
         ids_np = np.asarray(ids)
         compile_s = time.perf_counter() - t0
-        if name.startswith(("v1", "v2", "v4")):
+        if name.startswith(("v1", "v2", "v4", "apx")) and bsz == args.batch:
             agree = float(np.mean([
                 len(set(ids_np[b].tolist()) & set(tids[b].tolist())) / args.k
                 for b in range(args.batch)
             ]))
         else:
             agree = float("nan")
-        per_batch = timed_loop(fn, q0, embj, sqj, args.reps)
+        per_batch = timed_loop(fn, qv, ev, sv, args.reps)
         print(
             f"{name:16s} {per_batch * 1e3:8.2f} ms/batch  "
-            f"{args.batch / per_batch:9.0f} QPS  agree={agree:.4f}  "
+            f"{bsz / per_batch:9.0f} QPS  agree={agree:.4f}  "
             f"(first-call {compile_s:.1f}s)",
             flush=True,
         )

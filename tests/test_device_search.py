@@ -269,3 +269,40 @@ def test_search_loop_approx_mode(setup):
     d1, i1 = s.search_loop(queries, k=4, nprobe=3, reps=2, mode="stream")
     da, ia = s.search_loop(queries, k=4, nprobe=3, reps=2, mode="approx")
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(i1))
+
+
+def test_scan_mode_matches_exact(setup):
+    """mode="scan" = ApproxTopK full scan (nprobe ignored); on CPU
+    approx_min_k is exact, so it matches the exact scan everywhere."""
+    x, _, searcher, queries = setup
+    de, ie = searcher.exact(queries, k=5)
+    d1, i1 = searcher.search(queries, k=5, nprobe=1, mode="scan")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(de), rtol=1e-5)
+    dl, il = searcher.search_loop(queries, k=5, nprobe=1, reps=2, mode="scan")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+
+
+def test_exact_loop_approx_mode(setup):
+    x, _, searcher, queries = setup
+    de, ie = searcher.exact(queries, k=5)
+    dl, il = searcher.exact_loop(queries, k=5, reps=2, mode="approx")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+
+
+def test_approx_bf16_scores_close(setup):
+    """bfloat16 approx scores: selection may differ in near-ties, but the
+    returned (re-scored) distances stay within bf16 selection tolerance."""
+    import jax.numpy as jnp
+
+    x, _, searcher, queries = setup
+    searcher.approx_score_dtype = jnp.bfloat16
+    try:
+        d2, ids = searcher.search(queries, k=5, nprobe=3, mode="scan")
+        for b, q in enumerate(queries):
+            want_ids, want_d = brute_force(x, q, 5)
+            got_d = np.asarray(d2[b])
+            # Each returned distance within 1% of the true kth-range value.
+            assert np.all(got_d <= want_d * 1.01 + 1e-3)
+    finally:
+        searcher.approx_score_dtype = jnp.float32
