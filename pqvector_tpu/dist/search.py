@@ -367,3 +367,79 @@ class DistributedIvfSearcher:
         materializing the result proves all ``reps`` executed)."""
         nprobe = min(max(1, nprobe), self.index.n_clusters)
         return self._fused_body(k, nprobe, reps)(queries)
+
+    # ------------------------------------------------------------------
+    # Distributed ApproxTopK scan (mode="scan" analog of
+    # DeviceIvfSearcher.search_loop): each shard runs the hardware
+    # PartialReduce full scan over its block, then per-shard top-k sets are
+    # all-gathered and merged. nprobe-free; recall comes from recall_target.
+    # ------------------------------------------------------------------
+
+    def _scan_body(self, k: int, reps: int | None, recall_target: float):
+        from ..query.device import _exact_approx_topk_impl
+
+        rows_per_dev = self._rows_per_dev
+        chunk = min(rows_per_dev, 64 * 4096)
+        n_total = self.n
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q0, emb_local, sq_local, gid_local):
+            def one(q):
+                d2, local_ids = _exact_approx_topk_impl(
+                    q, emb_local, sq_local, k=k, chunk=chunk,
+                    recall_target=recall_target,
+                )
+                gids = jnp.where(
+                    local_ids >= 0,
+                    gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)],
+                    -1,
+                )
+                d2 = jnp.where(gids < 0, jnp.inf, d2)
+                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
+                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
+                return _merge_gathered(d2_all, ids_all)
+
+            if reps is None:
+                return one(q0)
+
+            def step(q, _):
+                d2, ids = one(q)
+                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+                return q0 + 0.0 * link, (d2, ids)
+
+            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+            return d2s[-1], idss[-1]
+
+        def call(queries):
+            q = np.asarray(queries, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != self.dim:
+                raise ValidationError(
+                    f"Query dimension mismatch: expected {self.dim}, got "
+                    f"{q.shape[1]}"
+                )
+            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+            d2, ids = jax.jit(run)(qs, self.emb, self.emb_sq, self.gids)
+            ids = np.asarray(ids)
+            d2 = np.asarray(d2)
+            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
+            return np.sqrt(d2), ids
+
+        return call
+
+    def search_scan(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        recall_target: float = 0.99,
+    ):
+        """Distributed ApproxTopK full scan (``reps`` chains for timing)."""
+        return self._scan_body(k, reps, recall_target)(queries)

@@ -151,3 +151,19 @@ def test_distributed_fused_device_count_invariant(data):
         results.append(dist.search_fused(queries, k=4, nprobe=3))
     np.testing.assert_array_equal(results[0][1], results[1][1])
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-4)
+
+
+def test_distributed_scan_matches_exact(mesh, data):
+    """Distributed ApproxTopK scan: on CPU approx_min_k is exact, so ids
+    match the distributed exact searcher across the same mesh."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0))
+    rng = np.random.default_rng(3)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    exact = DistributedExactSearcher(data, mesh=mesh, row_tile=64)
+    de, ie = exact.search(queries, k=4)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=64)
+    ds, is_ = dist.search_scan(queries, k=4)
+    np.testing.assert_array_equal(is_, ie)
+    np.testing.assert_allclose(ds, de, rtol=1e-5)
+    dl, il = dist.search_scan(queries, k=4, reps=2)
+    np.testing.assert_array_equal(il, ie)
