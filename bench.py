@@ -334,28 +334,37 @@ def main():
             f"device QPS @ nprobe={chosen}, batch={batch}: {qps256:.0f} "
             f"(best mode: {best256})"
         )
-        # Large-batch operating point (B=1024) competes for the headline:
-        # batch size is a serving knob, recall gating is identical.
-        best_mode, qps, b1024_qps = f"{best256}@b{batch}", qps256, None
+        # Larger operating batches compete for the headline: batch size is
+        # a serving knob, recall gating is identical. The exact-selection
+        # Pallas modes are measured at 1024 (VMEM-bound beyond); the
+        # ApproxTopK modes scale to 4096 (PartialReduce is ~batch-flat).
+        best_mode, qps = f"{best256}@b{batch}", qps256
+        batch_qps = {str(batch): round(qps256, 1)}
+        b1024_qps = None
         if not args.smoke and args.queries >= 256:
             rng_b = np.random.default_rng(13)
-            big_rows = rng_b.integers(0, args.rows, 1024)
-            big = emb[big_rows] + 0.05 * rng_b.standard_normal(
-                (1024, args.dim)
-            ).astype(np.float32)
-            b1024 = {}
-            for mode in mode_qps:
-                if mode == "stream" and not searcher._can_stream_masked(
-                    args.k, 1024
-                ):
-                    continue
-                b1024[mode] = measure_mode(mode, big)
-                log(f"mode={mode}: {b1024[mode]:.0f} QPS @ B=1024")
-            if b1024:
-                best1024 = max(b1024, key=b1024.get)
-                b1024_qps = b1024[best1024]
-                if b1024_qps > qps:
-                    best_mode, qps = f"{best1024}@b1024", b1024_qps
+            for big_b in (1024, 4096):
+                big_rows = rng_b.integers(0, args.rows, big_b)
+                big = emb[big_rows] + 0.05 * rng_b.standard_normal(
+                    (big_b, args.dim)
+                ).astype(np.float32)
+                bq = {}
+                for mode in mode_qps:
+                    if big_b > 1024 and mode not in ("approx", "scan"):
+                        continue
+                    if mode == "stream" and not searcher._can_stream_masked(
+                        args.k, big_b
+                    ):
+                        continue
+                    bq[mode] = measure_mode(mode, big)
+                    log(f"mode={mode}: {bq[mode]:.0f} QPS @ B={big_b}")
+                if bq:
+                    best_b = max(bq, key=bq.get)
+                    batch_qps[str(big_b)] = round(bq[best_b], 1)
+                    if big_b == 1024:
+                        b1024_qps = bq[best_b]
+                    if bq[best_b] > qps:
+                        best_mode, qps = f"{best_b}@b{big_b}", bq[best_b]
         log(f"headline QPS: {qps:.0f} ({best_mode})")
     else:  # gather/masked: one dispatch per batch
         ivf_loop = lambda q, r: _repeat_dispatch(
@@ -386,6 +395,7 @@ def main():
     }
     try:
         result["b256_qps"] = round(qps256, 1)
+        result["batch_qps"] = batch_qps
         ivf_only = {m: v for m, v in mode_qps.items() if m != "scan"}
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)

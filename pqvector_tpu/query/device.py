@@ -885,10 +885,18 @@ class DeviceIvfSearcher:
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
     def _approx_chunk(self) -> int:
-        """Score-chunk rows for the approx modes: big enough to amortize the
-        ApproxTopK custom-call per chunk, small enough that the transient
-        [B, chunk] score block stays modest (128 MB at B=256)."""
-        return min(self.emb.shape[0], 64 * self.row_tile)
+        """Score-chunk rows for the approx modes.
+
+        One chunk = the whole padded array: XLA fuses the scoring matmul
+        into the approx_min_k PartialReduce custom call (verified up to
+        B=4096 x 1M — a materialized [B, n] block would be 16 GB), and the
+        per-call overhead dominates otherwise (chunk sweep: 1M x 128
+        B=1024 bf16 runs 5.65 / 4.19 / 3.08 ms/batch at chunk 64k / 256k /
+        1M — scripts/approx_sweep.py). On CPU (tests) approx_min_k falls
+        back to a dense top-k, so small arrays only."""
+        if jax.default_backend() != "tpu":
+            return min(self.emb.shape[0], 64 * self.row_tile)
+        return self.emb.shape[0]
 
     def _pallas_emb_sq(self):
         if self._emb_sq_pallas is None:
