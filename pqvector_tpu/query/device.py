@@ -568,10 +568,17 @@ class DeviceIvfSearcher:
 
         if mode == "auto":
             if jax.default_backend() == "tpu":
-                # Stream kernel (round 2): active-tile compaction + threshold
-                # extraction — n-sublinear HBM traffic on cluster-sorted
-                # layouts. Fused round-1 kernel otherwise.
-                if self._can_stream_masked(k, q.shape[0]):
+                # Measured routing (docs/PERFORMANCE.md round 2): the
+                # local-mask pallas kernel wins while its pre-gathered lmask
+                # buffer fits (1M x 128 B=256: 39.8k vs stream 27k QPS);
+                # beyond the cap (10M) pallas falls back to the global mask
+                # (1.4k QPS) and the stream kernel's compaction + in-kernel
+                # mask wins (7.1k). Exact-selection either way; "scan" is
+                # opt-in because it changes recall semantics.
+                tile_a = self._pallas_tile(self.row_tile, q.shape[0])
+                if self._use_local_mask(tile_a, q.shape[0]):
+                    mode = "pallas"
+                elif self._can_stream_masked(k, q.shape[0]):
                     mode = "stream"
                 else:
                     mode = "pallas"
@@ -814,9 +821,13 @@ class DeviceIvfSearcher:
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
         if mode == "auto":
-            mode = (
-                "stream" if self._can_stream_masked(k, q.shape[0]) else "pallas"
-            )
+            tile_a = self._pallas_tile(self.row_tile, q.shape[0])
+            if self._use_local_mask(tile_a, q.shape[0]):
+                mode = "pallas"  # measured routing — see search()
+            elif self._can_stream_masked(k, q.shape[0]):
+                mode = "stream"
+            else:
+                mode = "pallas"
         use_stream = mode == "stream"
         use_approx = mode == "approx"
         use_scan = mode == "scan"
