@@ -686,7 +686,7 @@ class DeviceIvfSearcher:
                 jnp.int32(nprobe),
                 k=k,
                 max_probe=max_probe,
-                chunk=self._approx_chunk(),
+                chunk=self._approx_chunk(masked=True),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
@@ -860,7 +860,7 @@ class DeviceIvfSearcher:
             use_stream=use_stream,
             use_approx=use_approx,
             use_scan=use_scan,
-            chunk=self._approx_chunk(),
+            chunk=self._approx_chunk(masked=use_approx),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
@@ -895,17 +895,21 @@ class DeviceIvfSearcher:
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
-    def _approx_chunk(self) -> int:
+    def _approx_chunk(self, masked: bool = False) -> int:
         """Score-chunk rows for the approx modes.
 
-        One chunk = the whole padded array: XLA fuses the scoring matmul
-        into the approx_min_k PartialReduce custom call (verified up to
-        B=4096 x 1M — a materialized [B, n] block would be 16 GB), and the
-        per-call overhead dominates otherwise (chunk sweep: 1M x 128
-        B=1024 bf16 runs 5.65 / 4.19 / 3.08 ms/batch at chunk 64k / 256k /
-        1M — scripts/approx_sweep.py). On CPU (tests) approx_min_k falls
-        back to a dense top-k, so small arrays only."""
-        if jax.default_backend() != "tpu":
+        Unmasked (scan/exact): one chunk = the whole padded array. XLA
+        fuses the scoring matmul into the approx_min_k PartialReduce custom
+        call (verified up to B=4096 x 1M — a materialized [B, n] block
+        would be 16 GB), and the per-call overhead dominates otherwise
+        (chunk sweep: 1M x 128 B=1024 bf16 runs 5.65 / 4.19 / 3.08 ms/batch
+        at chunk 64k / 256k / 1M — scripts/approx_sweep.py).
+
+        Masked (IVF approx): the probe-mask take() gather DOES materialize
+        a [B, chunk] block (10 GB at B=1024 x 10M — observed compile
+        failure), so the chunk stays bounded. On CPU (tests) approx_min_k
+        falls back to a dense top-k, so small chunks there too."""
+        if masked or jax.default_backend() != "tpu":
             return min(self.emb.shape[0], 64 * self.row_tile)
         return self.emb.shape[0]
 

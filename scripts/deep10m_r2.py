@@ -43,8 +43,8 @@ emb = read_embedding_column(path, col).data
 log("embeddings loaded")
 
 rng = np.random.default_rng(7)
-q_all = emb[rng.integers(0, len(emb), 1024)] + 0.05 * rng.standard_normal(
-    (1024, 96)
+q_all = emb[rng.integers(0, len(emb), 4096)] + 0.05 * rng.standard_normal(
+    (4096, 96)
 ).astype(np.float32)
 
 truth = DeviceIvfSearcher(index, emb, row_tile=4096)  # f32, unsorted
@@ -105,8 +105,9 @@ def measure(mode, b, reps=10, budget_s=8.0):
     log(f"mode={mode} B={b}: {qps:.0f} QPS ({b/qps*1e3:.1f} ms/batch)")
 
 
-for mode in ("stream", "pallas", "approx", "scan"):
+for mode in ("stream", "approx", "scan"):
     measure(mode, 256)
 for mode in ("approx", "scan"):
     measure(mode, 1024)
+measure("scan", 4096)
 log("done")
