@@ -35,9 +35,15 @@ from .access import (
 )
 from .index_exec import INDEX_PATH_COL, INDEX_ROW_ID_COL, VectorIndexScanExec
 from .options import VectorTopKOptions
-from .physical import ExecutionPlan, ParquetScanExec, TaskContext
+from .physical import ExecutionPlan, FilterExec, ParquetScanExec, TaskContext
 
 _DEVICE_THRESHOLD = 16384  # rows; below this the host path wins on latency
+
+
+def _walk(plan: ExecutionPlan):
+    yield plan
+    for child in plan.children():
+        yield from _walk(child)
 
 
 def gather_parquet_scans(plan: ExecutionPlan) -> list[ParquetScanExec]:
@@ -97,6 +103,9 @@ class VectorTopKExec(ExecutionPlan):
         self._batches_fetched = self.metrics.counter(
             "batches_fetched", self.metrics.DEV
         )
+        self._resident_candidates = self.metrics.counter(
+            "resident_candidates", self.metrics.DEV
+        )
 
     @classmethod
     def try_new(
@@ -132,14 +141,71 @@ class VectorTopKExec(ExecutionPlan):
     def execute(self, context: TaskContext) -> pa.Table:
         from ..utils.profiling import stage
 
-        with stage("vector_topk.collect_candidates"):
-            candidates = self._collect_candidates(context)
-        with stage("vector_topk.file_metadata"):
-            file_entries = self._files_with_candidates(context, candidates)
-        with stage("vector_topk.fetch_and_topk"):
-            table = self._execute_with_candidates(file_entries, context)
+        with stage("vector_topk.resident"):
+            table = self._try_resident(context)
+        if table is None:
+            with stage("vector_topk.collect_candidates"):
+                candidates = self._collect_candidates(context)
+            with stage("vector_topk.file_metadata"):
+                file_entries = self._files_with_candidates(context, candidates)
+            with stage("vector_topk.fetch_and_topk"):
+                table = self._execute_with_candidates(file_entries, context)
         self.metrics.output_rows.add(table.num_rows)
         return table
+
+    def _try_resident(self, context: TaskContext) -> pa.Table | None:
+        """Serve candidates from a session-cached HBM-resident searcher.
+
+        TPU serving extension: when the (single) scanned file has a resident
+        ``DeviceIvfSearcher`` (Session.device_searcher), candidate ids come
+        from a device IVF search over the same probe set instead of footer
+        probing + candidate-page reads — the per-query I/O drops from
+        O(nprobe * cluster) pages to the k winners. Results are IDENTICAL
+        to the host path: the device returns the distance top-k' of exactly
+        the rows the index child would emit, downstream fetch/filter/top-k
+        is unchanged, and under a FilterExec the candidate count escalates
+        (k' x4) until k survivors or the probed set is exhausted; any parity
+        hazard (multi-file scan, max_candidates truncation, column or dim
+        mismatch) falls back to the host path. Returns None to fall back.
+        """
+        if not context.resident or self.options.max_candidates is not None:
+            return None
+        scan = gather_single_parquet_scan(self.scan_plan)
+        if scan is None or len(scan.files) != 1:
+            return None
+        path = scan.files[0].object_path
+        searcher = context.resident.get(path)
+        if searcher is None:
+            return None
+        if getattr(searcher, "source_column", None) != self.vector_column:
+            return None
+        if searcher.metric != "l2":
+            return None  # engine distance semantics are (squared) L2
+        if searcher.dim != self.query.size:
+            return None  # host path skips the file (dim-mismatch semantics)
+
+        has_filter = any(
+            isinstance(node, FilterExec) for node in _walk(self.scan_plan)
+        )
+        k_fetch = self.k if not has_filter else max(4 * self.k, self.k + 64)
+        while True:
+            k_eff = min(k_fetch, searcher.n)
+            _, ids = searcher.search(
+                self.query[None, :], k_eff, self.options.nprobe, mode="gather"
+            )
+            ids = np.asarray(ids)[0]
+            ids = ids[ids >= 0].astype(np.int64)
+            if ids.size == 0:
+                return None
+            exhausted = ids.size < k_eff or k_eff >= searcher.n
+            file_entries = self._files_with_candidates(
+                context, {path: ids}
+            )
+            table = self._execute_with_candidates(file_entries, context)
+            if table.num_rows >= self.k or exhausted:
+                self._resident_candidates.add(ids.size)
+                return table
+            k_fetch *= 4
 
     def _collect_candidates(self, context: TaskContext) -> dict[str, np.ndarray]:
         """Index child -> {path: row ids} (exec.rs:108-155)."""
@@ -161,13 +227,24 @@ class VectorTopKExec(ExecutionPlan):
         remaining = dict(candidates)
         entries: list[FileEntry] = []
         for file in scan.files:
+            import os as _os
+
             try:
-                md = pq.ParquetFile(file.object_path).metadata
-            except Exception as exc:
-                raise ExecutionError(
-                    f"Failed to read parquet metadata from '{file.object_path}': {exc}"
-                ) from exc
-            row_groups = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+                key = (file.object_path, _os.path.getsize(file.object_path))
+            except OSError:
+                key = (file.object_path, -1)
+            row_groups = context.meta_cache.get(key)
+            if row_groups is None:
+                try:
+                    md = pq.ParquetFile(file.object_path).metadata
+                except Exception as exc:
+                    raise ExecutionError(
+                        f"Failed to read parquet metadata from '{file.object_path}': {exc}"
+                    ) from exc
+                row_groups = [
+                    md.row_group(i).num_rows for i in range(md.num_row_groups)
+                ]
+                context.meta_cache[key] = row_groups
             rows = remaining.pop(file.object_path, np.empty(0, dtype=np.int64))
             entries.append(
                 FileEntry(

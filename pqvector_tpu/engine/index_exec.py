@@ -66,7 +66,9 @@ class VectorIndexScanExec(ExecutionPlan):
         row_ids: list[np.ndarray] = []
         with self.metrics.elapsed_compute.timer():
             for file in self.files:
-                candidates = self._scan_file(store, file)
+                candidates = self._scan_file(
+                    store, file, context.index_cache
+                )
                 paths.extend([file.object_path] * candidates.size)
                 row_ids.append(candidates)
 
@@ -85,9 +87,19 @@ class VectorIndexScanExec(ExecutionPlan):
         self.metrics.output_rows.add(table.num_rows)
         return table
 
-    def _scan_file(self, store, file: ScanFile) -> np.ndarray:
+    def _scan_file(
+        self, store, file: ScanFile, index_cache: dict | None = None
+    ) -> np.ndarray:
         path = file.object_path
         file_size = file.file_size
+        cached = (
+            index_cache.get((path, file_size))
+            if index_cache is not None
+            else None
+        )
+        if cached is not None:
+            index, embedding_column, metric = cached
+            return self._probe(index, embedding_column, metric, path)
         tail = store.get_range(path, file_size - _FOOTER_SIZE, file_size)
         if tail[4:] == b"PARE":
             # Match the precise io-path error (parquet.rs:556-558 rejects
@@ -134,13 +146,26 @@ class VectorIndexScanExec(ExecutionPlan):
                 f"Failed to decode pq-vector payload from '{path}': {exc}"
             ) from exc
 
+        metric = dict(kv).get(PQ_VECTOR_METRIC_KEY, "l2")
+        if index_cache is not None:
+            index_cache[(path, file_size)] = (
+                index, str(embedding_column), metric,
+            )
+        return self._probe(index, str(embedding_column), metric, path)
+
+    def _probe(self, index, embedding_column: str, metric: str, path: str):
+        """Validate + probe a (possibly cached) decoded index."""
+        if embedding_column != self.vector_column:
+            raise ExecutionError(
+                f"IVF index column mismatch: expected '{self.vector_column}', "
+                f"found '{embedding_column}'"
+            )
         if index.dim != self.query.size:
             raise PlanError(
                 f"Query dimension mismatch: expected {index.dim}, got "
                 f"{self.query.size}"
             )
         query = self.query
-        metric = dict(kv).get(PQ_VECTOR_METRIC_KEY, "l2")
         if metric == "cosine":
             # Cosine-trained centroids live on the unit sphere (extension key,
             # io/embed.py); probing with the raw query would pick the wrong

@@ -15,6 +15,8 @@ design — bulk work belongs to the device operators.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -59,10 +61,30 @@ class ExecutionPlan:
 
 
 class TaskContext:
-    """Execution context: object store + session-level knobs."""
+    """Execution context: object store + session-level knobs.
 
-    def __init__(self, object_store: ObjectStore = DEFAULT_STORE):
+    ``resident`` maps file paths to HBM-resident ``DeviceIvfSearcher``s the
+    session has cached (Session.device_searcher); VectorTopKExec serves
+    candidates from the device instead of probing footers + reading
+    candidate pages when the scanned file has one (TPU serving extension —
+    the reference's SQL path is disk-only).
+    """
+
+    def __init__(
+        self,
+        object_store: ObjectStore = DEFAULT_STORE,
+        resident: dict | None = None,
+        meta_cache: dict | None = None,
+        index_cache: dict | None = None,
+    ):
         self.object_store = object_store
+        self.resident = resident or {}
+        # Session-shared caches keyed by (path, file_size): per-query footer
+        # metadata parses (~4 MB thrift at 1M rows) and index payload decodes
+        # dominate warm SQL latency otherwise. In-place re-index grows the
+        # file, so the size key self-invalidates.
+        self.meta_cache = meta_cache if meta_cache is not None else {}
+        self.index_cache = index_cache if index_cache is not None else {}
 
 
 class ParquetScanExec(ExecutionPlan):
@@ -115,15 +137,35 @@ class ParquetScanExec(ExecutionPlan):
         with self.metrics.elapsed_compute.timer():
             for file in self.files:
                 plan = self.access_plans.get(file.object_path)
-                tables.append(self._read_file(file.object_path, plan))
+                tables.append(
+                    self._read_file(file.object_path, plan, context)
+                )
         if not tables:
             return self.schema().empty_table()
         table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         self.metrics.output_rows.add(table.num_rows)
         return table
 
-    def _read_file(self, path: str, plan: ParquetAccessPlan | None) -> pa.Table:
-        pf = pq.ParquetFile(path)
+    def _read_file(
+        self,
+        path: str,
+        plan: ParquetAccessPlan | None,
+        context: TaskContext | None = None,
+    ) -> pa.Table:
+        # Footer parses dominate warm per-query latency (pyarrow thrift for
+        # pf, our own compact-protocol parse inside PageSelectiveReader), so
+        # open handles are cached session-wide keyed by (path, size) — the
+        # in-place index append grows the file, invalidating the key.
+        cache = context.meta_cache if context is not None else None
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = -1
+        pf = None if cache is None else cache.get(("pf", path, size))
+        if pf is None:
+            pf = pq.ParquetFile(path)
+            if cache is not None:
+                cache[("pf", path, size)] = pf
         columns = self.projection
         if plan is None:
             table = pf.read(columns=columns)
@@ -134,7 +176,7 @@ class ParquetScanExec(ExecutionPlan):
         if selected and all(
             sel.rows is not None and not sel.scan_all for _, sel in selected
         ):
-            table = self._read_selected_pages(pf, path, selected)
+            table = self._read_selected_pages(pf, path, selected, context)
             if table is not None:
                 return _strip_metadata(table)
         parts: list[pa.Table] = []
@@ -148,7 +190,8 @@ class ParquetScanExec(ExecutionPlan):
         return _strip_metadata(pa.concat_tables(parts))
 
     def _read_selected_pages(
-        self, pf: pq.ParquetFile, path: str, selected
+        self, pf: pq.ParquetFile, path: str, selected,
+        context: TaskContext | None = None,
     ) -> pa.Table | None:
         """Decode only the selected rows' PAGES for float32-valued columns.
 
@@ -186,12 +229,22 @@ class ParquetScanExec(ExecutionPlan):
 
         arrays: dict[str, pa.Array] = {}
         pages_total = 0
+        cache = context.meta_cache if context is not None else None
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = -1
         for name in names:
             typ = pf.schema_arrow.field(name).type
             if not _page_path_type(typ):
                 continue
+            rkey = ("psr", path, size, name)
             try:
-                reader = PageSelectiveReader(path, EmbeddingColumn(name))
+                reader = None if cache is None else cache.get(rkey)
+                if reader is None:
+                    reader = PageSelectiveReader(path, EmbeddingColumn(name))
+                    if cache is not None:
+                        cache[rkey] = reader
                 if not reader.supports_page_reads:
                     continue
                 vals, lens, pages = reader.read_rows_ragged(global_rows)
@@ -207,10 +260,19 @@ class ParquetScanExec(ExecutionPlan):
 
         fallback = [n for n in names if n not in arrays]
         if fallback:
-            parts = [
-                pf.read_row_group(g, columns=fallback).take(pa.array(sel.rows))
-                for g, sel in selected
-            ]
+            # Non-float32 columns (ints, strings) fall back to row-group
+            # decodes + take; the decoded columns are cached per row group
+            # (tiny: e.g. 0.5 MB per 64k-row int64 group) so repeated
+            # serving queries pay only the take().
+            parts = []
+            for g, sel in selected:
+                gkey = ("rg", path, size, g, tuple(fallback))
+                tbl = None if cache is None else cache.get(gkey)
+                if tbl is None:
+                    tbl = pf.read_row_group(g, columns=fallback)
+                    if cache is not None:
+                        cache[gkey] = tbl
+                parts.append(tbl.take(pa.array(sel.rows)))
             fb = pa.concat_tables(parts)
             for n in fallback:
                 arrays[n] = fb.column(n)

@@ -63,6 +63,8 @@ class Session:
         self.object_store = object_store
         self._tables: dict[str, _Table] = {}
         self._searchers: dict = {}
+        self._meta_cache: dict = {}
+        self._index_cache: dict = {}
         self._rules = []
         if enable_vector_topk:
             self._rules.append(VectorTopKPhysicalOptimizerRule(self.options))
@@ -100,7 +102,16 @@ class Session:
         return self._searchers[cache_key]
 
     def task_context(self) -> TaskContext:
-        return TaskContext(object_store=self.object_store)
+        resident = {
+            path: searcher
+            for (name, path), searcher in self._searchers.items()
+        }
+        return TaskContext(
+            object_store=self.object_store,
+            resident=resident,
+            meta_cache=self._meta_cache,
+            index_cache=self._index_cache,
+        )
 
     # Planner ----------------------------------------------------------
 

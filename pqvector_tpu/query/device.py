@@ -440,13 +440,18 @@ class DeviceIvfSearcher:
 
         index, column = read_index_from_parquet(path)
         emb = read_embedding_column(path, column)
-        return cls(
+        searcher = cls(
             index,
             emb.data,
             dtype=dtype,
             row_tile=row_tile,
             metric=read_index_metric(path),
         )
+        # Provenance for the SQL engine's resident fast path (column-match
+        # enforcement mirrors index_exec.rs:123-129).
+        searcher.source_path = os.fspath(path)
+        searcher.source_column = column.name
+        return searcher
 
     # ------------------------------------------------------------------
 
