@@ -165,6 +165,8 @@ class ParquetScanExec(ExecutionPlan):
         if pf is None:
             pf = pq.ParquetFile(path)
             if cache is not None:
+                if len(cache) > 256:  # bound stale handles/fds on re-index
+                    cache.clear()
                 cache[("pf", path, size)] = pf
         columns = self.projection
         if plan is None:
