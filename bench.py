@@ -328,6 +328,12 @@ def main():
                 log(f"mode={mode}: recall@{args.k}={r_m:.4f}")
             mode_qps[mode] = measure_mode(mode, qbatch)
             log(f"mode={mode}: {mode_qps[mode]:.0f} QPS @ B={batch}")
+        if not mode_qps:
+            # Every requested mode was excluded (recall gate / eligibility);
+            # fall back to the always-eligible exact-selection kernel so the
+            # bench still reports an honest number.
+            log("all requested modes excluded; falling back to mode=pallas")
+            mode_qps["pallas"] = measure_mode("pallas", qbatch)
         best256 = max(mode_qps, key=mode_qps.get)
         qps256 = mode_qps[best256]
         log(

@@ -22,6 +22,8 @@ re-scoring runs as one device matmul instead of the host loop.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -35,7 +37,14 @@ from .access import (
 )
 from .index_exec import INDEX_PATH_COL, INDEX_ROW_ID_COL, VectorIndexScanExec
 from .options import VectorTopKOptions
-from .physical import ExecutionPlan, FilterExec, ParquetScanExec, TaskContext
+from .physical import (
+    ExecutionPlan,
+    FilterExec,
+    ParquetScanExec,
+    TaskContext,
+    cache_put,
+    file_cache_key,
+)
 
 _DEVICE_THRESHOLD = 16384  # rows; below this the host path wins on latency
 
@@ -47,16 +56,7 @@ def _walk(plan: ExecutionPlan):
 
 
 def gather_parquet_scans(plan: ExecutionPlan) -> list[ParquetScanExec]:
-    scans: list[ParquetScanExec] = []
-
-    def visit(node: ExecutionPlan) -> None:
-        if isinstance(node, ParquetScanExec):
-            scans.append(node)
-        for child in node.children():
-            visit(child)
-
-    visit(plan)
-    return scans
+    return [n for n in _walk(plan) if isinstance(n, ParquetScanExec)]
 
 
 def gather_single_parquet_scan(plan: ExecutionPlan) -> ParquetScanExec | None:
@@ -183,6 +183,15 @@ class VectorTopKExec(ExecutionPlan):
             return None  # engine distance semantics are (squared) L2
         if searcher.dim != self.query.size:
             return None  # host path skips the file (dim-mismatch semantics)
+        # Parity guards: the device must rank exactly what the host would.
+        # bf16 storage perturbs selection (~2^-8); a searcher built before a
+        # re-index/rewrite ranks against stale data.
+        import jax.numpy as _jnp
+
+        if searcher.emb.dtype != _jnp.float32:
+            return None
+        if getattr(searcher, "source_key", None) != file_cache_key(path):
+            return None
 
         has_filter = any(
             isinstance(node, FilterExec) for node in _walk(self.scan_plan)
@@ -227,12 +236,7 @@ class VectorTopKExec(ExecutionPlan):
         remaining = dict(candidates)
         entries: list[FileEntry] = []
         for file in scan.files:
-            import os as _os
-
-            try:
-                key = (file.object_path, _os.path.getsize(file.object_path))
-            except OSError:
-                key = (file.object_path, -1)
+            key = (file.object_path, file_cache_key(file.object_path))
             row_groups = context.meta_cache.get(key)
             if row_groups is None:
                 try:
@@ -244,7 +248,7 @@ class VectorTopKExec(ExecutionPlan):
                 row_groups = [
                     md.row_group(i).num_rows for i in range(md.num_row_groups)
                 ]
-                context.meta_cache[key] = row_groups
+                cache_put(context.meta_cache, key, row_groups)
             rows = remaining.pop(file.object_path, np.empty(0, dtype=np.int64))
             entries.append(
                 FileEntry(

@@ -60,6 +60,24 @@ class ExecutionPlan:
         return []
 
 
+def file_cache_key(path: str):
+    """(size, mtime_ns) identity for session caches: size alone misses
+    same-size rewrites; mtime alone misses fast successive writes."""
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (-1, -1)
+
+
+def cache_put(cache: dict, key, value, limit: int = 512) -> None:
+    """Insert with a blunt size bound (session caches hold open pf handles
+    and decoded row-group columns; unbounded growth leaks fds/memory)."""
+    if len(cache) > limit:
+        cache.clear()
+    cache[key] = value
+
+
 class TaskContext:
     """Execution context: object store + session-level knobs.
 
@@ -157,17 +175,12 @@ class ParquetScanExec(ExecutionPlan):
         # open handles are cached session-wide keyed by (path, size) — the
         # in-place index append grows the file, invalidating the key.
         cache = context.meta_cache if context is not None else None
-        try:
-            size = os.path.getsize(path)
-        except OSError:
-            size = -1
-        pf = None if cache is None else cache.get(("pf", path, size))
+        fkey = file_cache_key(path)
+        pf = None if cache is None else cache.get(("pf", path, fkey))
         if pf is None:
             pf = pq.ParquetFile(path)
             if cache is not None:
-                if len(cache) > 256:  # bound stale handles/fds on re-index
-                    cache.clear()
-                cache[("pf", path, size)] = pf
+                cache_put(cache, ("pf", path, fkey), pf)
         columns = self.projection
         if plan is None:
             table = pf.read(columns=columns)
@@ -232,21 +245,18 @@ class ParquetScanExec(ExecutionPlan):
         arrays: dict[str, pa.Array] = {}
         pages_total = 0
         cache = context.meta_cache if context is not None else None
-        try:
-            size = os.path.getsize(path)
-        except OSError:
-            size = -1
+        fkey = file_cache_key(path)
         for name in names:
             typ = pf.schema_arrow.field(name).type
             if not _page_path_type(typ):
                 continue
-            rkey = ("psr", path, size, name)
+            rkey = ("psr", path, fkey, name)
             try:
                 reader = None if cache is None else cache.get(rkey)
                 if reader is None:
                     reader = PageSelectiveReader(path, EmbeddingColumn(name))
                     if cache is not None:
-                        cache[rkey] = reader
+                        cache_put(cache, rkey, reader)
                 if not reader.supports_page_reads:
                     continue
                 vals, lens, pages = reader.read_rows_ragged(global_rows)
@@ -268,12 +278,15 @@ class ParquetScanExec(ExecutionPlan):
             # serving queries pay only the take().
             parts = []
             for g, sel in selected:
-                gkey = ("rg", path, size, g, tuple(fallback))
+                gkey = ("rg", path, fkey, g, tuple(fallback))
                 tbl = None if cache is None else cache.get(gkey)
                 if tbl is None:
                     tbl = pf.read_row_group(g, columns=fallback)
-                    if cache is not None:
-                        cache[gkey] = tbl
+                    # Cache only modest groups: fallback covers ALL
+                    # non-float32 columns — a wide string column on a big
+                    # table would pin gigabytes with no eviction.
+                    if cache is not None and tbl.nbytes <= (8 << 20):
+                        cache_put(cache, gkey, tbl)
                 parts.append(tbl.take(pa.array(sel.rows)))
             fb = pa.concat_tables(parts)
             for n in fallback:

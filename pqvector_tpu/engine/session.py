@@ -93,13 +93,20 @@ class Session:
                 "pqvector_tpu.dist for sharded multi-file serving"
             )
         cache_key = (name, table.paths[0])
-        if cache_key not in self._searchers:
+        cached = self._searchers.get(cache_key)
+        if cached is not None:
+            from .physical import file_cache_key
+
+            if getattr(cached, "source_key", None) != file_cache_key(
+                table.paths[0]
+            ):
+                cached = None  # file re-indexed/rewritten: rebuild
+        if cached is None:
             from ..query.device import DeviceIvfSearcher
 
-            self._searchers[cache_key] = DeviceIvfSearcher.from_parquet(
-                table.paths[0], **kwargs
-            )
-        return self._searchers[cache_key]
+            cached = DeviceIvfSearcher.from_parquet(table.paths[0], **kwargs)
+            self._searchers[cache_key] = cached
+        return cached
 
     def task_context(self) -> TaskContext:
         resident = {

@@ -448,9 +448,15 @@ class DeviceIvfSearcher:
             metric=read_index_metric(path),
         )
         # Provenance for the SQL engine's resident fast path (column-match
-        # enforcement mirrors index_exec.rs:123-129).
+        # enforcement mirrors index_exec.rs:123-129; the (size, mtime) key
+        # lets the engine reject a searcher built before a re-index).
         searcher.source_path = os.fspath(path)
         searcher.source_column = column.name
+        try:
+            st = os.stat(path)
+            searcher.source_key = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            searcher.source_key = (-1, -1)
         return searcher
 
     # ------------------------------------------------------------------
