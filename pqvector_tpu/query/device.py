@@ -474,25 +474,30 @@ class DeviceIvfSearcher:
             q = q / jnp.maximum(norms, 1e-30)
         return q
 
-    @staticmethod
-    def _pallas_tile(row_tile: int, batch: int, stream: bool = False) -> int:
-        """Largest divisor of ``row_tile`` whose [B, tile] f32 score block
-        fits the VMEM budget. Mosaic's stack accounting charges ~4x the score
-        block (extraction temporaries), so ~2.5 MB of scores keeps the kernel
-        under the 16 MB scoped limit. Must divide ``row_tile`` because the
-        padded row count is a multiple of it."""
+    def _pallas_tile(self, row_tile: int, batch: int, stream: bool = False) -> int:
+        """Largest divisor of ``row_tile`` whose kernel VMEM footprint fits.
+
+        Two constraints against the 16 MB scoped limit:
+        * the [B, tile] f32 score block — Mosaic's stack accounting charges
+          ~4x it in extraction temporaries (stream merge: ~5x, measured
+          21.8 MB at tile=4096 B=256, so stream halves the budget);
+        * the double-buffered [subtiles<=2, tile, d] embedding block, which
+          scales with the DIMENSION — at d=1024 f32, tile=2048 alone is
+          16 MB and OOMs (observed on the reference-default 1M x 1024
+          workload); cap it at ~5 MB.
+        Must divide ``row_tile`` because the padded row count is a multiple
+        of it."""
         # Empirical stack model: tile=4096 at B=256 fits (4 MB scores);
         # B=1024 needs <=2.5 MB (larger q/output/iota blocks eat the rest).
         budget_bytes = 4 * 1024 * 1024 if batch <= 256 else int(2.5 * 1024 * 1024)
         if stream:
-            # Mosaic's stack accounting charges the stream merge's unrolled
-            # tail its own [B, tile] temporaries (measured 21.8 MB at
-            # tile=4096, B=256 vs the 16 MB scoped limit); half-size blocks
-            # keep it at ~11 MB.
             budget_bytes //= 2
         budget = max(budget_bytes // (4 * max(batch, 1)), 128)
         tile = row_tile
         while tile > budget and tile % 2 == 0:
+            tile //= 2
+        esize = jnp.dtype(self.emb.dtype).itemsize
+        while tile > 128 and tile * self.dim * esize > (5 << 20):
             tile //= 2
         return tile
 
