@@ -497,7 +497,10 @@ class DeviceIvfSearcher:
         while tile > budget and tile % 2 == 0:
             tile //= 2
         esize = jnp.dtype(self.emb.dtype).itemsize
-        while tile > 128 and tile * self.dim * esize > (5 << 20):
+        # <=2 MB per sub-tile: with double-buffering and up to 2 sub-tiles
+        # the emb block stays <=4 MB, leaving room for the merge stack
+        # (observed: 8 MB of block -> 17.4 MB scoped > the 16 MB limit).
+        while tile > 128 and tile * self.dim * esize > (2 << 20):
             tile //= 2
         return tile
 
