@@ -474,7 +474,9 @@ class DeviceIvfSearcher:
             q = q / jnp.maximum(norms, 1e-30)
         return q
 
-    def _pallas_tile(self, row_tile: int, batch: int, stream: bool = False) -> int:
+    def _pallas_tile(
+        self, row_tile: int, batch: int, stream: bool = False, k: int = 10
+    ) -> int:
         """Largest divisor of ``row_tile`` whose kernel VMEM footprint fits.
 
         Two constraints against the 16 MB scoped limit:
@@ -492,6 +494,11 @@ class DeviceIvfSearcher:
         budget_bytes = 4 * 1024 * 1024 if batch <= 256 else int(2.5 * 1024 * 1024)
         if stream:
             budget_bytes //= 2
+        if k > 16:
+            # The unrolled extraction passes charge stack per pass: observed
+            # ~30.5 MB scoped at k=100, tile=1024, B=256 (vs ~16 MB at k=10,
+            # tile=4096) — shrink the tile roughly linearly in k.
+            budget_bytes = budget_bytes * 16 // k
         budget = max(budget_bytes // (4 * max(batch, 1)), 128)
         tile = row_tile
         while tile > budget and tile % 2 == 0:
@@ -528,7 +535,7 @@ class DeviceIvfSearcher:
         if mode == "stream":
             from ..kernels.stream_topk import pallas_stream_exact_topk
 
-            tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=True)
+            tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=True, k=k)
             d2, ids = pallas_stream_exact_topk(
                 q,
                 self.emb,
@@ -546,7 +553,7 @@ class DeviceIvfSearcher:
                 self.emb,
                 self._pallas_emb_sq(),
                 k,
-                tile=self._pallas_tile(self.row_tile, q.shape[0]),
+                tile=self._pallas_tile(self.row_tile, q.shape[0], k=k),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "xla":
@@ -615,7 +622,9 @@ class DeviceIvfSearcher:
             from ..kernels.stream_topk import pallas_stream_masked_topk
 
             max_probe = self._max_probe_bucket(nprobe)
-            tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=True)
+            tile_p = self._pallas_tile(
+                self.row_tile, q.shape[0], stream=True, k=k
+            )
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
             d2, ids = pallas_stream_masked_topk(
                 q,
@@ -644,7 +653,7 @@ class DeviceIvfSearcher:
             )
 
             max_probe = self._max_probe_bucket(nprobe)
-            tile_p = self._pallas_tile(self.row_tile, q.shape[0])
+            tile_p = self._pallas_tile(self.row_tile, q.shape[0], k=k)
             interpret = jax.default_backend() != "tpu"
             if self._use_local_mask(tile_p, q.shape[0]):
                 lcl, tc, cmax = self._tile_cluster_table(tile_p)
@@ -850,7 +859,9 @@ class DeviceIvfSearcher:
         use_stream = mode == "stream"
         use_approx = mode == "approx"
         use_scan = mode == "scan"
-        tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
+        tile_p = self._pallas_tile(
+            self.row_tile, q.shape[0], stream=use_stream, k=k
+        )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
             and not (use_approx or use_scan)
         if use_local:
@@ -896,7 +907,9 @@ class DeviceIvfSearcher:
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
         use_approx = mode == "approx"
-        tile_p = self._pallas_tile(self.row_tile, q.shape[0], stream=use_stream)
+        tile_p = self._pallas_tile(
+            self.row_tile, q.shape[0], stream=use_stream, k=k
+        )
         d2, ids = _exact_pallas_loop(
             q,
             self.emb,
