@@ -525,11 +525,14 @@ class DeviceIvfSearcher:
         if k <= 0:
             raise ValidationError("k must be > 0")
         if mode == "auto":
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and k <= 32:
                 # Streaming-threshold kernel (round 2): running top-k carried
                 # across tiles, extraction passes gated on actual improvement
                 # — measured 2.6x the round-1 per-tile extraction kernel.
-                mode = "stream" if k <= 128 else "pallas"
+                # Beyond k=32 the unrolled extraction passes blow the Mosaic
+                # stack regardless of tile (28 MB scoped at k=100, tile=512)
+                # — the XLA merge handles any k.
+                mode = "stream"
             else:
                 mode = "xla"
         if mode == "stream":
@@ -593,7 +596,12 @@ class DeviceIvfSearcher:
         tile = min(self.row_tile, 2048)
 
         if mode == "auto":
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and k > 32:
+                # Unrolled per-pass extraction blows the Mosaic stack at
+                # large k (28 MB scoped at k=100 regardless of tile); the
+                # XLA masked scan handles any k.
+                mode = "masked"
+            elif jax.default_backend() == "tpu":
                 # Measured routing (docs/PERFORMANCE.md round 2): the
                 # local-mask pallas kernel wins while its pre-gathered lmask
                 # buffer fits (1M x 128 B=256: 39.8k vs stream 27k QPS);
@@ -850,7 +858,9 @@ class DeviceIvfSearcher:
         interpret = jax.default_backend() != "tpu"
         if mode == "auto":
             tile_a = self._pallas_tile(self.row_tile, q.shape[0])
-            if self._use_local_mask(tile_a, q.shape[0]):
+            if k > 32:
+                mode = "masked"  # Mosaic stack blows up at large k
+            elif self._use_local_mask(tile_a, q.shape[0]):
                 mode = "pallas"  # measured routing — see search()
             elif self._can_stream_masked(k, q.shape[0]):
                 mode = "stream"
@@ -859,11 +869,12 @@ class DeviceIvfSearcher:
         use_stream = mode == "stream"
         use_approx = mode == "approx"
         use_scan = mode == "scan"
+        use_xla = mode == "masked"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
-            and not (use_approx or use_scan)
+            and not (use_approx or use_scan or use_xla)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -879,7 +890,7 @@ class DeviceIvfSearcher:
             tc,
             self.emb,
             self._pallas_emb_sq()
-            if not (use_approx or use_scan) else self.emb_sq,
+            if not (use_approx or use_scan or use_xla) else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
             max_probe=max_probe,
@@ -890,6 +901,7 @@ class DeviceIvfSearcher:
             use_stream=use_stream,
             use_approx=use_approx,
             use_scan=use_scan,
+            use_xla=use_xla,
             chunk=self._approx_chunk(masked=use_approx),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
@@ -966,19 +978,25 @@ import functools as _functools
     jax.jit,
     static_argnames=(
         "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-        "use_approx", "use_scan", "chunk", "recall_target", "score_dtype",
-        "subtiles", "interpret",
+        "use_approx", "use_scan", "use_xla", "chunk", "recall_target",
+        "score_dtype", "subtiles", "interpret",
     ),
 )
 def _masked_pallas_loop(
     q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
     k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
-    use_scan, chunk, recall_target, score_dtype, subtiles, interpret,
+    use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
+    interpret,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
 
     def body(q):
+        if use_xla:
+            return _ivf_masked_scan_impl(
+                q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
+                k=k, max_probe=max_probe, tile=tile,
+            )
         if use_scan:
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,

@@ -306,3 +306,15 @@ def test_approx_bf16_scores_close(setup):
             assert np.all(got_d <= want_d * 1.01 + 1e-3)
     finally:
         searcher.approx_score_dtype = jnp.float32
+
+
+def test_masked_loop_mode_matches_single(setup):
+    """search_loop(mode='masked') — the any-k XLA path used for k > 32."""
+    x, index, _, queries = setup
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    d1, i1 = s.search(queries, k=40, nprobe=3, mode="masked")
+    dl, il = s.search_loop(queries, k=40, nprobe=3, reps=2, mode="masked")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
+    # auto routes large k to the XLA merge (Mosaic stack blows up at k>32)
+    da, ia = s.search_loop(queries, k=40, nprobe=3, reps=2, mode="auto")
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(i1))
