@@ -219,18 +219,24 @@ def _exact_approx_topk_impl(
     in HBM (measured roofline-bound on that traffic at B=1024); bf16 scores
     halve it at a ~2^-8 relative selection perturbation (winners are still
     re-scored in f32).
+
+    Large k over-fetch: approx_min_k's recall_target does not hold at large
+    k (measured 0.77-0.82 recall@100 at rt=0.99 on 1M rows); fetching 2k
+    and keeping the best k after exact re-scoring recovers it.
     """
     qf = q.astype(emb.dtype)
+    k_fetch = k if k <= 32 else 2 * k
 
     def chunk_topk(x, x2, base):
         scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
         partial = (x2[None, :] - 2.0 * scores.astype(jnp.float32)).astype(
             score_dtype
         )
-        vals, idx = _approx_min_k_clamped(partial, k, recall_target)
+        vals, idx = _approx_min_k_clamped(partial, k_fetch, recall_target)
         return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
-    return _approx_scan(q, emb, chunk_topk, (emb, emb_sq), k, chunk)
+    d2, ids = _approx_scan(q, emb, chunk_topk, (emb, emb_sq), k_fetch, chunk)
+    return d2[:, :k], ids[:, :k]
 
 
 def _ivf_approx_masked_impl(
@@ -258,6 +264,7 @@ def _ivf_approx_masked_impl(
     mask = jnp.zeros((b, kc + 1), jnp.bool_)
     mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
     big = jnp.array(jnp.inf, score_dtype)  # bf16 has inf; survives the merge
+    k_fetch = k if k <= 32 else 2 * k  # see _exact_approx_topk_impl
 
     def chunk_topk(x, x2, cl, base):
         scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
@@ -266,10 +273,13 @@ def _ivf_approx_masked_impl(
         )
         probed = jnp.take(mask, cl, axis=1)  # [B, C]
         partial = jnp.where(probed, partial, big)
-        vals, idx = _approx_min_k_clamped(partial, k, recall_target)
+        vals, idx = _approx_min_k_clamped(partial, k_fetch, recall_target)
         return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
-    return _approx_scan(q, emb, chunk_topk, (emb, emb_sq, row_cluster), k, chunk)
+    d2, ids = _approx_scan(
+        q, emb, chunk_topk, (emb, emb_sq, row_cluster), k_fetch, chunk
+    )
+    return d2[:, :k], ids[:, :k]
 
 
 def _ivf_masked_scan_impl(

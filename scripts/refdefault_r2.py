@@ -49,13 +49,19 @@ q_all = emb[rng.integers(0, len(emb), 1024)] + 0.05 * rng.standard_normal(
     (1024, 1024)
 ).astype(np.float32)
 
-truth = DeviceIvfSearcher(index, emb, row_tile=4096)
-t0 = time.time()
-_, tids = truth.exact(q_all[:256], K)
-tids = np.asarray(tids)
-log(f"truth exact 256q (k={K}): {time.time()-t0:.1f}s")
-del truth
-gc.collect()
+tcache = path + f".truth_k{K}.npy"
+if os.path.exists(tcache):
+    tids = np.load(tcache)
+    log("truth loaded from cache")
+else:
+    truth = DeviceIvfSearcher(index, emb, row_tile=4096)
+    t0 = time.time()
+    _, tids = truth.exact(q_all[:256], K)
+    tids = np.asarray(tids)
+    np.save(tcache, tids)
+    log(f"truth exact 256q (k={K}): {time.time()-t0:.1f}s")
+    del truth
+    gc.collect()
 
 s16 = DeviceIvfSearcher(
     index, emb, row_tile=4096, dtype=jnp.bfloat16, cluster_sorted=True
