@@ -577,7 +577,7 @@ class DeviceIvfSearcher:
                 self.emb,
                 self.emb_sq,
                 k,
-                chunk=self._approx_chunk(),
+                chunk=self._approx_chunk(k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
@@ -732,7 +732,7 @@ class DeviceIvfSearcher:
                 jnp.int32(nprobe),
                 k=k,
                 max_probe=max_probe,
-                chunk=self._approx_chunk(masked=True),
+                chunk=self._approx_chunk(masked=True, k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
@@ -744,7 +744,7 @@ class DeviceIvfSearcher:
                 self.emb,
                 self.emb_sq,
                 k,
-                chunk=self._approx_chunk(),
+                chunk=self._approx_chunk(k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
@@ -912,7 +912,7 @@ class DeviceIvfSearcher:
             use_approx=use_approx,
             use_scan=use_scan,
             use_xla=use_xla,
-            chunk=self._approx_chunk(masked=use_approx),
+            chunk=self._approx_chunk(masked=use_approx, k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
@@ -941,7 +941,7 @@ class DeviceIvfSearcher:
             reps=reps,
             use_stream=use_stream,
             use_approx=use_approx,
-            chunk=self._approx_chunk(),
+            chunk=self._approx_chunk(k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
@@ -949,7 +949,7 @@ class DeviceIvfSearcher:
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
-    def _approx_chunk(self, masked: bool = False) -> int:
+    def _approx_chunk(self, masked: bool = False, k: int = 10) -> int:
         """Score-chunk rows for the approx modes.
 
         Unmasked (scan/exact): one chunk = the whole padded array. XLA
@@ -962,9 +962,17 @@ class DeviceIvfSearcher:
         Masked (IVF approx): the probe-mask take() gather DOES materialize
         a [B, chunk] block (10 GB at B=1024 x 10M — observed compile
         failure), so the chunk stays bounded. On CPU (tests) approx_min_k
-        falls back to a dense top-k, so small chunks there too."""
+        falls back to a dense top-k, so small chunks there too.
+
+        Large k: PartialReduce recall collapses when many winners collide
+        in its capped reduction bins (recall@100 = 0.78 over one 1M-row
+        call at rt=0.99); smaller chunks give every chunk its own bins, so
+        k > 32 uses 64k-row chunks (recall recovered at ~2-4x the
+        per-call overhead)."""
         if masked or jax.default_backend() != "tpu":
             return min(self.emb.shape[0], 64 * self.row_tile)
+        if k > 32:
+            return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
     def _pallas_emb_sq(self):
