@@ -964,14 +964,17 @@ class DeviceIvfSearcher:
         failure), so the chunk stays bounded. On CPU (tests) approx_min_k
         falls back to a dense top-k, so small chunks there too.
 
-        Large k: PartialReduce recall collapses when many winners collide
-        in its capped reduction bins (recall@100 = 0.78 over one 1M-row
-        call at rt=0.99); smaller chunks give every chunk its own bins, so
-        k > 32 uses 64k-row chunks (recall recovered at ~2-4x the
-        per-call overhead)."""
+        Large k on CLUSTER-SORTED layouts: PartialReduce's reduction bins
+        are contiguous input segments, so a sorted cluster run (~n/kc rows)
+        spans only a couple of bins and its winners collide — measured
+        recall@100 = 0.770 over one sorted 1M-row call vs 0.997 unsorted,
+        and reduction_input_size_override does not help (0.74-0.76).
+        Smaller chunks shrink the segments (64k chunks: 0.963), so k > 32
+        on a sorted layout uses 64k-row chunks; unsorted layouts keep the
+        single call."""
         if masked or jax.default_backend() != "tpu":
             return min(self.emb.shape[0], 64 * self.row_tile)
-        if k > 32:
+        if k > 32 and self._row_cluster_sorted:
             return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
