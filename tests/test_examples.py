@@ -75,3 +75,10 @@ def test_sql_query_example(example_env):
     out = run_example("sql_query.py", example_env)
     assert "vector_topk" in out  # rewrite fired, tree rendered
     assert "row 7" in out  # title column of the top hit
+
+
+def test_serving_example(example_env):
+    out = run_example("serving.py", example_env)
+    assert "scan ids[0]:" in out
+    assert "loop ids[0]:" in out
+    assert "sql ids:" in out
