@@ -8,6 +8,14 @@ round-trips per Lloyd iteration.
 
 Grid: one program per row tile. The centroid matrix (and its norms) stay
 resident in VMEM across the whole grid (block index 0 for every step).
+
+Status: validated but NOT wired into the build path, deliberately. The
+instrumented staged build (index/build.py) measures the full assignment
+pass at 1.9 s of a 29.1 s end-to-end 1M x 128 build — the wall time is
+parquet decode + host->HBM transfer, which the staged pipeline already
+overlaps. XLA's matmul+argmin fusion keeps the [tile, k] scores out of HBM
+well enough that swapping this kernel in cannot move the total; revisit
+only if a future profile shows assignment dominating (e.g. very large k).
 """
 
 from __future__ import annotations
