@@ -318,3 +318,21 @@ def test_masked_loop_mode_matches_single(setup):
     # auto routes large k to the XLA merge (Mosaic stack blows up at k>32)
     da, ia = s.search_loop(queries, k=40, nprobe=3, reps=2, mode="auto")
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(i1))
+
+
+def test_pallas_tile_respects_dim_and_k(setup):
+    """Tile sizing must honor all three Mosaic scoped-vmem constraints
+    (score stack, dimension-scaled emb block, k-scaled pass stack)."""
+    x, index, searcher, _ = setup
+    # Baseline: d=16 tiny, k small -> tile = row_tile.
+    assert searcher._pallas_tile(4096, 256) == 4096
+    # d=1024 f32 emb block cap: tile * 1024 * 4 <= 2 MB -> tile <= 512
+    # (checked on a shell searcher so no 1024-d matrix is materialized).
+    fake = DeviceIvfSearcher.__new__(DeviceIvfSearcher)
+    fake.dim = 1024
+    fake.emb = searcher.emb
+    assert DeviceIvfSearcher._pallas_tile(fake, 4096, 256) <= 512
+    # k=100 shrinks the budget ~16/k.
+    t10 = searcher._pallas_tile(4096, 256, k=10)
+    t100 = searcher._pallas_tile(4096, 256, k=100)
+    assert t100 < t10
