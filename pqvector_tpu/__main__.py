@@ -65,6 +65,20 @@ def cmd_search(args) -> int:
 
     table = pq.read_table(args.path, columns=[args.column])
     query = np.asarray(table.column(args.column)[args.query_row].as_py(), np.float32)
+    if args.device_mode:
+        # HBM-resident device search (serving path); "scan" is the
+        # ApproxTopK full scan, "auto" the measured-best exact-selection
+        # kernel (see DeviceIvfSearcher.search).
+        from .query.device import DeviceIvfSearcher
+
+        searcher = DeviceIvfSearcher.from_parquet(args.path)
+        dists, ids = searcher.search(
+            query[None, :], args.k, args.nprobe, mode=args.device_mode
+        )
+        for i, d in zip(np.asarray(ids)[0], np.asarray(dists)[0]):
+            if i >= 0:
+                print(f"{int(i)}\t{float(d):.6f}")
+        return 0
     results = TopkBuilder(args.path, query).k(args.k).nprobe(args.nprobe).search()
     for r in results:
         print(f"{r.row_idx}\t{r.distance:.6f}")
@@ -95,6 +109,13 @@ def main(argv=None) -> int:
     p.add_argument("--query-row", type=int, default=0)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument(
+        "--device-mode", default=None,
+        choices=["auto", "stream", "pallas", "masked", "gather", "approx",
+                 "scan"],
+        help="serve from the HBM-resident searcher in this mode instead of "
+        "the disk-selective TopkBuilder path",
+    )
     p.set_defaults(fn=cmd_search)
 
     args = parser.parse_args(argv)

@@ -42,3 +42,23 @@ def test_cli_build_new_output(tmp_path):
 
     assert has_pq_vector_index(out_path)
     assert not has_pq_vector_index(path)
+
+
+def test_cli_search_device_mode(tmp_path, capsys):
+    path = str(make_file(tmp_path))
+    assert main(["build", path, "--n-clusters", "4"]) == 0
+    capsys.readouterr()
+    host = main([
+        "search", path, "--query-row", "2", "-k", "3",
+        "--nprobe", "8",
+    ])
+    host_out = capsys.readouterr().out
+    rc = main([
+        "search", path, "--query-row", "2", "-k", "3",
+        "--nprobe", "8", "--device-mode", "scan",
+    ])
+    dev_out = capsys.readouterr().out
+    assert host == 0 and rc == 0
+    host_ids = [line.split("\t")[0] for line in host_out.strip().splitlines()]
+    dev_ids = [line.split("\t")[0] for line in dev_out.strip().splitlines()]
+    assert dev_ids == host_ids
