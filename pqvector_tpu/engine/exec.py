@@ -193,24 +193,29 @@ class VectorTopKExec(ExecutionPlan):
         if getattr(searcher, "source_key", None) != file_cache_key(path):
             return None
 
+        from ..utils.profiling import stage
+
         has_filter = any(
             isinstance(node, FilterExec) for node in _walk(self.scan_plan)
         )
         k_fetch = self.k if not has_filter else max(4 * self.k, self.k + 64)
         while True:
             k_eff = min(k_fetch, searcher.n)
-            _, ids = searcher.search(
-                self.query[None, :], k_eff, self.options.nprobe, mode="gather"
-            )
-            ids = np.asarray(ids)[0]
+            with stage("vector_topk.resident.device_search"):
+                _, ids = searcher.search(
+                    self.query[None, :], k_eff, self.options.nprobe,
+                    mode="gather",
+                )
+                ids = np.asarray(ids)[0]
             ids = ids[ids >= 0].astype(np.int64)
             if ids.size == 0:
                 return None
             exhausted = ids.size < k_eff or k_eff >= searcher.n
-            file_entries = self._files_with_candidates(
-                context, {path: ids}
-            )
-            table = self._execute_with_candidates(file_entries, context)
+            with stage("vector_topk.resident.fetch_and_topk"):
+                file_entries = self._files_with_candidates(
+                    context, {path: ids}
+                )
+                table = self._execute_with_candidates(file_entries, context)
             if table.num_rows >= self.k or exhausted:
                 self._resident_candidates.add(ids.size)
                 return table
