@@ -554,6 +554,7 @@ class PageSelectiveReader:
             [[0], np.cumsum([rg.num_rows for rg in row_groups])]
         )
         self._page_locations: dict[int, list[PageLocation]] = {}
+        self._page_firsts: dict[int, np.ndarray] = {}
 
     @property
     def supports_page_reads(self) -> bool:
@@ -571,6 +572,17 @@ class PageSelectiveReader:
             data = f.read(chunk.offset_index_length)
             self._page_locations[rg_idx] = parse_offset_index(data)
         return self._page_locations[rg_idx]
+
+    def _firsts(self, rg_idx: int, f) -> np.ndarray:
+        """first_row_index per page, as an ndarray — building a Python list
+        per looked-up row made numpy re-convert ~62k elements per
+        searchsorted call (155 ms for 68 rows on a 1-row-page 1M file)."""
+        if rg_idx not in self._page_firsts:
+            self._page_firsts[rg_idx] = np.asarray(
+                [loc.first_row_index for loc in self._locations(rg_idx, f)],
+                dtype=np.int64,
+            )
+        return self._page_firsts[rg_idx]
 
     def read_rows(self, rows: np.ndarray, dim: int) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)
@@ -595,7 +607,7 @@ class PageSelectiveReader:
                 rg = int(rg_of[oi])
                 local = row - int(self._rg_starts[rg])
                 locs = self._locations(rg, f)
-                firsts = [loc.first_row_index for loc in locs]
+                firsts = self._firsts(rg, f)
                 pidx = int(np.searchsorted(firsts, local, side="right") - 1)
                 if page_cache is not None and page_cache[0] == rg and page_cache[1] == pidx:
                     _, _, page, row_offsets = page_cache
@@ -659,7 +671,7 @@ class PageSelectiveReader:
                 rg = int(rg_of[oi])
                 local = row - int(self._rg_starts[rg])
                 locs = self._locations(rg, f)
-                firsts = [loc.first_row_index for loc in locs]
+                firsts = self._firsts(rg, f)
                 pidx = int(np.searchsorted(firsts, local, side="right") - 1)
                 if (
                     page_cache is not None
@@ -712,7 +724,7 @@ class PageSelectiveReader:
                 rg = int(rg)
                 sel = np.flatnonzero(rg_of == rg)
                 locs = self._locations(rg, f)
-                firsts = np.array([loc.first_row_index for loc in locs], np.int64)
+                firsts = self._firsts(rg, f)
                 local = rows[sel] - int(self._rg_starts[rg])
                 pidx = np.searchsorted(firsts, local, side="right") - 1
                 upages = np.unique(pidx)
