@@ -379,7 +379,11 @@ class DistributedIvfSearcher:
         from ..query.device import _exact_approx_topk_impl
 
         rows_per_dev = self._rows_per_dev
-        chunk = min(rows_per_dev, 64 * 4096)
+        # Shards are cluster-sorted (rows grouped by assignment before
+        # sharding), so mirror DeviceIvfSearcher._approx_chunk: at k > 32
+        # PartialReduce's contiguous reduction bins collide on sorted runs
+        # and recall collapses unless chunks shrink to 64k rows.
+        chunk = min(rows_per_dev, 65536 if k > 32 else 64 * 4096)
         n_total = self.n
 
         @functools.partial(

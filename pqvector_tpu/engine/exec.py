@@ -22,8 +22,6 @@ re-scoring runs as one device matmul instead of the host loop.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -38,6 +36,7 @@ from .access import (
 from .index_exec import INDEX_PATH_COL, INDEX_ROW_ID_COL, VectorIndexScanExec
 from .options import VectorTopKOptions
 from .physical import (
+    STAT_FAILED,
     ExecutionPlan,
     FilterExec,
     ParquetScanExec,
@@ -47,6 +46,11 @@ from .physical import (
 )
 
 _DEVICE_THRESHOLD = 16384  # rows; below this the host path wins on latency
+
+#: Resident filter-escalation cap on the device-side k fetch. Each distinct
+#: k is a fresh jit compile, and large-k lax.top_k (~50k) is pathological on
+#: this backend (CLAUDE.md); past the cap the host path serves the query.
+RESIDENT_K_CAP = 16384
 
 
 def _walk(plan: ExecutionPlan):
@@ -190,7 +194,8 @@ class VectorTopKExec(ExecutionPlan):
 
         if searcher.emb.dtype != _jnp.float32:
             return None
-        if getattr(searcher, "source_key", None) != file_cache_key(path):
+        fkey = file_cache_key(path)
+        if fkey == STAT_FAILED or getattr(searcher, "source_key", None) != fkey:
             return None
 
         from ..utils.profiling import stage
@@ -199,8 +204,9 @@ class VectorTopKExec(ExecutionPlan):
             isinstance(node, FilterExec) for node in _walk(self.scan_plan)
         )
         k_fetch = self.k if not has_filter else max(4 * self.k, self.k + 64)
+        k_cap = min(RESIDENT_K_CAP, searcher.n)
         while True:
-            k_eff = min(k_fetch, searcher.n)
+            k_eff = min(k_fetch, k_cap)
             with stage("vector_topk.resident.device_search"):
                 _, ids = searcher.search(
                     self.query[None, :], k_eff, self.options.nprobe,
@@ -219,6 +225,8 @@ class VectorTopKExec(ExecutionPlan):
             if table.num_rows >= self.k or exhausted:
                 self._resident_candidates.add(ids.size)
                 return table
+            if k_eff >= k_cap:
+                return None  # filter too selective for the device path
             k_fetch *= 4
 
     def _collect_candidates(self, context: TaskContext) -> dict[str, np.ndarray]:

@@ -23,7 +23,7 @@ from ..io.embed import (
 from ..io.thrift import read_key_value_metadata
 from .access import ScanFile
 from .options import VectorTopKOptions
-from .physical import ExecutionPlan, TaskContext
+from .physical import ExecutionPlan, TaskContext, cache_put, file_cache_key
 
 INDEX_PATH_COL = "pq_vector_object_path"
 INDEX_ROW_ID_COL = "pq_vector_row_id"
@@ -92,10 +92,13 @@ class VectorIndexScanExec(ExecutionPlan):
     ) -> np.ndarray:
         path = file.object_path
         file_size = file.file_size
+        # Cache identity includes (size, mtime_ns) so a same-size in-place
+        # rewrite invalidates the decoded index; for non-local stores the
+        # stat fails and the key degrades to size-only (matching the
+        # store-provided file_size above).
+        cache_key = (path, file_size, file_cache_key(path))
         cached = (
-            index_cache.get((path, file_size))
-            if index_cache is not None
-            else None
+            index_cache.get(cache_key) if index_cache is not None else None
         )
         if cached is not None:
             index, embedding_column, metric = cached
@@ -148,8 +151,10 @@ class VectorIndexScanExec(ExecutionPlan):
 
         metric = dict(kv).get(PQ_VECTOR_METRIC_KEY, "l2")
         if index_cache is not None:
-            index_cache[(path, file_size)] = (
-                index, str(embedding_column), metric,
+            cache_put(
+                index_cache,
+                cache_key,
+                (index, str(embedding_column), metric),
             )
         return self._probe(index, str(embedding_column), metric, path)
 

@@ -60,6 +60,12 @@ class ExecutionPlan:
         return []
 
 
+#: Sentinel returned by :func:`file_cache_key` when stat fails. Staleness
+#: guards must treat it as NEVER matching (two failed stats say nothing
+#: about the file being unchanged).
+STAT_FAILED = (-1, -1)
+
+
 def file_cache_key(path: str):
     """(size, mtime_ns) identity for session caches: size alone misses
     same-size rewrites; mtime alone misses fast successive writes."""
@@ -67,7 +73,7 @@ def file_cache_key(path: str):
         st = os.stat(path)
         return (st.st_size, st.st_mtime_ns)
     except OSError:
-        return (-1, -1)
+        return STAT_FAILED
 
 
 def cache_put(cache: dict, key, value, limit: int = 512) -> None:

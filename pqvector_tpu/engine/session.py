@@ -95,12 +95,14 @@ class Session:
         cache_key = (name, table.paths[0])
         cached = self._searchers.get(cache_key)
         if cached is not None:
-            from .physical import file_cache_key
+            from .physical import STAT_FAILED, file_cache_key
 
-            if getattr(cached, "source_key", None) != file_cache_key(
-                table.paths[0]
+            fkey = file_cache_key(table.paths[0])
+            if (
+                fkey == STAT_FAILED
+                or getattr(cached, "source_key", None) != fkey
             ):
-                cached = None  # file re-indexed/rewritten: rebuild
+                cached = None  # file re-indexed/rewritten (or unstatable): rebuild
         if cached is None:
             from ..query.device import DeviceIvfSearcher
 
