@@ -110,6 +110,47 @@ class CandidateCursor:
         if 0 <= idx < len(self._candidates):
             self._candidates[idx] = np.asarray(candidates, dtype=np.int64)
 
+    def take_per_file(self, batch_size: int) -> list[np.ndarray]:
+        """Vectorized fair take: the same candidate SET :meth:`next_batch`
+        would select, returned as one array per file (the per-tuple Python
+        loop cost ~25 ms at 16k candidates). Round-robin means file ``i``
+        contributes ``min(count_i, r [+1])`` candidates — its first ones in
+        order — where ``r`` is the number of full rounds that fit."""
+        n_files = len(self._candidates)
+        counts = np.array(
+            [
+                c.size - p
+                for c, p in zip(self._candidates, self._positions)
+            ],
+            dtype=np.int64,
+        )
+        total = int(counts.sum())
+        n = min(batch_size, total) if batch_size > 0 else 0
+        if n <= 0:
+            return [np.empty(0, dtype=np.int64) for _ in range(n_files)]
+        # Largest r with sum(min(counts, r)) <= n.
+        lo, hi = 0, int(counts.max())
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if int(np.minimum(counts, mid).sum()) <= n:
+                lo = mid
+            else:
+                hi = mid - 1
+        take = np.minimum(counts, lo)
+        rem = n - int(take.sum())
+        if rem > 0:
+            # One extra candidate for the first `rem` unexhausted files in
+            # cyclic order from the round-robin pointer.
+            order = (self._round_robin + np.arange(n_files)) % n_files
+            eligible = order[counts[order] > lo][:rem]
+            take[eligible] += 1
+        out = []
+        for i, k in enumerate(take):
+            pos = self._positions[i]
+            out.append(self._candidates[i][pos : pos + int(k)])
+            self._positions[i] = pos + int(k)
+        return out
+
     def next_batch(self, batch_size: int) -> list[tuple[int, int]]:
         if batch_size <= 0 or not self._candidates:
             return []

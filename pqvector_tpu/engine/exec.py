@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..errors import ExecutionError, PlanError
 from .access import (
@@ -43,6 +42,7 @@ from .physical import (
     TaskContext,
     cache_put,
     file_cache_key,
+    store_cache_key,
 )
 
 _DEVICE_THRESHOLD = 16384  # rows; below this the host path wins on latency
@@ -249,18 +249,38 @@ class VectorTopKExec(ExecutionPlan):
         remaining = dict(candidates)
         entries: list[FileEntry] = []
         for file in scan.files:
-            key = (file.object_path, file_cache_key(file.object_path))
+            key = (
+                file.object_path,
+                store_cache_key(context.object_store, file.object_path),
+            )
             row_groups = context.meta_cache.get(key)
             if row_groups is None:
+                # Footer thrift parse through the object store (the
+                # reference's row-count reads are store-range reads too,
+                # exec.rs:157-205) — no local file access.
+                from ..io.pages import parse_parquet_metadata
+
+                store = context.object_store
+                path = file.object_path
                 try:
-                    md = pq.ParquetFile(file.object_path).metadata
+                    size = store.head(path)
+                    tail = store.get_range(path, size - 8, size)
+                    if tail[4:] != b"PAR1":
+                        raise ExecutionError(
+                            f"'{path}' is not a valid parquet file"
+                        )
+                    meta_len = int.from_bytes(tail[:4], "little")
+                    meta = store.get_range(
+                        path, size - 8 - meta_len, size - 8
+                    )
+                    _, rgs = parse_parquet_metadata(meta)
+                except ExecutionError:
+                    raise
                 except Exception as exc:
                     raise ExecutionError(
-                        f"Failed to read parquet metadata from '{file.object_path}': {exc}"
+                        f"Failed to read parquet metadata from '{path}': {exc}"
                     ) from exc
-                row_groups = [
-                    md.row_group(i).num_rows for i in range(md.num_row_groups)
-                ]
+                row_groups = [rg.num_rows for rg in rgs]
                 cache_put(context.meta_cache, key, row_groups)
             rows = remaining.pop(file.object_path, np.empty(0, dtype=np.int64))
             entries.append(
@@ -294,13 +314,12 @@ class VectorTopKExec(ExecutionPlan):
         cursor = CandidateCursor(len(file_entries))
         for idx, entry in enumerate(file_entries):
             cursor.add_candidates(idx, entry.candidates)
-        selected = cursor.next_batch(target)
+        per_file = cursor.take_per_file(target)
 
-        selections: dict[str, list[int]] = {}
-        for file_idx, row in selected:
-            selections.setdefault(file_entries[file_idx].object_path, []).append(row)
         selections_np = {
-            path: np.asarray(rows, dtype=np.int64) for path, rows in selections.items()
+            file_entries[i].object_path: rows
+            for i, rows in enumerate(per_file)
+            if rows.size
         }
 
         access_plans = build_access_plans(file_entries, selections_np)

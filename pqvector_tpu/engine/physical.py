@@ -76,6 +76,19 @@ def file_cache_key(path: str):
         return STAT_FAILED
 
 
+def store_cache_key(store, path: str):
+    """Cache identity for files that may live in a non-local store: local
+    stat when possible, store size otherwise (never the STAT_FAILED
+    sentinel, which must not collide across rewrites)."""
+    key = file_cache_key(path)
+    if key == STAT_FAILED and store is not None:
+        try:
+            return ("head", store.head(path))
+        except Exception:
+            return STAT_FAILED
+    return key
+
+
 def cache_put(cache: dict, key, value, limit: int = 512) -> None:
     """Insert with a blunt size bound (session caches hold open pf handles
     and decoded row-group columns; unbounded growth leaks fds/memory)."""
@@ -180,11 +193,14 @@ class ParquetScanExec(ExecutionPlan):
         # pf, our own compact-protocol parse inside PageSelectiveReader), so
         # open handles are cached session-wide keyed by (path, size) — the
         # in-place index append grows the file, invalidating the key.
+        store = context.object_store if context is not None else None
         cache = context.meta_cache if context is not None else None
-        fkey = file_cache_key(path)
+        fkey = store_cache_key(store, path)
         pf = None if cache is None else cache.get(("pf", path, fkey))
         if pf is None:
-            pf = pq.ParquetFile(path)
+            pf = pq.ParquetFile(
+                store.open_input(path) if store is not None else path
+            )
             if cache is not None:
                 cache_put(cache, ("pf", path, fkey), pf)
         columns = self.projection
@@ -250,8 +266,9 @@ class ParquetScanExec(ExecutionPlan):
 
         arrays: dict[str, pa.Array] = {}
         pages_total = 0
+        store = context.object_store if context is not None else None
         cache = context.meta_cache if context is not None else None
-        fkey = file_cache_key(path)
+        fkey = store_cache_key(store, path)
         for name in names:
             typ = pf.schema_arrow.field(name).type
             if not _page_path_type(typ):
@@ -260,7 +277,9 @@ class ParquetScanExec(ExecutionPlan):
             try:
                 reader = None if cache is None else cache.get(rkey)
                 if reader is None:
-                    reader = PageSelectiveReader(path, EmbeddingColumn(name))
+                    reader = PageSelectiveReader(
+                        path, EmbeddingColumn(name), store=store
+                    )
                     if cache is not None:
                         cache_put(cache, rkey, reader)
                 if not reader.supports_page_reads:

@@ -301,6 +301,10 @@ def decode_pages_native(
     lib = load()
     if lib is None:
         return None
+    if not isinstance(buf, bytes):
+        # Zero-copy pass-through for bytearray/memoryview page buffers
+        # (c_char arrays are accepted where c_char_p is declared).
+        buf = (ctypes.c_char * len(buf)).from_buffer(buf)
     offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
     lens = np.ascontiguousarray(lens, dtype=np.uint64)
     n_pages = offsets.size

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import struct
+import threading
 
 import numpy as np
 
@@ -513,6 +514,38 @@ def decode_data_page(
 # PageReader: candidate rows -> [len, dim] matrix
 # ----------------------------------------------------------------------
 
+_SCAN_POOL = None
+_SCAN_POOL_LOCK = threading.Lock()
+
+
+def _scan_pool():
+    """Shared thread pool for per-row-group candidate decode — the analog of
+    DataFusion's RepartitionExec under the reference's rewritten scan
+    (/root/reference/src/df_vector/snapshots/...filter_plan_tree.snap:24-39).
+    preadv reads and the native decode (ctypes CDLL) both release the GIL,
+    so row groups scale with cores. Size via PQVECTOR_TPU_SCAN_THREADS
+    (default: cpu count, capped at 16); <=1 disables pooling."""
+    global _SCAN_POOL
+    if _SCAN_POOL is None:
+        with _SCAN_POOL_LOCK:
+            if _SCAN_POOL is None:
+                workers = int(
+                    os.environ.get(
+                        "PQVECTOR_TPU_SCAN_THREADS",
+                        min(os.cpu_count() or 1, 16),
+                    )
+                )
+                if workers <= 1:
+                    _SCAN_POOL = False
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _SCAN_POOL = ThreadPoolExecutor(
+                        max_workers=workers,
+                        thread_name_prefix="pqv-scan",
+                    )
+    return _SCAN_POOL or None
+
 
 def _decode_page(raw: bytes, codec: str, leaf: SchemaLeaf) -> DecodedPage:
     """Native C++ decode when available (native/pqvector_pages.cpp), Python
@@ -534,9 +567,31 @@ def _decode_page(raw: bytes, codec: str, leaf: SchemaLeaf) -> DecodedPage:
 class PageSelectiveReader:
     """Read specific rows of a vector column via exact page reads."""
 
-    def __init__(self, path: str | os.PathLike, column: EmbeddingColumn):
+    def __init__(
+        self, path: str | os.PathLike, column: EmbeddingColumn, store=None
+    ):
+        """``store``: optional engine ObjectStore; when given and non-local,
+        ALL byte access (footer, offset indexes, page spans) goes through
+        ``store.get_range`` so remote files are served end-to-end through
+        the store seam (the reference reads candidate pages through its
+        store-integrated parquet source, df_vector/access.rs:65-105)."""
         self.path = os.fspath(path)
-        meta = read_footer_metadata(self.path)
+        self._store = (
+            store if store is not None and not store.is_local() else None
+        )
+        if self._store is None:
+            meta = read_footer_metadata(self.path)
+        else:
+            size = self._store.head(self.path)
+            tail = self._store.get_range(self.path, size - 8, size)
+            if tail[4:] != b"PAR1":
+                raise FormatError(f"'{self.path}' is not a valid parquet file")
+            meta_len = int.from_bytes(tail[:4], "little")
+            if meta_len + 8 > size:
+                raise FormatError("Parquet footer length exceeds file size")
+            meta = self._store.get_range(
+                self.path, size - 8 - meta_len, size - 8
+            )
         leaves, row_groups = parse_parquet_metadata(meta)
         name = str(column)
         matches = [
@@ -555,6 +610,7 @@ class PageSelectiveReader:
         )
         self._page_locations: dict[int, list[PageLocation]] = {}
         self._page_firsts: dict[int, np.ndarray] = {}
+        self._page_offs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
     def supports_page_reads(self) -> bool:
@@ -563,13 +619,29 @@ class PageSelectiveReader:
             for rg in self.row_groups
         )
 
+    def _open(self):
+        """Local file handle, or a null context (None) in store mode —
+        byte access then routes through :meth:`_read_at`."""
+        if self._store is None:
+            return open(self.path, "rb")
+        import contextlib
+
+        return contextlib.nullcontext(None)
+
+    def _read_at(self, f, offset: int, length: int) -> bytes:
+        if f is not None:
+            f.seek(offset)
+            return f.read(length)
+        return self._store.get_range(self.path, offset, offset + length)
+
     def _locations(self, rg_idx: int, f) -> list[PageLocation]:
         if rg_idx not in self._page_locations:
             chunk = self.row_groups[rg_idx].chunks[self.leaf_idx]
             if chunk.offset_index_offset is None:
                 raise ExecutionError("No offset index for selective page reads")
-            f.seek(chunk.offset_index_offset)
-            data = f.read(chunk.offset_index_length)
+            data = self._read_at(
+                f, chunk.offset_index_offset, chunk.offset_index_length
+            )
             self._page_locations[rg_idx] = parse_offset_index(data)
         return self._page_locations[rg_idx]
 
@@ -584,6 +656,19 @@ class PageSelectiveReader:
             )
         return self._page_firsts[rg_idx]
 
+    def _offs_sizes(self, rg_idx: int, f) -> tuple[np.ndarray, np.ndarray]:
+        """(offset, compressed_size) per page as ndarrays — a per-query
+        Python comprehension over ~16k PageLocation objects cost ~36 ms."""
+        if rg_idx not in self._page_offs:
+            locs = self._locations(rg_idx, f)
+            self._page_offs[rg_idx] = (
+                np.asarray([loc.offset for loc in locs], np.int64),
+                np.asarray(
+                    [loc.compressed_page_size for loc in locs], np.int64
+                ),
+            )
+        return self._page_offs[rg_idx]
+
     def read_rows(self, rows: np.ndarray, dim: int) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)
         out = np.empty((rows.size, dim), dtype=np.float32)
@@ -596,7 +681,7 @@ class PageSelectiveReader:
                 f"{total_rows} rows"
             )
         order = np.argsort(rows, kind="stable")
-        with open(self.path, "rb") as f:
+        with self._open() as f:
             rg_of = np.searchsorted(self._rg_starts, rows, side="right") - 1
             batched = self._read_rows_batched(rows, rg_of, dim, f)
             if batched is not None:
@@ -613,8 +698,9 @@ class PageSelectiveReader:
                     _, _, page, row_offsets = page_cache
                 else:
                     loc = locs[pidx]
-                    f.seek(loc.offset)
-                    raw = f.read(loc.compressed_page_size)
+                    raw = self._read_at(
+                        f, loc.offset, loc.compressed_page_size
+                    )
                     chunk = self.row_groups[rg].chunks[self.leaf_idx]
                     page = _decode_page(raw, chunk.codec, self.leaf)
                     row_offsets = np.concatenate(
@@ -663,8 +749,11 @@ class PageSelectiveReader:
         out_vals: list[np.ndarray] = [None] * rows.size
         out_lens = np.empty(rows.size, np.int64)
         pages_read = 0
-        with open(self.path, "rb") as f:
+        with self._open() as f:
             rg_of = np.searchsorted(self._rg_starts, rows, side="right") - 1
+            batched = self._read_rows_ragged_batched(rows, rg_of, f)
+            if batched is not None:
+                return batched
             page_cache = None  # (rg, pidx, page, row_offsets)
             for oi in order:
                 row = int(rows[oi])
@@ -681,8 +770,9 @@ class PageSelectiveReader:
                     _, _, page, row_offsets = page_cache
                 else:
                     loc = locs[pidx]
-                    f.seek(loc.offset)
-                    raw = f.read(loc.compressed_page_size)
+                    raw = self._read_at(
+                        f, loc.offset, loc.compressed_page_size
+                    )
                     chunk = self.row_groups[rg].chunks[self.leaf_idx]
                     page = _decode_page(raw, chunk.codec, self.leaf)
                     row_offsets = np.concatenate(
@@ -702,82 +792,138 @@ class PageSelectiveReader:
     # Gap below which two selected pages are fetched in one read: with the
     # 1-row-per-page layout, neighboring candidate pages are usually within
     # one vector (~4·dim bytes) of each other, so coalescing turns thousands
-    # of seek+read pairs into a handful of span reads.
-    _COALESCE_GAP = 1 << 16
+    # of seek+read pairs into a handful of span reads. Measured sweep on the
+    # 1M build_new file (16k candidates/query): 0/4k/16k gap = 65-69 ms,
+    # 64k = 109 ms, 256k = 292 ms — dead gap bytes dominate past ~16 KB.
+    _COALESCE_GAP = 1 << 12
+
+    def _decode_rg_selection(self, rg: int, local: np.ndarray, fd: int):
+        """Decode every page touched by ``local`` rows of one row group in a
+        single native FFI call (span-coalesced preadv reads).
+
+        The per-page loop pays a Python + ctypes round-trip per page; on
+        1-row-per-page files that overhead dominates the query path (the
+        reference amortizes it inside parquet-rs, search.rs:186-198).
+        Reads go through ``os.preadv`` (no shared seek state), so calls for
+        different row groups may run on a thread pool — the analog of the
+        multi-partition scan DataFusion runs under the reference's rewrite
+        (RepartitionExec, .../snapshots/...filter_plan_tree.snap:24-39).
+        Returns ``(values, row_lengths, gidx, n_pages)`` where ``gidx`` maps
+        each ``local`` row to its row index inside the decoded batch, or
+        None when the native library is unavailable. Raises FormatError for
+        codecs/encodings the native decoder doesn't cover. Metadata caches
+        (_locations/_firsts/_offs_sizes) must already be warm.
+        """
+        from .native import decode_pages_native
+
+        firsts = self._page_firsts[rg]
+        pidx = np.searchsorted(firsts, local, side="right") - 1
+        upages = np.unique(pidx)
+        page_rows_all = np.diff(
+            np.concatenate([firsts, [self.row_groups[rg].num_rows]])
+        )
+        offs_all, sizes_all = self._page_offs[rg]
+        offs = offs_all[upages]
+        sizes = sizes_all[upages]
+        # Coalesce near-adjacent pages into span reads (vectorized: pages
+        # appear in file order, so spans are maximal runs without a gap).
+        gap_break = np.flatnonzero(
+            offs[1:] > offs[:-1] + sizes[:-1] + self._COALESCE_GAP
+        )
+        span_first = np.concatenate([[0], gap_break + 1])
+        span_last = np.concatenate([gap_break, [upages.size - 1]])
+        span_off = offs[span_first]
+        span_len = offs[span_last] + sizes[span_last] - span_off
+        span_pos = np.concatenate([[0], np.cumsum(span_len)])
+        # One preallocated buffer, read in place (b"".join cost ~50 ms/query
+        # and an mmap variant measured ~15-25% slower on this layout).
+        buf = bytearray(int(span_pos[-1]))
+        view = memoryview(buf)
+        if fd is not None:
+            for s in range(span_first.size):
+                dst = view[int(span_pos[s]) : int(span_pos[s + 1])]
+                if os.preadv(fd, [dst], int(span_off[s])) != int(span_len[s]):
+                    raise FormatError("Truncated page span read")
+        else:  # non-local store: range reads through the seam
+            for s in range(span_first.size):
+                a = int(span_off[s])
+                data = self._store.get_range(self.path, a, a + int(span_len[s]))
+                if len(data) != int(span_len[s]):
+                    raise FormatError("Truncated page span read")
+                view[int(span_pos[s]) : int(span_pos[s + 1])] = data
+        # Buffer offset of each page = span base + offset within the span.
+        page_span = (
+            np.searchsorted(span_first, np.arange(upages.size), "right") - 1
+        )
+        buf_offsets = (
+            span_pos[page_span] + (offs - span_off[page_span])
+        ).astype(np.uint64)
+        view.release()
+        n_page_rows = int(page_rows_all[upages].sum())
+        chunk = self.row_groups[rg].chunks[self.leaf_idx]
+        res = decode_pages_native(
+            buf,
+            buf_offsets,
+            sizes,
+            chunk.codec,
+            self.leaf.ptype,
+            self.leaf.max_def,
+            self.leaf.max_rep,
+            row_cap=n_page_rows,
+            # Exact bound: the chunk's leaf value count caps any page subset.
+            value_cap=int(chunk.num_values),
+        )
+        if res is None:
+            return None
+        values, row_lengths, _, prs = res
+        # Global row index of each candidate inside the decoded batch.
+        ppos = np.searchsorted(upages, pidx)
+        gidx = prs[ppos] + (local - firsts[pidx])
+        if np.any(gidx >= prs[ppos + 1]):
+            raise ExecutionError("Row beyond decoded page")
+        return values, row_lengths, gidx, int(upages.size)
+
+    def _decode_selections(
+        self, rows: np.ndarray, rg_of: np.ndarray, f
+    ) -> list[tuple[np.ndarray, tuple]] | None:
+        """Run :meth:`_decode_rg_selection` for every touched row group —
+        on the shared scan pool when more than one group is touched and the
+        pool has workers. Returns ``[(sel, result), ...]`` or None."""
+        fd = f.fileno() if f is not None else None
+        rgs = [int(r) for r in np.unique(rg_of)]
+        sels = {rg: np.flatnonzero(rg_of == rg) for rg in rgs}
+        for rg in rgs:  # warm metadata caches serially (they mutate dicts)
+            self._locations(rg, f)
+            self._firsts(rg, f)
+            self._offs_sizes(rg, f)
+
+        def one(rg: int):
+            local = rows[sels[rg]] - int(self._rg_starts[rg])
+            return self._decode_rg_selection(rg, local, fd)
+
+        pool = _scan_pool() if len(rgs) > 1 else None
+        if pool is not None:
+            results = list(pool.map(one, rgs))
+        else:
+            results = [one(rg) for rg in rgs]
+        if any(r is None for r in results):
+            return None
+        return [(sels[rg], res) for rg, res in zip(rgs, results)]
 
     def _read_rows_batched(
         self, rows: np.ndarray, rg_of: np.ndarray, dim: int, f
     ) -> np.ndarray | None:
-        """All selected pages of a row group in one native decode call.
+        """All selected pages per row group in one native decode call.
 
-        The per-page loop in read_rows pays a Python + ctypes round-trip per
-        page; on 1-row-per-page files that overhead dominates the query path
-        (the reference amortizes it inside parquet-rs, search.rs:186-198).
         Returns None — and the caller falls back to the per-page loop — when
         the native library is unavailable or a page needs the Python decoder.
         """
-        from .native import decode_pages_native
-
         out = np.empty((rows.size, dim), dtype=np.float32)
         try:
-            for rg in np.unique(rg_of):
-                rg = int(rg)
-                sel = np.flatnonzero(rg_of == rg)
-                locs = self._locations(rg, f)
-                firsts = self._firsts(rg, f)
-                local = rows[sel] - int(self._rg_starts[rg])
-                pidx = np.searchsorted(firsts, local, side="right") - 1
-                upages = np.unique(pidx)
-                page_rows_all = np.diff(
-                    np.concatenate([firsts, [self.row_groups[rg].num_rows]])
-                )
-                offs = np.array([locs[p].offset for p in upages], np.int64)
-                sizes = np.array(
-                    [locs[p].compressed_page_size for p in upages], np.int64
-                )
-                # Coalesce near-adjacent pages into span reads.
-                parts: list[bytes] = []
-                buf_offsets = np.empty(upages.size, np.uint64)
-                pos = 0
-                i = 0
-                while i < upages.size:
-                    j = i
-                    while (
-                        j + 1 < upages.size
-                        and offs[j + 1] <= offs[j] + sizes[j] + self._COALESCE_GAP
-                    ):
-                        j += 1
-                    span = int(offs[j] + sizes[j] - offs[i])
-                    f.seek(int(offs[i]))
-                    data = f.read(span)
-                    if len(data) != span:
-                        raise FormatError("Truncated page span read")
-                    parts.append(data)
-                    buf_offsets[i : j + 1] = pos + (offs[i : j + 1] - offs[i])
-                    pos += span
-                    i = j + 1
-                buf = b"".join(parts)
-                n_page_rows = int(page_rows_all[upages].sum())
-                chunk = self.row_groups[rg].chunks[self.leaf_idx]
-                res = decode_pages_native(
-                    buf,
-                    buf_offsets,
-                    sizes,
-                    chunk.codec,
-                    self.leaf.ptype,
-                    self.leaf.max_def,
-                    self.leaf.max_rep,
-                    row_cap=n_page_rows,
-                    value_cap=n_page_rows * dim,
-                )
-                if res is None:
-                    return None
-                values, row_lengths, _, prs = res
-                # Global row index of each candidate inside the decoded batch.
-                ppos = np.searchsorted(upages, pidx)
-                gidx = prs[ppos] + (local - firsts[pidx])
-                if np.any(gidx >= prs[ppos + 1]):
-                    raise ExecutionError("Row beyond decoded page")
+            decoded = self._decode_selections(rows, rg_of, f)
+            if decoded is None:
+                return None
+            for sel, (values, row_lengths, gidx, _) in decoded:
                 if np.any(row_lengths[gidx] != dim):
                     raise ExecutionError(
                         "Selected embeddings do not match expected dimensions"
@@ -787,3 +933,65 @@ class PageSelectiveReader:
         except FormatError:
             return None  # unsupported codec/encoding: per-page Python decoder
         return out
+
+    def _read_rows_ragged_batched(
+        self, rows: np.ndarray, rg_of: np.ndarray, f
+    ) -> tuple[np.ndarray, np.ndarray, int] | None:
+        """Ragged analog of :meth:`_read_rows_batched` (no dimension
+        contract): one native decode call per touched row group, vectorized
+        variable-length gather. Returns (values, row_lengths, pages_read)
+        with rows in input order, or None to fall back."""
+        out_lens = np.empty(rows.size, np.int64)
+        blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        pages_read = 0
+        try:
+            decoded = self._decode_selections(rows, rg_of, f)
+            if decoded is None:
+                return None
+            for sel, (values, row_lengths, gidx, n_pages) in decoded:
+                pages_read += n_pages
+                # Uniform-length fast path (embedding columns): a single
+                # reshape+fancy-index replaces the 2M-element repeat/arange
+                # index build (~31 ms/query at 16k x 128 candidates).
+                u = int(row_lengths[0]) if row_lengths.size else 0
+                if u > 0 and values.size == row_lengths.size * u and np.all(
+                    row_lengths == u
+                ):
+                    out_lens[sel] = u
+                    blocks.append(
+                        (sel, values.reshape(-1, u)[gidx].ravel(), None, u)
+                    )
+                    continue
+                lens_sel = row_lengths[gidx]
+                starts_sel = np.concatenate([[0], np.cumsum(row_lengths)])[
+                    gidx
+                ]
+                out_lens[sel] = lens_sel
+                # Flat gather of the selected rows' values, in sel order.
+                boff = np.concatenate([[0], np.cumsum(lens_sel)])
+                idx = (
+                    np.arange(int(boff[-1]), dtype=np.int64)
+                    - np.repeat(boff[:-1], lens_sel)
+                    + np.repeat(starts_sel, lens_sel)
+                )
+                blocks.append((sel, values[idx], lens_sel, None))
+        except FormatError:
+            return None  # unsupported codec/encoding: per-page Python decoder
+        final_starts = np.concatenate([[0], np.cumsum(out_lens)])
+        out_vals = np.empty(int(final_starts[-1]), np.float32)
+        for sel, block, lens_sel, u in blocks:
+            if u is not None:
+                # All-uniform file: destinations are sel-row slices.
+                dest0 = final_starts[sel]
+                out_vals.reshape(-1)[
+                    (dest0[:, None] + np.arange(u)).ravel()
+                ] = block
+                continue
+            boff = np.concatenate([[0], np.cumsum(lens_sel)])
+            dest = (
+                np.arange(block.size, dtype=np.int64)
+                - np.repeat(boff[:-1], lens_sel)
+                + np.repeat(final_starts[sel], lens_sel)
+            )
+            out_vals[dest] = block
+        return out_vals, out_lens, pages_read

@@ -79,3 +79,76 @@ def test_missing_object(mem_setup):
     )
     with pytest.raises(ExecutionError):
         scan.execute(TaskContext(object_store=store))
+
+
+@pytest.fixture()
+def mem_sql_setup(tmp_path):
+    """A bigger indexed file (several row groups, build_new page layout)
+    loaded into a MemoryStore only — no file exists at the virtual path."""
+    rng = np.random.default_rng(3)
+    n, dim = 600, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    src = tmp_path / "src.parquet"
+    out = tmp_path / "indexed.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "vec": pa.array(list(x), pa.list_(pa.float32())),
+            }
+        ),
+        src,
+        row_group_size=128,
+    )
+    IndexBuilder(src, "vec").n_clusters(8).build_new(out)
+    blob = out.read_bytes()
+    store = MemoryStore({"mem://bucket/t.parquet": blob})
+    return store, out, x
+
+
+def _sql_ids(session, x, qrow, where=""):
+    q = ", ".join(f"{v:.6f}" for v in x[qrow])
+    sql = (
+        f"SELECT id FROM t {where} "
+        f"ORDER BY array_distance(vec, [{q}]) LIMIT 5"
+    )
+    return session.sql(sql).collect().column("id").to_pylist()
+
+
+def test_full_sql_through_memory_store(mem_sql_setup):
+    """End-to-end SQL top-k against a MemoryStore: index probe, row-count
+    metadata, and candidate page reads all through the store seam — and
+    results equal the same query served from the local file."""
+    from pqvector_tpu.engine.session import Session
+
+    store, local_path, x = mem_sql_setup
+    mem = Session(VectorTopKOptions(nprobe=3), object_store=store)
+    mem.register_parquet("t", "mem://bucket/t.parquet")
+    local = Session(VectorTopKOptions(nprobe=3))
+    local.register_parquet("t", str(local_path))
+
+    for where in ("", "WHERE id >= 100", "WHERE id < 50"):
+        assert _sql_ids(mem, x, 11, where) == _sql_ids(local, x, 11, where)
+
+
+def test_memory_store_sql_reads_pages_not_files(mem_sql_setup, monkeypatch):
+    """The MemoryStore query path must never open a local file: every byte
+    must come through the store."""
+    import builtins
+
+    from pqvector_tpu.engine.session import Session
+
+    store, _, x = mem_sql_setup
+    s = Session(VectorTopKOptions(nprobe=3), object_store=store)
+    s.register_parquet("t", "mem://bucket/t.parquet")
+
+    real_open = builtins.open
+
+    def guarded_open(file, *args, **kwargs):
+        if isinstance(file, (str, bytes)) and "t.parquet" in str(file):
+            raise AssertionError(f"local open of {file} in store mode")
+        return real_open(file, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "open", guarded_open)
+    ids = _sql_ids(s, x, 42, "WHERE id >= 10")
+    assert len(ids) > 0

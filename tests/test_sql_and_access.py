@@ -150,3 +150,41 @@ def test_candidate_cursor_zero_batch():
     cursor = CandidateCursor(1)
     cursor.add_candidates(0, np.array([1]))
     assert cursor.next_batch(0) == []
+
+
+def test_take_per_file_matches_next_batch_sets():
+    """take_per_file must select the same candidate set per file as the
+    tuple-at-a-time next_batch, for many shapes."""
+    rng = np.random.default_rng(0)
+    for n_files in (1, 2, 3, 5):
+        for batch in (0, 1, 3, 7, 100):
+            counts = rng.integers(0, 12, n_files)
+            cands = [
+                np.sort(rng.choice(1000, c, replace=False)) for c in counts
+            ]
+            a = CandidateCursor(n_files)
+            b = CandidateCursor(n_files)
+            for i, c in enumerate(cands):
+                a.add_candidates(i, c)
+                b.add_candidates(i, c)
+            tuples = a.next_batch(batch)
+            arrays = b.take_per_file(batch)
+            ref: dict[int, list[int]] = {}
+            for fi, row in tuples:
+                ref.setdefault(fi, []).append(row)
+            for i in range(n_files):
+                np.testing.assert_array_equal(
+                    arrays[i], np.asarray(ref.get(i, []), dtype=np.int64)
+                )
+
+
+def test_take_per_file_resumes_positions():
+    cursor = CandidateCursor(2)
+    cursor.add_candidates(0, np.array([1, 2, 3]))
+    cursor.add_candidates(1, np.array([10]))
+    first = cursor.take_per_file(2)
+    np.testing.assert_array_equal(first[0], [1])
+    np.testing.assert_array_equal(first[1], [10])
+    second = cursor.take_per_file(10)
+    np.testing.assert_array_equal(second[0], [2, 3])
+    assert second[1].size == 0
