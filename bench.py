@@ -97,6 +97,54 @@ def recall_at_k(truth_ids, got_ids):
     return hits / max(total, 1)
 
 
+# Peak specs for MFU/roofline accounting (SURVEY §6 methodology; VERDICT r2
+# item 6). Keyed by a device_kind substring; overridable via env for other
+# chips. v5e (v5 lite): 197 bf16 TFLOP/s, 819 GB/s HBM.
+_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+    "v5p": (459e12, 2765e9),
+    "v6": (918e12, 1640e9),
+}
+
+
+def device_peaks(jax) -> tuple[float, float]:
+    """(peak FLOP/s bf16, peak HBM bytes/s) for the attached device."""
+    env = os.environ.get("PQVECTOR_TPU_PEAKS")  # "tflops,gbps"
+    if env:
+        t, g = env.split(",")
+        return float(t) * 1e12, float(g) * 1e9
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        pass
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return _PEAKS["v5e"]  # bench target hardware
+
+
+def roofline(qps: float, batch: int, rows: int, dim: int, elem_bytes: int,
+             peak_flops: float, peak_bw: float) -> dict:
+    """Achieved TFLOP/s, MFU and HBM bandwidth for a full-scan serving mode.
+
+    Scoring work is 2*rows*dim FLOP per query (the ||x||^2-2x.c matmul); HBM
+    traffic is one pass over the [rows, dim] array per BATCH (that is the
+    point of batching — the scan modes stream the array once per dispatch
+    and share it across the B queries in the batch).
+    """
+    flops = 2.0 * rows * dim * qps
+    bytes_per_s = rows * dim * elem_bytes * (qps / max(batch, 1))
+    return {
+        "tflops": round(flops / 1e12, 1),
+        "mfu": round(flops / peak_flops, 3),
+        "hbm_gbps": round(bytes_per_s / 1e9, 1),
+        "hbm_frac": round(bytes_per_s / peak_bw, 3),
+    }
+
+
 def _device_watchdog(jax, timeout_s: float = 300.0) -> None:
     """Fail fast (exit 3) if the device cannot run a trivial op.
 
@@ -346,6 +394,7 @@ def main():
         # ApproxTopK modes scale to 4096 (PartialReduce is ~batch-flat).
         best_mode, qps = f"{best256}@b{batch}", qps256
         batch_qps = {str(batch): round(qps256, 1)}
+        batch_mode = {str(batch): best256}
         b1024_qps = None
         if not args.smoke and args.queries >= 256:
             rng_b = np.random.default_rng(13)
@@ -367,6 +416,7 @@ def main():
                 if bq:
                     best_b = max(bq, key=bq.get)
                     batch_qps[str(big_b)] = round(bq[best_b], 1)
+                    batch_mode[str(big_b)] = best_b
                     if big_b == 1024:
                         b1024_qps = bq[best_b]
                     if bq[best_b] > qps:
@@ -399,9 +449,30 @@ def main():
         "mode": best_mode,
         "exact_qps": round(exact_qps, 1),
     }
+    # Roofline accounting for the headline (full-scan serving modes score
+    # 2*rows*dim FLOP/query; exact-selection IVF modes score a probed
+    # subset, so MFU is only reported when the headline is a scan mode).
+    peak_flops, peak_bw = device_peaks(jax)
+    elem_bytes = 2 if args.bf16 else 4
+    head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
+    if best_mode.split("@")[0] in ("scan", "approx"):
+        result.update(
+            roofline(qps, head_batch, args.rows, args.dim, elem_bytes,
+                     peak_flops, peak_bw)
+        )
+        log(
+            f"roofline: {result['tflops']} TFLOP/s (MFU {result['mfu']:.1%}),"
+            f" HBM {result['hbm_gbps']} GB/s ({result['hbm_frac']:.1%})"
+        )
     try:
         result["b256_qps"] = round(qps256, 1)
         result["batch_qps"] = batch_qps
+        result["batch_mfu"] = {
+            b: roofline(v, int(b), args.rows, args.dim, elem_bytes,
+                        peak_flops, peak_bw)["mfu"]
+            for b, v in batch_qps.items()
+            if batch_mode.get(b) in ("scan", "approx")
+        }
         ivf_only = {m: v for m, v in mode_qps.items() if m != "scan"}
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)

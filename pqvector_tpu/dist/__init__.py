@@ -2,16 +2,30 @@
 
 from .build import build_ivf_index_distributed
 from .kmeans import distributed_lloyd
-from .mesh import DATA_AXIS, make_mesh, replicate, shard_rows
-from .search import DistributedExactSearcher, DistributedIvfSearcher
+from .mesh import (
+    CLUSTER_AXIS,
+    DATA_AXIS,
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_rows,
+)
+from .search import (
+    DistributedClusterIvfSearcher,
+    DistributedExactSearcher,
+    DistributedIvfSearcher,
+)
 
 __all__ = [
+    "CLUSTER_AXIS",
     "DATA_AXIS",
+    "DistributedClusterIvfSearcher",
     "DistributedExactSearcher",
     "build_ivf_index_distributed",
     "DistributedIvfSearcher",
     "distributed_lloyd",
     "make_mesh",
+    "make_mesh_2d",
     "replicate",
     "shard_rows",
 ]

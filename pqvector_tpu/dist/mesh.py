@@ -13,6 +13,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+CLUSTER_AXIS = "cluster"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
@@ -25,6 +26,22 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
             )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh_2d(data: int, cluster: int) -> Mesh:
+    """2-D ``(data, cluster)`` mesh for probe fan-out (SURVEY §2: optional
+    ``cluster`` axis): clusters are partitioned across the cluster axis and
+    each cluster group's rows are sharded across the data axis."""
+    devices = jax.devices()
+    need = data * cluster
+    if need > len(devices):
+        raise ValueError(
+            f"Requested {data}x{cluster} mesh but only {len(devices)} devices"
+        )
+    return Mesh(
+        np.array(devices[:need]).reshape(data, cluster),
+        (DATA_AXIS, CLUSTER_AXIS),
+    )
 
 
 def shard_rows(x, mesh: Mesh, axis: str = DATA_AXIS):

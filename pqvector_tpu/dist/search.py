@@ -447,3 +447,236 @@ class DistributedIvfSearcher:
     ):
         """Distributed ApproxTopK full scan (``reps`` chains for timing)."""
         return self._scan_body(k, reps, recall_target)(queries)
+
+
+# ----------------------------------------------------------------------
+# Cluster-axis probe fan-out (SURVEY §2 optional `cluster` mesh axis;
+# VERDICT r2 item 9)
+# ----------------------------------------------------------------------
+
+
+class DistributedClusterIvfSearcher:
+    """IVF search over a 2-D ``(data, cluster)`` mesh.
+
+    Clusters are greedily partitioned across the ``cluster`` axis (each
+    cluster group owns whole clusters); within a group the cluster-sorted
+    row block is sharded across the ``data`` axis. A query's probe set
+    therefore fans out across the cluster axis — each cluster group scores
+    only the probed clusters it owns (the stream kernel's active-tile
+    compaction skips the rest), and hot clusters are additionally split
+    ``data``-ways. Per-device top-k sets are all-gathered over BOTH axes
+    (O(B*k*R*C) ICI bytes) and merged, mirroring the reference's
+    local-results-then-merge thread pattern (src/ivf/index.rs:193-206) as
+    collectives.
+    """
+
+    def __init__(
+        self,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        mesh=None,
+        data: int | None = None,
+        cluster: int | None = None,
+        tile: int = 1024,
+    ):
+        from .mesh import CLUSTER_AXIS, make_mesh_2d
+
+        if mesh is None:
+            n_dev = len(jax.devices())
+            cluster = cluster or max(1, n_dev // (data or 1))
+            data = data or max(1, n_dev // cluster)
+            mesh = make_mesh_2d(data, cluster)
+        self.mesh = mesh
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        R = shape[DATA_AXIS]
+        C = shape[CLUSTER_AXIS]
+        self._R, self._C = R, C
+
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        n, d = embeddings.shape
+        if d != index.dim:
+            raise ValidationError(
+                f"Embedding dim {d} does not match index dim {index.dim}"
+            )
+        self.index = index
+        self.n = n
+        self.dim = d
+        self.tile = tile
+        kc = index.n_clusters
+
+        # Greedy balance clusters over the C cluster groups.
+        sizes = index.cluster_sizes()
+        order = np.argsort(sizes)[::-1]
+        group_of = np.zeros(kc, dtype=np.int64)
+        load = np.zeros(C, dtype=np.int64)
+        for c in order:
+            g = int(np.argmin(load))
+            group_of[c] = g
+            load[g] += int(sizes[c])
+
+        # Capacity per device: each of the R shards of a group holds at most
+        # per_dev - 1 rows so the final row stays a pad/sentinel row.
+        max_load = int(load.max()) if n else 0
+        per_dev = max(_round_up(-(-max_load // R) + 1, tile), tile)
+        n_slots = R * C  # slot b = r * C + g (P((data, cluster)) order)
+
+        emb_blocks = np.zeros((n_slots, per_dev, d), dtype=np.float32)
+        sq_blocks = np.full((n_slots, per_dev), np.inf, dtype=np.float32)
+        gid_blocks = np.full((n_slots, per_dev), -1, dtype=np.int32)
+        rc_blocks = np.full((n_slots, per_dev), kc, np.int32)
+        cap = per_dev - 1
+        for g in range(C):
+            rows_g = np.concatenate(
+                [index.cluster_rows(c) for c in range(kc) if group_of[c] == g]
+                or [np.empty(0, dtype=np.int64)]
+            ).astype(np.int64)
+            # Cluster id per row of the group's (cluster-sorted) block.
+            cids_g = np.concatenate(
+                [
+                    np.full(index.cluster_rows(c).size, c, np.int32)
+                    for c in range(kc)
+                    if group_of[c] == g
+                ]
+                or [np.empty(0, dtype=np.int32)]
+            )
+            for r in range(R):
+                part = slice(r * cap, min((r + 1) * cap, rows_g.size))
+                rows_p = rows_g[part]
+                if rows_p.size == 0:
+                    continue
+                slot = r * C + g
+                emb_blocks[slot, : rows_p.size] = embeddings[rows_p]
+                sq_blocks[slot, : rows_p.size] = np.einsum(
+                    "nd,nd->n", embeddings[rows_p], embeddings[rows_p]
+                )
+                gid_blocks[slot, : rows_p.size] = rows_p
+                rc_blocks[slot, : rows_p.size] = cids_g[part]
+
+        # Per-slot tile tables for the stream kernel.
+        nt_local = per_dev // tile
+        parts = rc_blocks.reshape(n_slots, nt_local, tile)
+        nuniq = (np.diff(parts, axis=2) != 0).sum(axis=2).max() + 1
+        cmax = max(128, _round_up(int(nuniq), 128))
+        tc_blocks = np.full((n_slots, nt_local, cmax), kc, np.int32)
+        lcl_blocks = np.empty((n_slots, nt_local, tile), np.float32)
+        for s in range(n_slots):
+            for t in range(nt_local):
+                u = np.unique(parts[s, t])
+                tc_blocks[s, t, : u.size] = u
+                lcl_blocks[s, t] = np.searchsorted(u, parts[s, t])
+        self._cmax = cmax
+        self._per_dev = per_dev
+
+        from .mesh import CLUSTER_AXIS as _CA
+
+        row_spec = NamedSharding(self.mesh, P((DATA_AXIS, _CA)))
+        self.emb = jax.device_put(
+            emb_blocks.reshape(n_slots * per_dev, d), row_spec
+        )
+        self.emb_sq_pallas = jax.device_put(
+            np.where(np.isinf(sq_blocks), 3.0e38, sq_blocks).reshape(-1),
+            row_spec,
+        )
+        self.gids = jax.device_put(gid_blocks.reshape(-1), row_spec)
+        self.lcl = jax.device_put(lcl_blocks.reshape(-1), row_spec)
+        self.tc = jax.device_put(
+            tc_blocks.reshape(n_slots * nt_local, cmax), row_spec
+        )
+        rep = NamedSharding(self.mesh, P())
+        self.centroids = jax.device_put(index.centroids, rep)
+        self.c_sq = jax.device_put(
+            np.einsum("kd,kd->k", index.centroids, index.centroids), rep
+        )
+
+    def _max_probe_bucket(self, nprobe: int) -> int:
+        max_probe = 1
+        while max_probe < nprobe:
+            max_probe *= 2
+        return min(
+            max(max_probe, min(128, self.index.n_clusters)),
+            self.index.n_clusters,
+        )
+
+    def _body(self, k: int, nprobe: int, reps: int | None):
+        from ..kernels.stream_topk import pallas_stream_masked_topk
+        from .mesh import CLUSTER_AXIS as _CA
+
+        max_probe = self._max_probe_bucket(nprobe)
+        tile = self.tile
+        cmax = self._cmax
+        per_dev = self._per_dev
+        interpret = jax.default_backend() != "tpu"
+        n_total = self.n
+        row = P((DATA_AXIS, _CA))
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), row, row, row, row, row, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q0, emb_local, sq_local, gid_local, lcl_local, tc_local,
+                centroids, c_sq):
+            def one(q):
+                d2, local_ids = pallas_stream_masked_topk(
+                    q, centroids, c_sq, lcl_local, tc_local,
+                    emb_local, sq_local, jnp.int32(nprobe), k,
+                    max_probe=max_probe, tile=tile, cmax=cmax,
+                    interpret=interpret,
+                )
+                gids = jnp.where(
+                    local_ids >= 0,
+                    gid_local[jnp.clip(local_ids, 0, per_dev - 1)],
+                    -1,
+                )
+                d2 = jnp.where(gids < 0, jnp.inf, d2)
+                # Fan-in over BOTH axes: cluster groups hold disjoint
+                # clusters; data shards hold disjoint rows of each group.
+                d2_all = jax.lax.all_gather(d2, (DATA_AXIS, _CA))
+                ids_all = jax.lax.all_gather(gids, (DATA_AXIS, _CA))
+                return _merge_gathered(d2_all, ids_all)
+
+            if reps is None:
+                return one(q0)
+
+            def step(q, _):
+                d2, ids = one(q)
+                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+                return q0 + 0.0 * link, (d2, ids)
+
+            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+            return d2s[-1], idss[-1]
+
+        def call(queries):
+            q = np.asarray(queries, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != self.dim:
+                raise ValidationError(
+                    f"Query dimension mismatch: expected {self.dim}, got "
+                    f"{q.shape[1]}"
+                )
+            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+            d2, ids = jax.jit(run)(
+                qs, self.emb, self.emb_sq_pallas, self.gids, self.lcl,
+                self.tc, self.centroids, self.c_sq,
+            )
+            ids = np.asarray(ids)
+            d2 = np.asarray(d2)
+            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
+            return np.sqrt(d2), ids
+
+        return call
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int):
+        """Fused stream-kernel search over the 2-D mesh."""
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        return self._body(k, nprobe, None)(queries)
+
+    def search_loop(
+        self, queries: np.ndarray, k: int, nprobe: int, reps: int = 16
+    ):
+        """``reps`` chained searches in ONE dispatch (timing API)."""
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        return self._body(k, nprobe, reps)(queries)

@@ -167,3 +167,36 @@ def test_distributed_scan_matches_exact(mesh, data):
     np.testing.assert_allclose(ds, de, rtol=1e-5)
     dl, il = dist.search_scan(queries, k=4, reps=2)
     np.testing.assert_array_equal(il, ie)
+
+
+def test_cluster_axis_matches_single_device(data):
+    """2-D (data x cluster) mesh probe fan-out: ids match the row-sharded
+    1-D fused path (and therefore the single-device searcher) for several
+    mesh shapes."""
+    from pqvector_tpu.dist import DistributedClusterIvfSearcher, make_mesh_2d
+
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    queries = data[[10, 99, 230]]
+    ref = DistributedIvfSearcher(index, data, mesh=make_mesh(8), tile=8)
+    for shape in ((2, 4), (4, 2), (1, 8), (8, 1)):
+        mesh2 = make_mesh_2d(*shape)
+        dist2 = DistributedClusterIvfSearcher(index, data, mesh=mesh2, tile=8)
+        for nprobe in (1, 3, 6):
+            d_r, i_r = ref.search_fused(queries, k=4, nprobe=nprobe)
+            d_c, i_c = dist2.search(queries, k=4, nprobe=nprobe)
+            np.testing.assert_array_equal(i_c, i_r)
+            np.testing.assert_allclose(d_c, d_r, rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_axis_loop_matches_single_call(data):
+    from pqvector_tpu.dist import DistributedClusterIvfSearcher, make_mesh_2d
+
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    dist2 = DistributedClusterIvfSearcher(
+        index, data, mesh=make_mesh_2d(2, 4), tile=8
+    )
+    queries = data[[5, 77]]
+    d1, i1 = dist2.search(queries, k=3, nprobe=2)
+    dl, il = dist2.search_loop(queries, k=3, nprobe=2, reps=2)
+    np.testing.assert_array_equal(il, i1)
+    np.testing.assert_allclose(dl, d1, rtol=1e-5)
