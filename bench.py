@@ -187,7 +187,7 @@ def main():
     parser.add_argument(
         "--mode", default="auto",
         choices=("auto", "stream", "pallas", "masked", "gather", "approx",
-                 "scan"),
+                 "compact", "scan"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode)",
@@ -335,7 +335,7 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    loop_modes = ("stream", "pallas", "approx", "scan")
+    loop_modes = ("stream", "pallas", "approx", "compact", "scan")
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
@@ -367,7 +367,7 @@ def main():
         for mode in modes:
             if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
                 continue
-            if mode in ("approx", "scan"):
+            if mode in ("approx", "compact", "scan"):
                 _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
                 r_m = recall_at_k(truth_ids, np.asarray(ids_m))
                 if r_m < args.recall_target:
@@ -405,7 +405,7 @@ def main():
                 ).astype(np.float32)
                 bq = {}
                 for mode in mode_qps:
-                    if big_b > 1024 and mode not in ("approx", "scan"):
+                    if big_b > 1024 and mode not in ("approx", "compact", "scan"):
                         continue
                     if mode == "stream" and not searcher._can_stream_masked(
                         args.k, big_b

@@ -282,6 +282,77 @@ def _ivf_approx_masked_impl(
     return d2[:, :k], ids[:, :k]
 
 
+def _ivf_compact_approx_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    centroids: jnp.ndarray,  # [kc, d] f32
+    c_sq: jnp.ndarray,  # [kc] f32
+    row_cluster: jnp.ndarray,  # [n_pad] i32 cluster id per row (kc = pad rows)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    nprobe: jnp.ndarray,  # scalar i32
+    k: int,
+    max_probe: int,
+    ctile: int,  # compaction granularity (rows)
+    cap_tiles: int,  # static compacted-tile budget
+    chunk: int,  # extraction chunk over the compacted block
+    recall_target: float,
+    score_dtype=jnp.float32,
+):
+    """IVF via probed-union tile compaction + hardware ApproxTopK.
+
+    The batch's probed clusters cover ``B*nprobe/kc`` of the data in
+    expectation (n-sublinear at fixed batch); the full-scan modes still
+    touch every row. This mode gathers the ACTIVE row tiles (those holding
+    any probed cluster, at ``ctile`` granularity) into a contiguous block
+    and runs the PartialReduce extraction over only that block — combining
+    the index's traffic win with the hardware extraction that makes scan
+    mode fast (VERDICT r2 item 1; the reference's per-query candidate set
+    is search.rs:100-127).
+
+    Selection semantics: candidates are the UNION of the batch's probed
+    clusters (a superset of each query's own probed set — recall can only
+    increase) plus any rows sharing a tile with them. ``cap_tiles`` bounds
+    the gather statically; when more tiles are active than the cap, the
+    least-popular tiles (fewest probing queries) are dropped — recall is
+    gated in the bench exactly like the extraction's own recall_target.
+    Distances of returned winners are exact (re-scored f32).
+    """
+    b, d = q.shape
+    kc = centroids.shape[0]
+    n_pad = emb.shape[0]
+    nt = n_pad // ctile
+
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)
+    in_probe = jnp.broadcast_to(
+        jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
+        (b, max_probe),
+    )
+    counts = jnp.zeros(kc + 1, jnp.int32).at[probe.reshape(-1)].add(
+        in_probe.reshape(-1).astype(jnp.int32)
+    )
+    counts = counts.at[kc].set(0)  # pad rows are never active
+
+    cl_t = row_cluster.reshape(nt, ctile)
+    # Tile popularity = most-probed cluster in the tile; active iff > 0.
+    tile_pop = counts[cl_t].max(axis=1)
+    # Most popular tiles first (stable -> ascending tile id on ties), so a
+    # cap overflow drops the tiles fewest queries probed.
+    order = jnp.argsort(
+        jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)), stable=True
+    )
+    sel = order[:cap_tiles]
+
+    emb_c = emb.reshape(nt, ctile, d)[sel].reshape(cap_tiles * ctile, d)
+    sq_c = emb_sq.reshape(nt, ctile)[sel].reshape(-1)
+    d2, lids = _exact_approx_topk_impl(
+        q, emb_c, sq_c, k, chunk=chunk, recall_target=recall_target,
+        score_dtype=score_dtype,
+    )
+    gids = sel[lids // ctile] * ctile + lids % ctile
+    return d2, jnp.where(lids >= 0, gids.astype(jnp.int32), -1)
+
+
 def _ivf_masked_scan_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -736,6 +807,30 @@ class DeviceIvfSearcher:
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
+        elif mode == "compact":
+            # Probed-union tile compaction + hardware extraction: reads only
+            # the batch's active tiles (n-sublinear at fixed B*nprobe/kc),
+            # then PartialReduce over the compacted block (VERDICT r2 #1).
+            max_probe = self._max_probe_bucket(nprobe)
+            ctile, cap_tiles, chunk = self._compact_params(
+                q.shape[0], nprobe, k
+            )
+            d2, ids = _ivf_compact_approx(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.row_cluster,
+                self.emb,
+                self.emb_sq,
+                jnp.int32(nprobe),
+                k=k,
+                max_probe=max_probe,
+                ctile=ctile,
+                cap_tiles=cap_tiles,
+                chunk=chunk,
+                recall_target=self.approx_recall_target,
+                score_dtype=self.approx_score_dtype,
+            )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
             # comes from the extraction recall_target (see search_loop).
@@ -804,6 +899,40 @@ class DeviceIvfSearcher:
             nuniq = int((np.diff(parts, axis=1) != 0).sum(axis=1).max()) + 1
             self._cmax_cache[tile] = max(128, _round_up(nuniq, 128))
         return self._cmax_cache[tile]
+
+    #: Safety factor on the expected probed-union tile count (mode
+    #: "compact"): the cap is statically compiled; overflow drops the
+    #: least-probed tiles (recall-gated in the bench).
+    compact_slack: float = 1.35
+
+    def _compact_params(
+        self, batch: int, nprobe: int, k: int
+    ) -> tuple[int, int, int]:
+        """(ctile, cap_tiles, chunk) for the compact mode.
+
+        cap = expected distinct probed clusters (birthday bound over
+        B*nprobe draws) x tiles-per-cluster x slack, clamped to the tile
+        count. ctile is the compaction granularity: small enough that tile
+        boundary waste stays low, a divisor of row_tile so n_pad splits.
+        """
+        ctile = self.row_tile
+        for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if self.row_tile % cand == 0:
+                ctile = cand
+                break
+        n_pad = self.emb.shape[0]
+        nt = n_pad // ctile
+        kc = max(self.index.n_clusters, 1)
+        draws = batch * nprobe
+        expected = kc * (1.0 - (1.0 - 1.0 / kc) ** draws)
+        tiles_per = (self.n / kc) / ctile + 1.0
+        cap = int(min(nt, -(-expected * tiles_per * self.compact_slack // 1)))
+        cap = max(cap, 1)
+        rows_c = cap * ctile
+        # Compacted layout is cluster-run ordered: same large-k bin-collision
+        # rule as _approx_chunk (sorted layouts need 64k chunks at k > 32).
+        chunk = min(rows_c, 65536) if k > 32 else rows_c
+        return ctile, cap, chunk
 
     def _max_probe_bucket(self, nprobe: int) -> int:
         """Power-of-two max_probe bucket (floor 128) so an nprobe sweep
@@ -880,17 +1009,25 @@ class DeviceIvfSearcher:
         use_approx = mode == "approx"
         use_scan = mode == "scan"
         use_xla = mode == "masked"
+        use_compact = mode == "compact"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
-            and not (use_approx or use_scan or use_xla)
+            and not (use_approx or use_scan or use_xla or use_compact)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
             lcl = jnp.zeros(1, jnp.float32)
             tc = jnp.zeros((1, 1), jnp.int32)
             cmax = 1
+        if use_compact:
+            ctile, cap_tiles, chunk = self._compact_params(
+                q.shape[0], nprobe, k
+            )
+        else:
+            ctile, cap_tiles = 1, 1
+            chunk = self._approx_chunk(masked=use_approx, k=k)
         d2, ids = _masked_pallas_loop(
             q,
             self.centroids,
@@ -900,7 +1037,8 @@ class DeviceIvfSearcher:
             tc,
             self.emb,
             self._pallas_emb_sq()
-            if not (use_approx or use_scan or use_xla) else self.emb_sq,
+            if not (use_approx or use_scan or use_xla or use_compact)
+            else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
             max_probe=max_probe,
@@ -912,7 +1050,10 @@ class DeviceIvfSearcher:
             use_approx=use_approx,
             use_scan=use_scan,
             use_xla=use_xla,
-            chunk=self._approx_chunk(masked=use_approx, k=k),
+            use_compact=use_compact,
+            ctile=ctile,
+            cap_tiles=cap_tiles,
+            chunk=chunk,
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
             subtiles=self._stream_subtiles(tile_p),
@@ -999,20 +1140,28 @@ import functools as _functools
     jax.jit,
     static_argnames=(
         "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-        "use_approx", "use_scan", "use_xla", "chunk", "recall_target",
-        "score_dtype", "subtiles", "interpret",
+        "use_approx", "use_scan", "use_xla", "use_compact", "ctile",
+        "cap_tiles", "chunk", "recall_target", "score_dtype", "subtiles",
+        "interpret",
     ),
 )
 def _masked_pallas_loop(
     q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
     k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
     use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
-    interpret,
+    interpret, use_compact=False, ctile=1, cap_tiles=1,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
 
     def body(q):
+        if use_compact:
+            return _ivf_compact_approx_impl(
+                q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
+                k=k, max_probe=max_probe, ctile=ctile, cap_tiles=cap_tiles,
+                chunk=chunk, recall_target=recall_target,
+                score_dtype=score_dtype,
+            )
         if use_xla:
             return _ivf_masked_scan_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
@@ -1095,6 +1244,13 @@ _exact_approx_topk = jax.jit(
     static_argnames=("k", "chunk", "recall_target", "score_dtype"),
 )
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
+_ivf_compact_approx = jax.jit(
+    _ivf_compact_approx_impl,
+    static_argnames=(
+        "k", "max_probe", "ctile", "cap_tiles", "chunk", "recall_target",
+        "score_dtype",
+    ),
+)
 _ivf_masked_scan = jax.jit(
     _ivf_masked_scan_impl, static_argnames=("k", "max_probe", "tile")
 )

@@ -336,3 +336,55 @@ def test_pallas_tile_respects_dim_and_k(setup):
     t10 = searcher._pallas_tile(4096, 256, k=10)
     t100 = searcher._pallas_tile(4096, 256, k=100)
     assert t100 < t10
+
+
+def test_compact_mode_full_probe_matches_exact(setup):
+    """mode='compact' with nprobe = all clusters: every tile is active, so
+    the compacted scan covers the whole array and (on CPU, where approx
+    extraction is exact) must reproduce the brute-force top-k."""
+    x, index, searcher, queries = setup
+    dists, ids = searcher.search(
+        queries, k=5, nprobe=index.n_clusters, mode="compact"
+    )
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want_ids)
+        np.testing.assert_allclose(
+            np.asarray(dists[b]), want_d, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_compact_mode_recall_superset_of_masked(setup):
+    """Compact serves the UNION of the batch's probed clusters — a superset
+    of each query's own probe set — so with exact extraction (CPU) its
+    recall can never be below the masked IVF scan's at the same nprobe."""
+    x, index, searcher, queries = setup
+    k, nprobe = 5, 2
+    d_c, i_c = searcher.search(queries, k=k, nprobe=nprobe, mode="compact")
+    d_m, i_m = searcher.search(queries, k=k, nprobe=nprobe, mode="masked")
+    i_c, i_m = np.asarray(i_c), np.asarray(i_m)
+    for b, q in enumerate(queries):
+        want_ids, _ = brute_force(x, q, k)
+        hits_c = len(set(want_ids) & set(i_c[b][i_c[b] >= 0]))
+        hits_m = len(set(want_ids) & set(i_m[b][i_m[b] >= 0]))
+        assert hits_c >= hits_m
+
+
+def test_compact_mode_cluster_sorted_layout(setup):
+    """Same checks on the cluster-sorted resident layout (gid remapping)."""
+    x, index, _, queries = setup
+    searcher = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    dists, ids = searcher.search(
+        queries, k=5, nprobe=index.n_clusters, mode="compact"
+    )
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        np.testing.assert_array_equal(np.asarray(ids[b]), want_ids)
+
+
+def test_compact_loop_matches_single(setup):
+    x, index, searcher, queries = setup
+    d1, i1 = searcher.search(queries, k=4, nprobe=3, mode="compact")
+    dl, il = searcher.search_loop(queries, k=4, nprobe=3, reps=2, mode="compact")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(d1), rtol=1e-5)
