@@ -297,6 +297,7 @@ def _ivf_compact_approx_impl(
     chunk: int,  # extraction chunk over the compacted block
     recall_target: float,
     score_dtype=jnp.float32,
+    interpret: bool = False,
 ):
     """IVF via probed-union tile compaction + hardware ApproxTopK.
 
@@ -343,8 +344,14 @@ def _ivf_compact_approx_impl(
     )
     sel = order[:cap_tiles]
 
-    emb_c = emb.reshape(nt, ctile, d)[sel].reshape(cap_tiles * ctile, d)
-    sq_c = emb_sq.reshape(nt, ctile)[sel].reshape(-1)
+    # XLA's dynamic tile gather measures ~100 GB/s on v5e (13% of copy
+    # bandwidth); the Pallas scalar-prefetch copy pipeline runs at DMA
+    # speed (kernels/compact.py).
+    from ..kernels.compact import pallas_tile_gather
+
+    emb_c, sq_c = pallas_tile_gather(
+        emb, emb_sq, sel, ctile=ctile, cap=cap_tiles, interpret=interpret
+    )
     d2, lids = _exact_approx_topk_impl(
         q, emb_c, sq_c, k, chunk=chunk, recall_target=recall_target,
         score_dtype=score_dtype,
@@ -830,6 +837,7 @@ class DeviceIvfSearcher:
                 chunk=chunk,
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
+                interpret=jax.default_backend() != "tpu",
             )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
@@ -1160,7 +1168,7 @@ def _masked_pallas_loop(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, ctile=ctile, cap_tiles=cap_tiles,
                 chunk=chunk, recall_target=recall_target,
-                score_dtype=score_dtype,
+                score_dtype=score_dtype, interpret=interpret,
             )
         if use_xla:
             return _ivf_masked_scan_impl(
@@ -1248,7 +1256,7 @@ _ivf_compact_approx = jax.jit(
     _ivf_compact_approx_impl,
     static_argnames=(
         "k", "max_probe", "ctile", "cap_tiles", "chunk", "recall_target",
-        "score_dtype",
+        "score_dtype", "interpret",
     ),
 )
 _ivf_masked_scan = jax.jit(
