@@ -168,9 +168,138 @@ def write_parquet_with_index(
     embedding_column: EmbeddingColumn,
     row_group_size: int | None = None,
     metric: str = "l2",
+    split_merge: bool = True,
 ) -> None:
     """Rewrite ``table`` to ``output`` with preserved column properties and
-    the tuned embedding-column layout, then embed the index."""
+    the tuned embedding-column layout, then embed the index.
+
+    Default path (``split_merge``): the embedding column and the remaining
+    columns are written as separate pyarrow files — so pyarrow's file-global
+    page-size/batch knobs apply ONLY to the embedding column, exactly the
+    reference's per-column override (parquet.rs:324-345) — and merged
+    byte-for-byte (io/merge.py). Falls back to the single-file writer (page
+    size file-global) on any merge-path error.
+    """
+    if split_merge and table.num_columns > 1:
+        try:
+            _write_split_merge(
+                source, output, table, index, embedding_column,
+                row_group_size, metric,
+            )
+            return
+        except (ValidationError, pa.ArrowException, OSError):
+            pass  # fall back to the single-file writer below
+    _write_single(
+        source, output, table, index, embedding_column, row_group_size, metric
+    )
+
+
+def _write_split_merge(
+    source, output, table, index, embedding_column, row_group_size, metric
+) -> None:
+    import tempfile
+
+    from .merge import merge_parquet_files
+
+    vector_size = index.dim * 4
+    options = collect_column_write_options(source)
+    emb_path = embedding_leaf_path(options, embedding_column)
+    emb_name = str(embedding_column)
+    if emb_name not in table.column_names:
+        raise ValidationError(f"Table has no column '{emb_name}'")
+    if row_group_size is None:
+        row_group_size = _max_row_group_rows(source)
+
+    names = table.column_names
+    emb_idx = names.index(emb_name)
+    groups: list[tuple[str, list[str]]] = []
+    before = names[:emb_idx]
+    after = names[emb_idx + 1 :]
+    if before:
+        groups.append(("rest0", before))
+    groups.append(("emb", [emb_name]))
+    if after:
+        groups.append(("rest1", after))
+
+    opt_by_root = {opt.path.split(".")[0]: opt for opt in options}
+    tmpdir = tempfile.mkdtemp(prefix="pqv_merge_")
+    parts: list[str] = []
+    try:
+        for tag, cols in groups:
+            part_path = os.path.join(tmpdir, f"{tag}.parquet")
+            sub = table.select(cols)
+            if tag == "emb":
+                kwargs: dict = dict(
+                    compression={
+                        opt.path: _PYARROW_CODECS.get(opt.compression, "snappy")
+                        for opt in options
+                        if opt.path == emb_path
+                    },
+                    use_dictionary=False,
+                    write_statistics=True,  # chunk stats (parquet.rs:342)
+                    write_page_index=True,  # offset index: page-exact reads
+                    data_page_size=vector_size,
+                    write_batch_size=max(index.dim, 64),
+                    store_schema=False,
+                )
+            else:
+                col_opts = [
+                    opt
+                    for opt in options
+                    if opt.path.split(".")[0] in cols
+                ]
+                kwargs = dict(
+                    compression={
+                        opt.path: _PYARROW_CODECS.get(opt.compression, "snappy")
+                        for opt in col_opts
+                    },
+                    use_dictionary=[
+                        opt.path for opt in col_opts if opt.dictionary_enabled
+                    ],
+                    write_statistics=[
+                        opt.path
+                        for opt in col_opts
+                        if opt.statistics_enabled != "none"
+                    ],
+                    write_page_index=any(
+                        opt.statistics_enabled == "page" for opt in col_opts
+                    ),
+                    store_schema=False,
+                )
+                enc = {
+                    opt.path: opt.encoding
+                    for opt in col_opts
+                    if opt.encoding not in (None, "PLAIN")
+                    and not opt.dictionary_enabled
+                }
+                if enc:
+                    kwargs["column_encoding"] = enc
+            try:
+                with pq.ParquetWriter(part_path, sub.schema, **kwargs) as w:
+                    w.write_table(sub, row_group_size=row_group_size)
+            except (pa.ArrowException, OSError):
+                kwargs.pop("column_encoding", None)
+                with pq.ParquetWriter(part_path, sub.schema, **kwargs) as w:
+                    w.write_table(sub, row_group_size=row_group_size)
+            parts.append(part_path)
+        merge_parquet_files(parts, output)
+    finally:
+        for p in parts:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        try:
+            os.rmdir(tmpdir)
+        except OSError:
+            pass
+
+    append_index_inplace(output, index, embedding_column, metric=metric)
+
+
+def _write_single(
+    source, output, table, index, embedding_column, row_group_size, metric
+) -> None:
     vector_size = index.dim * 4
     options = collect_column_write_options(source)
     emb_path = embedding_leaf_path(options, embedding_column)

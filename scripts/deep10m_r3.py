@@ -113,13 +113,11 @@ for mode in ("compact", "scan", "stream"):
 for mode in ("compact", "scan"):
     measure(mode, 1024)
 
-# Slack sweep at B=256: smaller cap = less traffic but may clip recall.
-for slack in (1.0, 1.2, 1.6):
-    s16.compact_slack = slack
-    ctile, cap, chunk = s16._compact_params(256, nprobe, 10)
-    _, ids = s16.search(q_all[:256], 10, nprobe, mode="compact")
-    r = recall(ids)
-    log(f"slack={slack}: cap={cap}/{nt} ({cap/nt:.0%}) recall={r:.4f}")
-    measure("compact", 256, budget_s=5.0)
-s16.compact_slack = 1.35
+# Small-batch regime: the union shrinks with B, so compact's n-sublinear
+# traffic should win where scan stays ~flat per batch.
+for b in (16, 64, 128):
+    ctile_b, cap_b, _ = s16._compact_params(b, nprobe, 10)
+    log(f"B={b}: compact cap={cap_b}/{nt} ({cap_b/nt:.0%})")
+    for mode in ("compact", "scan"):
+        measure(mode, b, budget_s=5.0)
 log("done")
