@@ -222,7 +222,6 @@ def main():
     from pqvector_tpu.io.embed import read_index_from_parquet
     from pqvector_tpu.io.reader import read_embedding_column
     from pqvector_tpu.query.device import DeviceIvfSearcher
-    from pqvector_tpu.types import EmbeddingColumn
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 

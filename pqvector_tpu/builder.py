@@ -26,7 +26,7 @@ from .errors import ValidationError
 from .index.build import IvfBuildConfig, build_ivf_index
 from .index.ivf import IvfIndex
 from .io.embed import append_index_inplace, has_pq_vector_index
-from .io.reader import read_embedding_column, read_parquet_with_embeddings
+from .io.reader import read_parquet_with_embeddings
 from .io.writer import write_parquet_with_index
 from .types import EmbeddingColumn
 

@@ -30,12 +30,10 @@ from ..errors import FormatError, ValidationError
 from .thrift import (
     CT_BINARY,
     CT_I16,
-    CT_I32,
     CT_I64,
     CT_LIST,
     CT_STOP,
     CT_STRUCT,
-    StructField,
     parse_struct_fields,
     read_varint,
     write_field_header,

@@ -28,8 +28,6 @@ portable fallback and the test oracle.
 
 from __future__ import annotations
 
-import struct
-
 from ..errors import FormatError
 
 # Compact-protocol type ids.

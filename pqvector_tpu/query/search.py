@@ -24,7 +24,6 @@ import numpy as np
 from ..errors import ValidationError
 from ..index.metrics import normalize_rows, normalize_vector
 from ..io.embed import read_index_from_parquet, read_index_metric
-from ..types import EmbeddingColumn
 from .selective import read_embeddings_for_rows
 
 
