@@ -366,6 +366,11 @@ def main():
         for mode in modes:
             if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
                 continue
+            if mode == "compact" and searcher.compact_coverage(
+                batch, chosen, args.k
+            ) >= 0.6:
+                log("mode=compact skipped (probed union covers most tiles)")
+                continue
             if mode in ("approx", "compact", "scan"):
                 _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
                 r_m = recall_at_k(truth_ids, np.asarray(ids_m))
@@ -405,6 +410,10 @@ def main():
                 bq = {}
                 for mode in mode_qps:
                     if big_b > 1024 and mode not in ("approx", "compact", "scan"):
+                        continue
+                    if mode == "compact" and searcher.compact_coverage(
+                        big_b, chosen, args.k
+                    ) >= 0.6:
                         continue
                     if mode == "stream" and not searcher._can_stream_masked(
                         args.k, big_b

@@ -967,6 +967,15 @@ class DeviceIvfSearcher:
         chunk = min(rows_c, 65536) if k > 32 else rows_c
         return ctile, cap, chunk
 
+    def compact_coverage(self, batch: int, nprobe: int, k: int = 10) -> float:
+        """Predicted fraction of row tiles the compact mode would read for
+        this batch shape (cap/nt). Callers can skip compact when this is
+        high — above ~1/3 the gather's read+write+read traffic exceeds the
+        full scan's single pass."""
+        ctile, cap, _ = self._compact_params(batch, nprobe, k)
+        nt = self.emb.shape[0] // ctile
+        return cap / max(nt, 1)
+
     def _compact_probe_bucket(self, nprobe: int) -> int:
         """Small power-of-two probe bucket for compact mode: lax.top_k time
         grows with k (k=128 over kc=4096 measured 6 ms at B=256 — the
