@@ -156,3 +156,58 @@ def test_merge_single_part_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         pq.read_table(out).column("x").to_numpy(), vals
     )
+
+
+def test_merge_many_row_groups_long_list_header(tmp_path):
+    """>=15 row groups exercises the compact-protocol long list header."""
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "out.parquet")
+    rng = np.random.default_rng(9)
+    n, dim = 2000, 64
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "vec": pa.array(list(x), pa.list_(pa.float32())),
+            }
+        ),
+        src,
+        row_group_size=100,  # 20 row groups
+    )
+    IndexBuilder(src, "vec").n_clusters(8).build_new(out)
+    md = pq.ParquetFile(out).metadata
+    assert md.num_row_groups == 20
+    t = pq.read_table(out)
+    np.testing.assert_array_equal(t.column("id").to_numpy(), np.arange(n))
+    got = np.array(t.column("vec").to_pylist(), np.float32)
+    np.testing.assert_allclose(got, x)
+    res = TopkBuilder(out, x[55]).k(2).nprobe(8).search()
+    assert res[0].row_idx == 55
+
+
+def test_merge_embedding_first_column(tmp_path):
+    """Embedding as the FIRST column: the merge uses (emb, rest) part order
+    and must still preserve the original column order."""
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "out.parquet")
+    rng = np.random.default_rng(4)
+    n, dim = 500, 64
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec": pa.array(list(x), pa.list_(pa.float32())),
+                "id": pa.array(np.arange(n), pa.int64()),
+            }
+        ),
+        src,
+        row_group_size=200,
+    )
+    IndexBuilder(src, "vec").n_clusters(4).build_new(out)
+    t = pq.read_table(out)
+    assert t.column_names == ["vec", "id"]
+    np.testing.assert_array_equal(t.column("id").to_numpy(), np.arange(n))
+    assert _pages_per_rg(out, "vec")[0] == 200  # 1-row pages
+    for p in _pages_per_rg(out, "id"):
+        assert p is None or p <= 2
