@@ -550,4 +550,37 @@ int64_t pqv_decode_pages(const uint8_t* buf, size_t buf_len,
   return static_cast<int64_t>(rpos);
 }
 
+// Sequential decode of a WHOLE column chunk (all data pages back to back,
+// no offset index needed): walks page headers from the start of the chunk
+// buffer. The full-column read path uses this for the build/search warm
+// load — pyarrow's list<float> assembly measured 89 MB/s single-core on
+// the 1M x 1024 build (decode was 42% of build wall clock). Dictionary
+// pages return ERR_UNSUPPORTED (the caller falls back to pyarrow; our
+// embedding columns are PLAIN). Returns total rows, or a negative error.
+int64_t pqv_decode_chunk(const uint8_t* buf, size_t buf_len, const char* codec,
+                         int32_t ptype, int32_t max_def, int32_t max_rep,
+                         float* out_values, size_t value_cap,
+                         int64_t* out_row_lengths, size_t row_cap,
+                         int64_t* out_num_values) {
+  size_t pos = 0, vpos = 0, rpos = 0;
+  while (pos < buf_len) {
+    PageHeader h;
+    if (!parse_page_header(buf + pos, buf_len - pos, h)) return ERR_MALFORMED;
+    if (h.compressed_size < 0) return ERR_MALFORMED;
+    size_t page_len = h.header_len + static_cast<size_t>(h.compressed_size);
+    if (pos + page_len > buf_len) return ERR_TRUNCATED;
+    if (h.page_type == 2) return ERR_UNSUPPORTED;  // dictionary page
+    int64_t nvals = 0;
+    int64_t rows = pqv_decode_data_page(
+        buf + pos, page_len, codec, ptype, max_def, max_rep, out_values + vpos,
+        value_cap - vpos, out_row_lengths + rpos, row_cap - rpos, &nvals);
+    if (rows < 0) return rows;
+    vpos += static_cast<size_t>(nvals);
+    rpos += static_cast<size_t>(rows);
+    pos += page_len;
+  }
+  *out_num_values = static_cast<int64_t>(vpos);
+  return static_cast<int64_t>(rpos);
+}
+
 }  // extern "C"

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..errors import ValidationError
+from ..errors import FormatError, ValidationError
 from ..types import EmbeddingColumn
 from .kmeans import assign_clusters
 
@@ -26,13 +26,39 @@ def iter_embedding_batches(
     embedding_column: EmbeddingColumn,
     batch_rows: int = 131072,
 ):
-    """Yield [rows, dim] float32 matrices from a Parquet vector column."""
+    """Yield [rows, dim] float32 matrices from a Parquet vector column.
+
+    Each row group decodes through the native sequential chunk decoder
+    when its layout allows (io/pages.decode_rg_matrix_native; batches are
+    then row-group sized), with a per-row-group pyarrow fallback — so
+    mixed layouts stream correctly with no duplicated rows."""
+    from ..io.native import load as _native_load
+    from ..io.pages import decode_rg_matrix_native, embedding_leaf_meta
     from ..io.reader import extract_embeddings
 
     pf = pq.ParquetFile(path)
     column = str(embedding_column)
     if column not in pf.schema_arrow.names:
         raise ValidationError(f"Column '{column}' not found")
+
+    lm = None
+    if _native_load() is not None:
+        try:
+            lm = embedding_leaf_meta(path, embedding_column)
+        except FormatError:
+            lm = None
+    if lm is not None:
+        leaf_idx, leaf, row_groups = lm
+        with open(os.fspath(path), "rb") as f:
+            for g, rg in enumerate(row_groups):
+                mat = decode_rg_matrix_native(f, rg, leaf_idx, leaf)
+                if mat is None:
+                    tbl = pf.read_row_group(g, columns=[column])
+                    mat = extract_embeddings(tbl, embedding_column).data
+                if mat.shape[0]:
+                    yield mat
+        return
+
     for batch in pf.iter_batches(batch_size=batch_rows, columns=[column]):
         if batch.num_rows == 0:
             continue

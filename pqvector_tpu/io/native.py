@@ -74,13 +74,13 @@ def load() -> ctypes.CDLL | None:
             # (symbol lookup raises AttributeError at binding time below,
             # which would escape to callers expecting the None fallback).
             # Rebuild once if the newest symbol is missing.
-            if not hasattr(lib, "pqv_decode_pages"):
+            if not hasattr(lib, "pqv_decode_chunk"):
                 del lib
                 if not ensure_built(force=True):
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_LIB_PATH)
-                if not hasattr(lib, "pqv_decode_pages"):
+                if not hasattr(lib, "pqv_decode_chunk"):
                     _load_failed = True
                     return None
         except OSError:
@@ -146,6 +146,20 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_size_t,
             ctypes.c_void_p,  # page_value_start (int64*, n_pages+1)
             ctypes.c_void_p,  # page_row_start (int64*, n_pages+1)
+        ]
+        lib.pqv_decode_chunk.restype = ctypes.c_int64
+        lib.pqv_decode_chunk.argtypes = [
+            ctypes.c_char_p,  # whole column chunk bytes
+            ctypes.c_size_t,
+            ctypes.c_char_p,  # codec
+            ctypes.c_int32,  # ptype
+            ctypes.c_int32,  # max_def
+            ctypes.c_int32,  # max_rep
+            ctypes.c_void_p,  # out_values (float32*)
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # out_row_lengths (int64*)
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # out_num_values (int64*)
         ]
         _lib = lib
         return _lib
@@ -276,6 +290,56 @@ def decode_data_page_native(
             _ERRORS.get(rows, f"native page decode error {rows}")
         )
     return values[: num_values.value].copy(), row_lengths[:rows].copy()
+
+
+def decode_chunk_native(
+    buf,
+    codec: str,
+    ptype: int,
+    max_def: int,
+    max_rep: int,
+    row_cap: int,
+    value_cap: int,
+    out_values=None,
+):
+    """Sequential decode of a whole column chunk (no offset index).
+
+    Returns ``(values f32 [nv], row_lengths i64 [nr])`` or None when the
+    library is unavailable; raises FormatError for unsupported layouts
+    (dictionary pages, non-PLAIN encodings, nulls) so callers can fall
+    back to pyarrow. ``out_values`` may be a preallocated f32 array of at
+    least ``value_cap`` elements (decode writes in place, no copy).
+    """
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    if not isinstance(buf, bytes):
+        buf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    values = (
+        out_values
+        if out_values is not None
+        else np.empty(value_cap, dtype=np.float32)
+    )
+    row_lengths = np.empty(row_cap, dtype=np.int64)
+    num_values = ctypes.c_int64(0)
+    rc = lib.pqv_decode_chunk(
+        buf,
+        len(buf),
+        codec.encode(),
+        ptype,
+        max_def,
+        max_rep,
+        values.ctypes.data_as(ctypes.c_void_p),
+        value_cap,
+        row_lengths.ctypes.data_as(ctypes.c_void_p),
+        row_cap,
+        ctypes.byref(num_values),
+    )
+    if rc < 0:
+        raise FormatError(_ERRORS.get(rc, f"native chunk decode error {rc}"))
+    return values[: num_values.value], row_lengths[:rc]
 
 
 def decode_pages_native(

@@ -995,3 +995,111 @@ class PageSelectiveReader:
             )
             out_vals[dest] = block
         return out_vals, out_lens, pages_read
+
+
+# ----------------------------------------------------------------------
+# Full-column native read (sequential chunk decode, no offset index)
+# ----------------------------------------------------------------------
+
+
+def embedding_leaf_meta(path: str | os.PathLike, column: EmbeddingColumn):
+    """(leaf_idx, leaf, row_groups) for the vector column, or None when the
+    column is absent/ambiguous or not a float leaf."""
+    meta = read_footer_metadata(os.fspath(path))
+    leaves, row_groups = parse_parquet_metadata(meta)
+    name = str(column)
+    matches = [
+        (i, leaf)
+        for i, leaf in enumerate(leaves)
+        if leaf.path.split(".")[0] == name
+    ]
+    if len(matches) != 1:
+        return None
+    leaf_idx, leaf = matches[0]
+    if leaf.ptype not in (_TYPE_FLOAT, _TYPE_DOUBLE):
+        return None
+    return leaf_idx, leaf, row_groups
+
+
+def decode_rg_matrix_native(
+    f, rg: RowGroupInfo, leaf_idx: int, leaf: SchemaLeaf, out=None
+) -> np.ndarray | None:
+    """One row group's vector column as [rows, dim] f32 via the native
+    sequential chunk decoder, or None to fall back (unsupported layout /
+    library unavailable / ragged rows). ``out`` may be a preallocated
+    [rows, dim] slice to decode into."""
+    from .native import decode_chunk_native
+
+    ch = rg.chunks[leaf_idx]
+    if ch.dictionary_page_offset is not None:
+        return None
+    f.seek(ch.data_page_offset)
+    buf = f.read(ch.total_compressed_size)
+    try:
+        res = decode_chunk_native(
+            buf, ch.codec, leaf.ptype, leaf.max_def, leaf.max_rep,
+            row_cap=rg.num_rows, value_cap=int(ch.num_values),
+            out_values=None if out is None else out.reshape(-1),
+        )
+    except FormatError:
+        return None  # unsupported encoding/nulls: pyarrow fallback
+    if res is None:
+        return None
+    values, lens = res
+    if lens.size == 0 or lens[0] == 0:
+        return None
+    dim = int(lens[0])
+    if not np.all(lens == dim):
+        return None  # ragged: canonical error via the pyarrow path
+    if out is not None:
+        if out.shape != (lens.size, dim):
+            return None
+        return out
+    return values.reshape(-1, dim)
+
+
+def read_embedding_matrix_native(
+    path: str | os.PathLike, column: EmbeddingColumn
+) -> np.ndarray | None:
+    """Whole vector column as a [n, dim] f32 matrix via the native
+    sequential chunk decoder, decoding each row group's pages straight into
+    a preallocated output (no per-batch Arrow assembly — pyarrow's
+    list<float> path measured 89 MB/s single-core on the 1M x 1024 build).
+
+    Returns None to fall back to the pyarrow reader (library unavailable,
+    dictionary-encoded chunks, non-float leaves, or ragged rows — the
+    fallback raises the canonical validation errors).
+    """
+    from .native import load
+
+    if load() is None:
+        return None
+    lm = embedding_leaf_meta(path, column)
+    if lm is None:
+        return None
+    leaf_idx, leaf, row_groups = lm
+    total_rows = sum(rg.num_rows for rg in row_groups)
+    if total_rows == 0:
+        return None
+    out = None
+    dim = None
+    row0 = 0
+    with open(os.fspath(path), "rb") as f:
+        for rg in row_groups:
+            if out is None:
+                first = decode_rg_matrix_native(f, rg, leaf_idx, leaf)
+                if first is None:
+                    return None
+                dim = first.shape[1]
+                out = np.empty((total_rows, dim), dtype=np.float32)
+                out[: first.shape[0]] = first
+                row0 = first.shape[0]
+                continue
+            dst = out[row0 : row0 + rg.num_rows]
+            got = decode_rg_matrix_native(f, rg, leaf_idx, leaf, out=dst)
+            if got is None:
+                return None
+            row0 += rg.num_rows
+    if out is None or row0 != total_rows:
+        return None
+    return out
