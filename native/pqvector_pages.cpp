@@ -165,8 +165,8 @@ bool parse_page_header(const uint8_t* buf, size_t len, PageHeader& h) {
       h.uncompressed_size = static_cast<int32_t>(r.zigzag());
     } else if (last_id == 3 && t >= 4 && t <= 6) {
       h.compressed_size = static_cast<int32_t>(r.zigzag());
-    } else if ((last_id == 5 || last_id == 8) && t == 12) {
-      // DataPageHeader (5) or DataPageHeaderV2 (8)
+    } else if ((last_id == 5 || last_id == 7 || last_id == 8) && t == 12) {
+      // DataPageHeader (5), DictionaryPageHeader (7), DataPageHeaderV2 (8)
       int64_t sid = 0;
       while (true) {
         uint8_t sh = r.u8();
@@ -185,7 +185,8 @@ bool parse_page_header(const uint8_t* buf, size_t len, PageHeader& h) {
         if (st >= 4 && st <= 6) {
           int64_t v = r.zigzag();
           if (sid == 1) h.num_values = static_cast<int32_t>(v);
-          if (last_id == 5 && sid == 2) h.encoding = static_cast<int32_t>(v);
+          if ((last_id == 5 || last_id == 7) && sid == 2)
+            h.encoding = static_cast<int32_t>(v);
           if (last_id == 8 && sid == 4) h.encoding = static_cast<int32_t>(v);
           if (last_id == 8 && sid == 5) h.def_levels_len = static_cast<int32_t>(v);
           if (last_id == 8 && sid == 6) h.rep_levels_len = static_cast<int32_t>(v);
@@ -361,21 +362,23 @@ int bits_for(int maxv) {  // ceil(log2(maxv + 1))
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode one data page. Returns the number of rows decoded, or a negative
-// error. Outputs: out_values (float32, value-count entries), out_row_lengths
-// (values per row). ptype: 4=FLOAT, 5=DOUBLE (parquet Type enum).
-int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
-                             const char* codec, int32_t ptype,
-                             int32_t max_def, int32_t max_rep,
-                             float* out_values, size_t value_cap,
-                             int64_t* out_row_lengths, size_t row_cap,
-                             int64_t* out_num_values) {
+// Decode one data page (optionally against a decoded dictionary). Returns
+// rows decoded or a negative error. ptype: 4=FLOAT, 5=DOUBLE.
+int64_t decode_data_page_core(const uint8_t* raw, size_t raw_len,
+                              const char* codec, int32_t ptype,
+                              int32_t max_def, int32_t max_rep,
+                              float* out_values, size_t value_cap,
+                              int64_t* out_row_lengths, size_t row_cap,
+                              int64_t* out_num_values, const float* dict,
+                              int64_t dict_len) {
   PageHeader h;
   if (!parse_page_header(raw, raw_len, h)) return ERR_MALFORMED;
   if (h.page_type != 0 && h.page_type != 3) return ERR_UNSUPPORTED;
-  if (h.encoding != 0) return ERR_UNSUPPORTED;  // PLAIN only
+  bool dict_encoded = (h.encoding == 2 || h.encoding == 8);
+  if (h.encoding != 0 && !(dict_encoded && dict != nullptr))
+    return ERR_UNSUPPORTED;  // PLAIN, or RLE_DICTIONARY with a dictionary
   // Header-declared sizes are untrusted (hostile/corrupt files must fail with
   // an error code, never read out of bounds or terminate): sign-check every
   // size, bound the V2 level lengths by both body sizes, and cap the
@@ -474,7 +477,21 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
   for (int32_t i = 0; i < n; ++i)
     if (defs[i] != max_def) return ERR_UNSUPPORTED;
 
-  if (ptype == 4) {
+  if (dict_encoded) {
+    // RLE_DICTIONARY / PLAIN_DICTIONARY data: bit-width byte + RLE/
+    // bit-packed dictionary indices.
+    if (values_len < 1) return ERR_TRUNCATED;
+    int bit_width = values_ptr[0];
+    if (bit_width < 0 || bit_width > 32) return ERR_MALFORMED;
+    std::vector<int32_t> idx(n, 0);
+    int irc = decode_levels(values_ptr + 1, values_len - 1, bit_width, n,
+                            idx.data());
+    if (irc) return irc;
+    for (int32_t i = 0; i < n; ++i) {
+      if (idx[i] < 0 || idx[i] >= dict_len) return ERR_MALFORMED;
+      out_values[i] = dict[idx[i]];
+    }
+  } else if (ptype == 4) {
     if (values_len < static_cast<size_t>(n) * 4) return ERR_TRUNCATED;
     std::memcpy(out_values, values_ptr, static_cast<size_t>(n) * 4);
   } else if (ptype == 5) {
@@ -517,6 +534,24 @@ int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
   return rows;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Decode one data page. Returns the number of rows decoded, or a negative
+// error. Outputs: out_values (float32, value-count entries), out_row_lengths
+// (values per row). ptype: 4=FLOAT, 5=DOUBLE (parquet Type enum).
+int64_t pqv_decode_data_page(const uint8_t* raw, size_t raw_len,
+                             const char* codec, int32_t ptype,
+                             int32_t max_def, int32_t max_rep,
+                             float* out_values, size_t value_cap,
+                             int64_t* out_row_lengths, size_t row_cap,
+                             int64_t* out_num_values) {
+  return decode_data_page_core(raw, raw_len, codec, ptype, max_def, max_rep,
+                               out_values, value_cap, out_row_lengths,
+                               row_cap, out_num_values, nullptr, 0);
+}
+
 // Batched page decode: each page is a slice of one contiguous buffer (the
 // caller coalesces file reads); values and row lengths are written
 // back-to-back with per-page start offsets recorded (arrays of n_pages+1)
@@ -554,26 +589,63 @@ int64_t pqv_decode_pages(const uint8_t* buf, size_t buf_len,
 // no offset index needed): walks page headers from the start of the chunk
 // buffer. The full-column read path uses this for the build/search warm
 // load — pyarrow's list<float> assembly measured 89 MB/s single-core on
-// the 1M x 1024 build (decode was 42% of build wall clock). Dictionary
-// pages return ERR_UNSUPPORTED (the caller falls back to pyarrow; our
-// embedding columns are PLAIN). Returns total rows, or a negative error.
+// the 1M x 1024 build (decode was 42% of build wall clock). A leading
+// dictionary page is decoded and RLE_DICTIONARY data pages are served
+// against it. Returns total rows, or a negative error.
 int64_t pqv_decode_chunk(const uint8_t* buf, size_t buf_len, const char* codec,
                          int32_t ptype, int32_t max_def, int32_t max_rep,
                          float* out_values, size_t value_cap,
                          int64_t* out_row_lengths, size_t row_cap,
                          int64_t* out_num_values) {
   size_t pos = 0, vpos = 0, rpos = 0;
+  std::vector<float> dict;
   while (pos < buf_len) {
     PageHeader h;
     if (!parse_page_header(buf + pos, buf_len - pos, h)) return ERR_MALFORMED;
-    if (h.compressed_size < 0) return ERR_MALFORMED;
+    if (h.compressed_size < 0 || h.uncompressed_size < 0 || h.num_values < 0)
+      return ERR_MALFORMED;
     size_t page_len = h.header_len + static_cast<size_t>(h.compressed_size);
     if (pos + page_len > buf_len) return ERR_TRUNCATED;
-    if (h.page_type == 2) return ERR_UNSUPPORTED;  // dictionary page
+    if (h.page_type == 2) {  // dictionary page: PLAIN values, kept decoded
+      constexpr int64_t kMaxDictBytes = int64_t{1} << 30;
+      if (h.uncompressed_size > kMaxDictBytes) return ERR_MALFORMED;
+      std::vector<uint8_t> scratch;
+      try {
+        scratch.resize(h.uncompressed_size);
+      } catch (const std::bad_alloc&) {
+        return ERR_CAPACITY;
+      }
+      size_t got = 0;
+      int rc = decompress(codec, buf + pos + h.header_len, h.compressed_size,
+                          scratch.data(), scratch.size(), &got);
+      if (rc) return rc;
+      int32_t n = h.num_values;
+      size_t width = (ptype == 5) ? 8 : 4;
+      if (ptype != 4 && ptype != 5) return ERR_UNSUPPORTED;
+      if (got < static_cast<size_t>(n) * width) return ERR_TRUNCATED;
+      try {
+        dict.resize(n);
+      } catch (const std::bad_alloc&) {
+        return ERR_CAPACITY;
+      }
+      if (ptype == 4) {
+        std::memcpy(dict.data(), scratch.data(), static_cast<size_t>(n) * 4);
+      } else {
+        for (int32_t i = 0; i < n; ++i) {
+          double d;
+          std::memcpy(&d, scratch.data() + static_cast<size_t>(i) * 8, 8);
+          dict[i] = static_cast<float>(d);
+        }
+      }
+      pos += page_len;
+      continue;
+    }
     int64_t nvals = 0;
-    int64_t rows = pqv_decode_data_page(
+    int64_t rows = decode_data_page_core(
         buf + pos, page_len, codec, ptype, max_def, max_rep, out_values + vpos,
-        value_cap - vpos, out_row_lengths + rpos, row_cap - rpos, &nvals);
+        value_cap - vpos, out_row_lengths + rpos, row_cap - rpos, &nvals,
+        dict.empty() ? nullptr : dict.data(),
+        static_cast<int64_t>(dict.size()));
     if (rows < 0) return rows;
     vpos += static_cast<size_t>(nvals);
     rpos += static_cast<size_t>(rows);

@@ -1031,9 +1031,12 @@ def decode_rg_matrix_native(
     from .native import decode_chunk_native
 
     ch = rg.chunks[leaf_idx]
+    start = ch.data_page_offset
     if ch.dictionary_page_offset is not None:
-        return None
-    f.seek(ch.data_page_offset)
+        # Dict page precedes the data pages; the native decoder consumes it
+        # and serves RLE_DICTIONARY data pages against it.
+        start = min(start, ch.dictionary_page_offset)
+    f.seek(start)
     buf = f.read(ch.total_compressed_size)
     try:
         res = decode_chunk_native(

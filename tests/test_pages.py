@@ -6,7 +6,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from pqvector_tpu.errors import ExecutionError
+from pqvector_tpu.errors import ExecutionError, ValidationError
 from pqvector_tpu.io.pages import PageSelectiveReader, parse_parquet_metadata
 from pqvector_tpu.io.embed import read_footer_metadata
 from pqvector_tpu.types import EmbeddingColumn
@@ -190,3 +190,60 @@ def test_batched_read_matches_python_fallback(tmp_path, vectors, monkeypatch):
     fallback = reader.read_rows(rows, 12)
     np.testing.assert_array_equal(got, fallback)
     np.testing.assert_allclose(got, vectors[rows], rtol=1e-6)
+
+
+def test_native_chunk_reader_plain_and_dict(tmp_path):
+    """Full-column native read parity: PLAIN pages and RLE_DICTIONARY pages
+    (pyarrow writes float dictionaries for repetitive values) both match
+    the pyarrow reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pqvector_tpu.io.native import load
+    from pqvector_tpu.io.pages import read_embedding_matrix_native
+    from pqvector_tpu.io.reader import read_embedding_column
+
+    if load() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    n, dim = 5000, 16
+    # Low-cardinality values force a real dictionary; then a second file
+    # with unique values exercises the PLAIN path.
+    for tag, x in (
+        ("dict", rng.integers(0, 7, (n, dim)).astype(np.float32)),
+        ("plain", rng.standard_normal((n, dim)).astype(np.float32)),
+    ):
+        path = str(tmp_path / f"{tag}.parquet")
+        pq.write_table(
+            pa.table({"vec": pa.array(list(x), pa.list_(pa.float32()))}),
+            path,
+            row_group_size=1024,
+            use_dictionary=(tag == "dict"),
+        )
+        if tag == "dict":
+            md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+            assert md.dictionary_page_offset is not None, (
+                "fixture failed to produce a dictionary page"
+            )
+        m = read_embedding_matrix_native(path, EmbeddingColumn("vec"))
+        assert m is not None, f"native path declined for {tag}"
+        np.testing.assert_array_equal(m, x)
+        emb = read_embedding_column(path, EmbeddingColumn("vec"))
+        np.testing.assert_array_equal(emb.data, x)
+
+
+def test_native_chunk_reader_declines_ragged(tmp_path):
+    """Ragged rows must fall back so the canonical validation error fires."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pqvector_tpu.io.reader import read_embedding_column
+
+    path = str(tmp_path / "ragged.parquet")
+    vals = [[1.0, 2.0], [3.0], [4.0, 5.0]]
+    pq.write_table(
+        pa.table({"vec": pa.array(vals, pa.list_(pa.float32()))}), path
+    )
+    with pytest.raises(ValidationError):
+        read_embedding_column(path, EmbeddingColumn("vec"))
