@@ -40,7 +40,20 @@ import jax
 watchdog()
 log(f"device alive ({jax.devices()})")
 
-# 1. Reference-default build, twice in one process: run 1 pays any remote
+# 1. Full bench (default args) in-process — the driver runs this at round
+#    end, so validating the round-3 sweep (compact gating, roofline) comes
+#    first in case the alive-window is short.
+log("START bench.py")
+src = open("/root/repo/bench.py").read()
+sys.argv = ["bench.py"]
+g = {"__name__": "__main__", "__file__": "bench.py"}
+try:
+    exec(compile(src, "bench.py", "exec"), g)
+except SystemExit as e:
+    log(f"bench exit {e.code}")
+log("DONE bench.py")
+
+# 2. Reference-default build, twice in one process: run 1 pays any remote
 #    compiles; run 2 is the steady state.
 from pqvector_tpu.builder import IndexBuilder
 from pqvector_tpu.utils.profiling import drain_stages
@@ -54,14 +67,4 @@ for run in (1, 2):
     log(f"build run {run}: {total:.1f}s")
     for name, secs in drain_stages():
         log(f"  {name}: {secs:.1f}s")
-
-# 2. Full bench (default args) in-process.
-log("START bench.py")
-src = open("/root/repo/bench.py").read()
-sys.argv = ["bench.py"]
-g = {"__name__": "__main__", "__file__": "bench.py"}
-try:
-    exec(compile(src, "bench.py", "exec"), g)
-except SystemExit as e:
-    log(f"bench exit {e.code}")
 log("session complete")
