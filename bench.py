@@ -187,10 +187,11 @@ def main():
     parser.add_argument(
         "--mode", default="auto",
         choices=("auto", "stream", "pallas", "masked", "gather", "approx",
-                 "compact", "scan"),
+                 "compact", "scan", "binscan", "bincompact"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
-        "full scan (nprobe-free serving mode)",
+        "full scan (nprobe-free serving mode); 'binscan' is the fused "
+        "binned-min full scan (kernels/binscan.py)",
     )
     parser.add_argument(
         "--bf16", dest="bf16", action="store_true", default=True,
@@ -334,7 +335,10 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    loop_modes = ("stream", "pallas", "approx", "compact", "scan")
+    loop_modes = (
+        "stream", "pallas", "approx", "compact", "scan", "binscan",
+        "bincompact",
+    )
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
@@ -354,7 +358,8 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto", "stream", "pallas", "approx", "scan"):
+    if args.mode in ("auto", "stream", "pallas", "approx", "scan", "binscan",
+                     "bincompact"):
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe
@@ -371,7 +376,15 @@ def main():
             ) >= 0.6:
                 log("mode=compact skipped (probed union covers most tiles)")
                 continue
-            if mode in ("approx", "compact", "scan"):
+            if mode == "binscan" and not searcher.can_binscan(args.k):
+                log("mode=binscan skipped (bin/provenance limits)")
+                continue
+            if mode == "bincompact" and searcher.bincompact_coverage(
+                batch, chosen, args.k
+            ) >= 0.9:
+                log("mode=bincompact skipped (ineligible or ~full coverage)")
+                continue
+            if mode in ("approx", "compact", "scan", "binscan", "bincompact"):
                 _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
                 r_m = recall_at_k(truth_ids, np.asarray(ids_m))
                 if r_m < args.recall_target:
@@ -409,11 +422,17 @@ def main():
                 ).astype(np.float32)
                 bq = {}
                 for mode in mode_qps:
-                    if big_b > 1024 and mode not in ("approx", "compact", "scan"):
+                    if big_b > 1024 and mode not in (
+                        "approx", "compact", "scan", "binscan", "bincompact"
+                    ):
                         continue
                     if mode == "compact" and searcher.compact_coverage(
                         big_b, chosen, args.k
                     ) >= 0.6:
+                        continue
+                    if mode == "bincompact" and searcher.bincompact_coverage(
+                        big_b, chosen, args.k
+                    ) >= 0.9:
                         continue
                     if mode == "stream" and not searcher._can_stream_masked(
                         args.k, big_b

@@ -1,0 +1,301 @@
+"""Pallas TPU kernel: fused exact scan with binned-min candidate extraction.
+
+The serving scan (``mode="scan"``) extracts candidates with the hardware
+ApproxTopK reduction (``lax.approx_min_k``). Measured at B=4096 x 1M x 128
+(scripts/mfu_push.py): the raw scoring matmul+min floor runs 8.50 ms/batch
+(62.7% of bf16 peak) while matmul+PartialReduce runs 13.04 ms (40.8%) — the
+extraction is a serialized ~4.5 ms VPU pass that XLA does not overlap with
+the MXU work.
+
+This kernel overlaps them: each grid step scores one row tile on the MXU and
+immediately folds the scores into a per-query *bin table* on the VPU while
+the next tile's matmul runs. Selection state per query is L = tile bins
+(value + provenance packed into ONE int32), so the post-kernel merge is a
+tiny ``top_k`` over L columns instead of a PartialReduce over n.
+
+Packed keys. The kernel scores TRUE squared distances (the rank-neutral
+|q|^2 term is added back in precisely so the values are non-negative), and
+non-negative f32 bits compare like integers (IEEE-754 order isomorphism).
+The low ``code_bits`` mantissa bits are replaced with the row's local
+provenance::
+
+    key = (bitcast_i32(part) & ~((1 << code_bits) - 1)) | (g3 << tg_bits) | tg
+
+One ``jnp.minimum`` then tracks value AND argmin together — 1 VPU op per
+element instead of cmp+select pairs, and half the accumulator VMEM. The
+value loses ``code_bits`` low mantissa bits (2^-13 relative at 1M rows —
+far above the 2^-8 bf16 level that craters clustered selection); winners are
+exactly re-scored afterwards so returned distances are exact. A part that
+rounds slightly negative (an exact-duplicate row) bitcasts below every
+non-negative key and wins the bin — which is the correct selection.
+
+Bin geometry. A row tile holds ``n_lg = tile/128`` lane groups; bins are
+(slab, lane) with ``slab = (t + g3) % n_lg`` — the slab *rotates* per tile so
+the 1024 rows of one tile land in 1024 DISTINCT bins. On cluster_sorted
+layouts a ~1k-row cluster therefore cannot self-collide within a tile (the
+failure mode that caps ApproxTopK's recall on sorted layouts — see
+_approx_chunk in query/device.py); collisions only happen across tiles at
+~1/L rate. Provenance decodes as::
+
+    t    = tg * n_lg + ((slab - g3) mod n_lg)
+    row  = t * tile + g3 * 128 + lane
+
+Reference behavior anchor: exact-selection search over probed lists,
+/root/reference/src/ivf/search.rs:100-127 (here: the nprobe-free serving
+scan that replaced it on-device; recall comes from bin selection).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scan_topk import _refine
+
+_POS_INF = 3.0e38
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _binscan_body(t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits):
+    # q is pre-scaled by -2 on the host, so with the query norm added back
+    # part = |q|^2 - 2*q.x + |x|^2 = TRUE squared distance. The query-norm
+    # term is rank-neutral per query but REQUIRED here: the bitcast key
+    # order only matches float order for non-negative values, and
+    # |x|^2 - 2*q.x alone goes negative whenever a candidate sits closer
+    # than the query's own norm (regression-pinned in tests/test_binscan.py).
+    scores = jnp.dot(q, emb_t.T, preferred_element_type=jnp.float32)
+    part = (scores + sq_t) + qsq[:, :1]  # [bt,tile] + [1,tile] + [bt,1]
+    hi_mask = jnp.int32(~((1 << code_bits) - 1))
+    tg = t // n_lg
+    for g3 in range(n_lg):
+        sl = part[:, g3 * 128 : (g3 + 1) * 128]  # [bt, 128] (static slice)
+        bits = jax.lax.bitcast_convert_type(sl, jnp.int32)
+        keys = (bits & hi_mask) | ((g3 << tg_bits) + tg)
+        slab = jax.lax.rem(t + g3, n_lg)
+        idx = (pl.dslice(slab, 1), slice(None), slice(None))
+
+        @pl.when(t == 0)
+        def _init():
+            out_ref[idx] = keys[None]
+
+        @pl.when(t != 0)
+        def _acc():
+            out_ref[idx] = jnp.minimum(out_ref[idx], keys[None])
+
+
+def _binscan_kernel(
+    q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits, code_bits
+):
+    _binscan_body(
+        pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[:], sq_ref[0],
+        out_ref, n_lg, tg_bits, code_bits,
+    )
+
+
+def _binscan_select_kernel(
+    sel_ref, q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits,
+    code_bits,
+):
+    # Identical math; `t` is the COMPACTED tile slot (the grid position),
+    # and the emb/sq blocks were fetched at sel[t] by the index maps.
+    _binscan_body(
+        pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[0], sq_ref[0],
+        out_ref, n_lg, tg_bits, code_bits,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "b_tile", "interpret")
+)
+def pallas_binned_scan(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d], n_pad % tile == 0
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+3e38 pad rows, NOT inf)
+    k: int,
+    tile: int = 1024,
+    b_tile: int = 512,
+    interpret: bool = False,
+):
+    """Exact brute-force top-k via the fused binned-min scan.
+
+    Returns (squared distances [B, k], ids [B, k]) — exact values (winners
+    re-scored in f32); selection misses only on cross-tile bin collisions
+    (~k/L per pair) like the ApproxTopK path's recall_target.
+    """
+    n_pad, d = emb.shape
+    b = q.shape[0]
+    if n_pad % tile or tile % 128:
+        raise ValueError(f"n_pad={n_pad} must be a multiple of tile={tile}")
+    nt = n_pad // tile
+    n_lg = tile // 128
+    l_bins = tile  # n_lg slabs x 128 lanes
+    if k > l_bins:
+        raise ValueError(f"binscan requires k <= {l_bins} bins (got k={k})")
+    tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
+    g3_bits = max(1, (n_lg - 1).bit_length())
+    code_bits = tg_bits + g3_bits
+    if code_bits > 13:
+        raise ValueError(
+            f"binscan key precision too low for n_pad={n_pad} at tile={tile} "
+            f"({code_bits} provenance bits); chunk the scan or raise tile"
+        )
+
+    bt = min(b_tile, _round_up(b, 8))
+    bp = _round_up(b, bt)
+    qs = (-2.0 * q).astype(emb.dtype)
+    qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
+    if bp != b:
+        qs = jnp.concatenate([qs, jnp.zeros((bp - b, d), qs.dtype)], axis=0)
+        qsq = jnp.concatenate([qsq, jnp.zeros((bp - b,), qsq.dtype)])
+    # Lane-broadcast copy of |q|^2 (one (bt,128) block per query tile; the
+    # kernel reads column 0). Tiny: 4096 queries = 2 MB, loaded once per bq.
+    qsq2 = jnp.tile(qsq[:, None], (1, 128))
+    sq2 = emb_sq.reshape(nt, 1, tile)
+
+    keys = pl.pallas_call(
+        functools.partial(
+            _binscan_kernel, n_lg=n_lg, tg_bits=tg_bits, code_bits=code_bits
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_lg, bp, 128), jnp.int32),
+        grid=(bp // bt, nt),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bt, 128), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile, d), lambda bq, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, tile), lambda bq, t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_lg, bt, 128), lambda bq, t: (0, bq, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qs, qsq2, emb, sq2)
+
+    return _merge_bins(
+        q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel=None
+    )
+
+
+def _merge_bins(q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel):
+    """Tiny cross-bin merge + provenance decode + exact re-score.
+
+    top_k over the L bin columns of int keys; bitwise_not is a strictly
+    decreasing int map (no -INT_MIN overflow), so max-of-~keys equals
+    min-of-keys. ``sel`` maps compacted tile slots back to global tiles
+    (None for the full scan).
+    """
+    bp = keys.shape[1]
+    kf = min(2 * k, n_lg * 128)
+    flat = jnp.swapaxes(keys, 0, 1).reshape(bp, n_lg * 128)
+    nk, bins = jax.lax.top_k(jnp.bitwise_not(flat), kf)
+    key = jnp.bitwise_not(nk)
+    code = key & ((1 << code_bits) - 1)
+    tg = code & ((1 << tg_bits) - 1)
+    g3 = code >> tg_bits
+    slab = bins // 128
+    lane = bins - slab * 128
+    t_row = tg * n_lg + jnp.mod(slab - g3, n_lg)
+    if sel is not None:
+        t_row = sel[t_row]
+    row = t_row * tile + g3 * 128 + lane
+    val = jax.lax.bitcast_convert_type(
+        key & jnp.int32(~((1 << code_bits) - 1)), jnp.float32
+    )
+    d2, ids = _refine(q, emb, val[:b], row[:b])
+    return d2[:, :k], ids[:, :k]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "cap", "b_tile", "interpret")
+)
+def pallas_binned_scan_select(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d], n_pad % tile == 0
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+3e38 pad rows, NOT inf)
+    sel: jnp.ndarray,  # [cap] i32 global tile indices to scan
+    k: int,
+    tile: int = 2048,
+    cap: int | None = None,
+    b_tile: int = 512,
+    interpret: bool = False,
+):
+    """Binned-min scan over SELECTED row tiles (probed-union IVF serving).
+
+    The compact mode's gather+extract moves read+write+read of the covered
+    fraction; this kernel instead streams the selected tiles through the
+    fused scan directly — the index map reads a scalar-prefetched tile list,
+    so the covered fraction crosses HBM exactly ONCE and the extraction
+    rides the matmul. Returns (squared distances [B, k], GLOBAL ids [B, k]).
+
+    Reference behavior anchor: per-query probed-list search,
+    /root/reference/src/ivf/search.rs:100-127 (batched: candidates are the
+    batch's probed-tile union, like mode="compact").
+    """
+    n_pad, d = emb.shape
+    b = q.shape[0]
+    if cap is None:
+        cap = int(sel.shape[0])
+    if n_pad % tile or tile % 128:
+        raise ValueError(f"n_pad={n_pad} must be a multiple of tile={tile}")
+    nt = n_pad // tile
+    n_lg = tile // 128
+    if k > tile:
+        raise ValueError(f"binscan requires k <= {tile} bins (got k={k})")
+    tg_bits = max(1, ((cap - 1) // n_lg).bit_length())
+    g3_bits = max(1, (n_lg - 1).bit_length())
+    code_bits = tg_bits + g3_bits
+    if code_bits > 13:
+        raise ValueError(
+            f"binscan key precision too low for cap={cap} at tile={tile} "
+            f"({code_bits} provenance bits); raise tile or lower the cap"
+        )
+
+    bt = min(b_tile, _round_up(b, 8))
+    bp = _round_up(b, bt)
+    qs = (-2.0 * q).astype(emb.dtype)
+    qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
+    if bp != b:
+        qs = jnp.concatenate([qs, jnp.zeros((bp - b, d), qs.dtype)], axis=0)
+        qsq = jnp.concatenate([qsq, jnp.zeros((bp - b,), qsq.dtype)])
+    qsq2 = jnp.tile(qsq[:, None], (1, 128))
+    emb3 = emb.reshape(nt, tile, d)
+    sq2 = emb_sq.reshape(nt, 1, tile)
+    sel = sel.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bp // bt, cap),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda bq, t, s: (bq, 0)),
+            pl.BlockSpec((bt, 128), lambda bq, t, s: (bq, 0)),
+            pl.BlockSpec((1, tile, d), lambda bq, t, s: (s[t], 0, 0)),
+            pl.BlockSpec((1, 1, tile), lambda bq, t, s: (s[t], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_lg, bt, 128), lambda bq, t, s: (0, bq, 0)
+        ),
+    )
+    keys = pl.pallas_call(
+        functools.partial(
+            _binscan_select_kernel,
+            n_lg=n_lg,
+            tg_bits=tg_bits,
+            code_bits=code_bits,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_lg, bp, 128), jnp.int32),
+        interpret=interpret,
+    )(sel, qs, qsq2, emb3, sq2)
+    return _merge_bins(
+        q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel=sel
+    )

@@ -282,6 +282,89 @@ def _ivf_approx_masked_impl(
     return d2[:, :k], ids[:, :k]
 
 
+def _compact_select(
+    q, centroids, c_sq, row_cluster, nprobe, max_probe, ctile, cap_tiles,
+    tile_lo, tile_hi, max_cluster_tiles, n_pad,
+):
+    """Active-tile selection shared by the compact modes: probe the batch,
+    rank tiles by popularity, keep the top ``cap_tiles`` tile ids."""
+    b = q.shape[0]
+    kc = centroids.shape[0]
+    nt = n_pad // ctile
+
+    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)
+    in_probe = jnp.broadcast_to(
+        jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
+        (b, max_probe),
+    )
+    counts = jnp.zeros(kc + 1, jnp.int32).at[probe.reshape(-1)].add(
+        in_probe.reshape(-1).astype(jnp.int32)
+    )
+    counts = counts.at[kc].set(0)  # pad rows are never active
+
+    # Tile popularity = most-probed cluster in the tile; active iff > 0.
+    if tile_lo is not None:
+        # Cluster-sorted layout: cluster c spans tiles tile_lo[c]..tile_hi[c]
+        # (host-precomputed); a bounded scatter-max loop replaces the
+        # counts[row_cluster-per-row] gather, which XLA scalarizes at ~7 ns
+        # per element (measured 72 ms for 10M rows — the whole budget).
+        tile_pop = jnp.zeros(nt, jnp.int32)
+        cnt = counts[:kc]
+        for j in range(max_cluster_tiles):
+            t = jnp.clip(tile_lo + j, 0, nt - 1)
+            val = jnp.where(tile_lo + j <= tile_hi, cnt, 0)
+            tile_pop = tile_pop.at[t].max(val)
+    else:
+        cl_t = row_cluster.reshape(nt, ctile)
+        tile_pop = counts[cl_t].max(axis=1)
+    # Most popular tiles first (stable -> ascending tile id on ties), so a
+    # cap overflow drops the tiles fewest queries probed.
+    order = jnp.argsort(
+        jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)), stable=True
+    )
+    return order[:cap_tiles]
+
+
+def _ivf_compact_bin_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    centroids: jnp.ndarray,  # [kc, d] f32
+    c_sq: jnp.ndarray,  # [kc] f32
+    row_cluster: jnp.ndarray,  # [n_pad] i32 cluster id per row (kc = pad rows)
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+3e38 pad, finite)
+    nprobe: jnp.ndarray,  # scalar i32
+    k: int,
+    max_probe: int,
+    ctile: int,  # selection granularity == binscan tile
+    cap_tiles: int,  # static selected-tile budget
+    interpret: bool = False,
+    tile_lo: jnp.ndarray | None = None,
+    tile_hi: jnp.ndarray | None = None,
+    max_cluster_tiles: int = 0,
+):
+    """IVF via probed-union selection + fused binned-min scan IN PLACE.
+
+    mode="compact" gathers the active tiles into a contiguous block and
+    then extracts over it — read+write+read of the covered fraction. This
+    mode streams the selected tiles straight through the binscan kernel
+    (kernels/binscan.py) via a scalar-prefetched index map: the covered
+    fraction crosses HBM exactly once and the extraction overlaps the
+    scoring matmul. Candidate semantics are identical to compact (the
+    batch's probed-tile union, popularity-capped); distances exact.
+    """
+    from ..kernels.binscan import pallas_binned_scan_select
+
+    sel = _compact_select(
+        q, centroids, c_sq, row_cluster, nprobe, max_probe, ctile,
+        cap_tiles, tile_lo, tile_hi, max_cluster_tiles, emb.shape[0],
+    )
+    return pallas_binned_scan_select(
+        q, emb, emb_sq, sel, k, tile=ctile, cap=cap_tiles,
+        interpret=interpret,
+    )
+
+
 def _ivf_compact_approx_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -321,43 +404,10 @@ def _ivf_compact_approx_impl(
     gated in the bench exactly like the extraction's own recall_target.
     Distances of returned winners are exact (re-scored f32).
     """
-    b, d = q.shape
-    kc = centroids.shape[0]
-    n_pad = emb.shape[0]
-    nt = n_pad // ctile
-
-    c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
-    _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)
-    in_probe = jnp.broadcast_to(
-        jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
-        (b, max_probe),
+    sel = _compact_select(
+        q, centroids, c_sq, row_cluster, nprobe, max_probe, ctile,
+        cap_tiles, tile_lo, tile_hi, max_cluster_tiles, emb.shape[0],
     )
-    counts = jnp.zeros(kc + 1, jnp.int32).at[probe.reshape(-1)].add(
-        in_probe.reshape(-1).astype(jnp.int32)
-    )
-    counts = counts.at[kc].set(0)  # pad rows are never active
-
-    # Tile popularity = most-probed cluster in the tile; active iff > 0.
-    if tile_lo is not None:
-        # Cluster-sorted layout: cluster c spans tiles tile_lo[c]..tile_hi[c]
-        # (host-precomputed); a bounded scatter-max loop replaces the
-        # counts[row_cluster-per-row] gather, which XLA scalarizes at ~7 ns
-        # per element (measured 72 ms for 10M rows — the whole budget).
-        tile_pop = jnp.zeros(nt, jnp.int32)
-        cnt = counts[:kc]
-        for j in range(max_cluster_tiles):
-            t = jnp.clip(tile_lo + j, 0, nt - 1)
-            val = jnp.where(tile_lo + j <= tile_hi, cnt, 0)
-            tile_pop = tile_pop.at[t].max(val)
-    else:
-        cl_t = row_cluster.reshape(nt, ctile)
-        tile_pop = counts[cl_t].max(axis=1)
-    # Most popular tiles first (stable -> ascending tile id on ties), so a
-    # cap overflow drops the tiles fewest queries probed.
-    order = jnp.argsort(
-        jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)), stable=True
-    )
-    sel = order[:cap_tiles]
 
     # XLA's dynamic tile gather measures ~100 GB/s on v5e (13% of copy
     # bandwidth); the Pallas scalar-prefetch copy pipeline runs at DMA
@@ -674,6 +724,17 @@ class DeviceIvfSearcher:
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
             )
+        elif mode == "binscan":
+            from ..kernels.binscan import pallas_binned_scan
+
+            d2, ids = pallas_binned_scan(
+                q,
+                self.emb,
+                self._pallas_emb_sq(),
+                k,
+                tile=self._binscan_tile(),
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
@@ -864,6 +925,35 @@ class DeviceIvfSearcher:
                 tile_hi=thi,
                 max_cluster_tiles=span,
             )
+        elif mode == "bincompact":
+            # Probed-union selection + fused binned-min scan IN PLACE: the
+            # covered fraction crosses HBM once and extraction overlaps the
+            # matmul (see _ivf_compact_bin_impl).
+            max_probe = self._compact_probe_bucket(nprobe)
+            ctile_b, cap_b = self._compact_bin_params(q.shape[0], nprobe, k)
+            if not ctile_b:
+                raise ValidationError(
+                    "bincompact ineligible for this shape (provenance bits "
+                    "or tile alignment); use compact or scan"
+                )
+            tlo, thi, span = self._compact_tile_ranges(ctile_b)
+            d2, ids = _ivf_compact_bin(
+                q,
+                self.centroids,
+                self.c_sq,
+                self.row_cluster,
+                self.emb,
+                self._pallas_emb_sq(),
+                jnp.int32(nprobe),
+                k=k,
+                max_probe=max_probe,
+                ctile=ctile_b,
+                cap_tiles=cap_b,
+                interpret=jax.default_backend() != "tpu",
+                tile_lo=tlo,
+                tile_hi=thi,
+                max_cluster_tiles=span,
+            )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
             # comes from the extraction recall_target (see search_loop).
@@ -875,6 +965,21 @@ class DeviceIvfSearcher:
                 chunk=self._approx_chunk(k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
+            )
+        elif mode == "binscan":
+            # Serving mode: fused binned-min full scan (kernels/binscan.py),
+            # nprobe ignored — the matmul and the candidate extraction
+            # overlap in one Pallas kernel instead of paying the serialized
+            # PartialReduce pass (the measured B=4096 MFU limiter).
+            from ..kernels.binscan import pallas_binned_scan
+
+            d2, ids = pallas_binned_scan(
+                q,
+                self.emb,
+                self._pallas_emb_sq(),
+                k,
+                tile=self._binscan_tile(),
+                interpret=jax.default_backend() != "tpu",
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -966,6 +1071,105 @@ class DeviceIvfSearcher:
         # rule as _approx_chunk (sorted layouts need 64k chunks at k > 32).
         chunk = min(rows_c, 65536) if k > 32 else rows_c
         return ctile, cap, chunk
+
+    def calibrate_bincompact(
+        self,
+        queries: np.ndarray,
+        nprobe: int,
+        k: int = 10,
+        slack: float = 1.15,
+        bucket: int = 128,
+    ):
+        """Pin the bincompact tile budget to the MEASURED probed-union size.
+
+        The static formula in ``_compact_bin_params`` over-budgets on large
+        cluster counts (its expected-coverage model ignores probe locality
+        — at DEEP-10M shapes it predicts ~60% tile coverage where the real
+        union is ~22%). Serving deployments calibrate against a
+        representative query batch instead: compute the batch's probed-tile
+        union on host (one [B, kc] numpy matmul), add ``slack`` headroom,
+        round up to ``bucket`` tiles (bounding recompiles), and use that
+        cap for subsequent ``mode="bincompact"`` searches. Returns
+        (ctile, cap), or (0, 0) if ineligible (provenance-bit budget,
+        unsorted layout). Clear with ``self._bincompact_calibrated = None``.
+        """
+        self._bincompact_calibrated = None
+        if not self._row_cluster_sorted:
+            return (0, 0)
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        cent = np.asarray(self.index.centroids, np.float32)
+        d2 = np.einsum("kd,kd->k", cent, cent)[None, :] - 2.0 * (q @ cent.T)
+        kp = min(nprobe, cent.shape[0])
+        probe = (
+            np.argpartition(d2, kp - 1, axis=1)[:, :kp]
+            if kp < cent.shape[0]
+            else np.broadcast_to(np.arange(cent.shape[0]), d2.shape)
+        )
+        active = np.unique(probe)
+        n_pad = int(self.emb.shape[0])
+        for ctile in (1024, 2048, 512):
+            if n_pad % ctile or k > ctile:
+                continue
+            nt = n_pad // ctile
+            lo_j, hi_j, _ = self._compact_tile_ranges(ctile)
+            lo = np.asarray(lo_j)[active]
+            hi = np.asarray(hi_j)[active]
+            # Active-tile count via interval stabbing (clusters sharing a
+            # boundary tile must not double-count it).
+            mark = np.zeros(nt + 1, np.int64)
+            np.add.at(mark, lo, 1)
+            np.add.at(mark, hi + 1, -1)
+            n_active = int((np.cumsum(mark[:-1]) > 0).sum())
+            cap = int(-(-(n_active * slack) // bucket) * bucket)
+            cap = max(1, min(nt, cap))
+            n_lg = ctile // 128
+            bits = max(1, ((cap - 1) // n_lg).bit_length()) + max(
+                1, (n_lg - 1).bit_length()
+            )
+            if bits <= 13:  # the kernel's own packed-key limit
+                self._bincompact_calibrated = (ctile, cap)
+                return (ctile, cap)
+        return (0, 0)
+
+    def _compact_bin_params(self, batch: int, nprobe: int, k: int):
+        """(ctile, cap_tiles) for mode="bincompact", or (0, 0) if the
+        provenance bit budget can't cover the predicted active-tile count
+        (kernels/binscan.py caps packed keys at 13 provenance bits; we gate
+        at 12 to keep selection precision >= 2^-11). A prior
+        ``calibrate_bincompact`` measurement overrides the formula."""
+        cal = getattr(self, "_bincompact_calibrated", None)
+        if cal and k <= cal[0]:
+            return cal
+        n_pad = int(self.emb.shape[0])
+        kc = max(self.index.n_clusters, 1)
+        draws = batch * nprobe
+        expected = kc * (1.0 - (1.0 - 1.0 / kc) ** draws)
+        for ctile in (1024, 2048, 512):
+            if n_pad % ctile or k > ctile:
+                continue
+            nt = n_pad // ctile
+            tiles_per = (self.n / kc) / ctile + 1.0
+            cap = int(min(nt, -(-expected * tiles_per * self.compact_slack // 1)))
+            cap = max(cap, 1)
+            n_lg = ctile // 128
+            bits = max(1, ((cap - 1) // n_lg).bit_length()) + max(
+                1, (n_lg - 1).bit_length()
+            )
+            if bits <= 12:
+                return ctile, cap
+        return 0, 0
+
+    def bincompact_coverage(self, batch: int, nprobe: int, k: int = 10) -> float:
+        """Predicted fraction of rows mode="bincompact" would read (1.0 when
+        ineligible). Unlike compact's 3-pass traffic, bincompact reads the
+        covered fraction once, so it pays off up to coverage ~1."""
+        ctile, cap = self._compact_bin_params(batch, nprobe, k)
+        if not ctile:
+            return 1.0
+        return cap / max(int(self.emb.shape[0]) // ctile, 1)
 
     def compact_coverage(self, batch: int, nprobe: int, k: int = 10) -> float:
         """Predicted fraction of row tiles the compact mode would read for
@@ -1083,11 +1287,14 @@ class DeviceIvfSearcher:
         use_scan = mode == "scan"
         use_xla = mode == "masked"
         use_compact = mode == "compact"
+        use_binscan = mode == "binscan"
+        use_bincompact = mode == "bincompact"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
-            and not (use_approx or use_scan or use_xla or use_compact)
+            and not (use_approx or use_scan or use_xla or use_compact
+                     or use_binscan or use_bincompact)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -1099,6 +1306,16 @@ class DeviceIvfSearcher:
             ctile, cap_tiles, chunk = self._compact_params(
                 q.shape[0], nprobe, k
             )
+            tlo, thi, span = self._compact_tile_ranges(ctile)
+        elif use_bincompact:
+            max_probe = self._compact_probe_bucket(nprobe)
+            ctile, cap_tiles = self._compact_bin_params(q.shape[0], nprobe, k)
+            if not ctile:
+                raise ValidationError(
+                    "bincompact ineligible for this shape (provenance bits "
+                    "or tile alignment); use compact or scan"
+                )
+            chunk = 1
             tlo, thi, span = self._compact_tile_ranges(ctile)
         else:
             ctile, cap_tiles = 1, 1
@@ -1128,6 +1345,9 @@ class DeviceIvfSearcher:
             use_scan=use_scan,
             use_xla=use_xla,
             use_compact=use_compact,
+            use_binscan=use_binscan,
+            use_bincompact=use_bincompact,
+            binscan_tile=self._binscan_tile() if use_binscan else 0,
             ctile=ctile,
             cap_tiles=cap_tiles,
             tile_lo=tlo,
@@ -1150,6 +1370,7 @@ class DeviceIvfSearcher:
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
         use_approx = mode == "approx"
+        use_binscan = mode == "binscan"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
@@ -1162,6 +1383,8 @@ class DeviceIvfSearcher:
             reps=reps,
             use_stream=use_stream,
             use_approx=use_approx,
+            use_binscan=use_binscan,
+            binscan_tile=self._binscan_tile() if use_binscan else 0,
             chunk=self._approx_chunk(k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
@@ -1199,6 +1422,34 @@ class DeviceIvfSearcher:
             return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
+    def _binscan_tile(self) -> int:
+        """Largest lane-aligned row tile (<=1024) dividing the padded rows.
+
+        The binscan kernel's bin count equals the tile, so bigger is better
+        for recall; 1024 keeps the provenance code within 10 bits at 1M rows
+        (see kernels/binscan.py).
+        """
+        n_pad = int(self.emb.shape[0])
+        for t in (1024, 512, 256, 128):
+            if n_pad % t == 0:
+                return t
+        raise ValidationError(
+            f"padded row count {n_pad} is not lane-aligned for binscan"
+        )
+
+    def can_binscan(self, k: int = 10) -> bool:
+        """Whether the fused binned-min scan supports this array/k (bin and
+        provenance-precision limits — kernels/binscan.py)."""
+        try:
+            t = self._binscan_tile()
+        except ValidationError:
+            return False
+        nt = int(self.emb.shape[0]) // t
+        n_lg = t // 128
+        tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
+        g3_bits = max(1, (n_lg - 1).bit_length())
+        return k <= t and tg_bits + g3_bits <= 13
+
     def _pallas_emb_sq(self):
         if self._emb_sq_pallas is None:
             self._emb_sq_pallas = jnp.where(
@@ -1220,7 +1471,8 @@ import functools as _functools
     jax.jit,
     static_argnames=(
         "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-        "use_approx", "use_scan", "use_xla", "use_compact", "ctile",
+        "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
+        "use_bincompact", "binscan_tile", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret",
     ),
@@ -1230,12 +1482,26 @@ def _masked_pallas_loop(
     k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
     use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
-    tile_hi=None, max_cluster_tiles=0,
+    tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
+    use_bincompact=False,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
 
     def body(q):
+        if use_binscan:
+            from ..kernels.binscan import pallas_binned_scan
+
+            return pallas_binned_scan(
+                q, emb, emb_sq, k=k, tile=binscan_tile, interpret=interpret
+            )
+        if use_bincompact:
+            return _ivf_compact_bin_impl(
+                q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
+                k=k, max_probe=max_probe, ctile=ctile, cap_tiles=cap_tiles,
+                interpret=interpret, tile_lo=tile_lo, tile_hi=tile_hi,
+                max_cluster_tiles=max_cluster_tiles,
+            )
         if use_compact:
             return _ivf_compact_approx_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
@@ -1292,17 +1558,24 @@ def _masked_pallas_loop(
 @_functools.partial(
     jax.jit,
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
-                     "recall_target", "score_dtype", "subtiles", "interpret"),
+                     "recall_target", "score_dtype", "subtiles", "interpret",
+                     "use_binscan", "binscan_tile"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
-    recall_target, score_dtype, subtiles, interpret,
+    recall_target, score_dtype, subtiles, interpret, use_binscan=False,
+    binscan_tile=0,
 ):
+    from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
     from ..kernels.stream_topk import pallas_stream_exact_topk
 
     def step(q, _):
-        if use_approx:
+        if use_binscan:
+            d2, ids = pallas_binned_scan(
+                q, emb, emb_sq, k=k, tile=binscan_tile, interpret=interpret
+            )
+        elif use_approx:
             d2, ids = _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
@@ -1332,6 +1605,13 @@ _ivf_compact_approx = jax.jit(
     static_argnames=(
         "k", "max_probe", "ctile", "cap_tiles", "chunk", "recall_target",
         "score_dtype", "interpret", "max_cluster_tiles",
+    ),
+)
+_ivf_compact_bin = jax.jit(
+    _ivf_compact_bin_impl,
+    static_argnames=(
+        "k", "max_probe", "ctile", "cap_tiles", "interpret",
+        "max_cluster_tiles",
     ),
 )
 _ivf_masked_scan = jax.jit(
