@@ -43,6 +43,8 @@ def cmd_build(args) -> int:
     from .builder import IndexBuilder
 
     builder = IndexBuilder(args.path, args.column).metric(args.metric)
+    if args.transfer_dtype != "float32":
+        builder = builder.transfer_dtype(args.transfer_dtype)
     if args.n_clusters:
         builder = builder.n_clusters(args.n_clusters)
     if args.seed is not None:
@@ -101,6 +103,12 @@ def main(argv=None) -> int:
     p.add_argument("--metric", choices=["l2", "cosine"], default="l2")
     p.add_argument("--output", default=None, help="write an indexed copy instead")
     p.add_argument("--cluster-sorted", action="store_true")
+    p.add_argument(
+        "--transfer-dtype", choices=["float32", "bfloat16"],
+        default="float32",
+        help="host->device wire dtype for the build transfer (bfloat16 "
+        "halves the tunnel-bound bytes; 2^-8 input rounding)",
+    )
     p.set_defaults(fn=cmd_build)
 
     p = sub.add_parser("search", help="top-k search using a file row as query")

@@ -44,6 +44,7 @@ class IndexBuilder:
         self._cluster_sorted = False
         self._metric = "l2"
         self._streaming_batch_rows: int | None = None
+        self._transfer_dtype = "float32"
 
     # Fluent setters (parquet.rs:42-55).
     def n_clusters(self, n_clusters: int) -> "IndexBuilder":
@@ -75,6 +76,16 @@ class IndexBuilder:
         self._metric = metric
         return self
 
+    def transfer_dtype(self, dtype: str) -> "IndexBuilder":
+        """Host->device wire dtype for the build transfer ("float32" |
+        "bfloat16"). bfloat16 halves the tunnel-bound transfer bytes (the
+        dominant build stage on remote-attached TPUs) at the cost of 2^-8
+        input rounding before training; deterministic either way."""
+        if dtype not in ("float32", "bfloat16"):
+            raise ValidationError(f"Unsupported transfer dtype '{dtype}'")
+        self._transfer_dtype = dtype
+        return self
+
     def _build_config(self) -> IvfBuildConfig:
         # Validation mirrors parquet.rs:88-103 (IvfBuildConfig re-validates).
         return IvfBuildConfig(
@@ -82,6 +93,7 @@ class IndexBuilder:
             max_iters=self._max_iters,
             seed=self._seed,
             block_rows=self._block_rows,
+            transfer_dtype=self._transfer_dtype,
         )
 
     def _train_embeddings(self, embeddings):

@@ -448,6 +448,241 @@ class DistributedIvfSearcher:
         """Distributed ApproxTopK full scan (``reps`` chains for timing)."""
         return self._scan_body(k, reps, recall_target)(queries)
 
+    # ------------------------------------------------------------------
+    # Distributed fused binned-min scan (mode="binscan"/"bincompact"
+    # analogs of DeviceIvfSearcher.search): each shard streams its block
+    # through kernels/binscan.py — extraction overlaps the scoring matmul
+    # instead of paying the serialized PartialReduce pass. Sharding also
+    # extends the kernel's provenance-bit budget by n_dev x (each shard
+    # packs LOCAL tile ids).
+    # ------------------------------------------------------------------
+
+    def _binscan_tile(self) -> int:
+        rows_per_dev = self._rows_per_dev
+        for t in (1024, 512, 256, 128):
+            if rows_per_dev % t == 0:
+                return t
+        raise ValidationError(
+            f"shard row count {rows_per_dev} is not lane-aligned for binscan"
+        )
+
+    def can_binscan(self, k: int = 10) -> bool:
+        """Bin-count / provenance-bit eligibility (kernels/binscan.py),
+        evaluated on the PER-SHARD row count."""
+        try:
+            t = self._binscan_tile()
+        except ValidationError:
+            return False
+        nt = self._rows_per_dev // t
+        n_lg = t // 128
+        tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
+        g3_bits = max(1, (n_lg - 1).bit_length())
+        return k <= t and tg_bits + g3_bits <= 13
+
+    def _binscan_body(self, k: int, reps: int | None):
+        from ..kernels.binscan import pallas_binned_scan
+
+        tile = self._binscan_tile()
+        rows_per_dev = self._rows_per_dev
+        interpret = jax.default_backend() != "tpu"
+        n_total = self.n
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q0, emb_local, sq_local, gid_local):
+            def one(q):
+                d2, local_ids = pallas_binned_scan(
+                    q, emb_local, sq_local, k, tile=tile, interpret=interpret
+                )
+                gids = gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)]
+                d2 = jnp.where(gids < 0, jnp.inf, d2)
+                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
+                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
+                return _merge_gathered(d2_all, ids_all)
+
+            if reps is None:
+                return one(q0)
+
+            def step(q, _):
+                d2, ids = one(q)
+                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+                return q0 + 0.0 * link, (d2, ids)
+
+            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+            return d2s[-1], idss[-1]
+
+        def call(queries):
+            q = np.asarray(queries, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != self.dim:
+                raise ValidationError(
+                    f"Query dimension mismatch: expected {self.dim}, got "
+                    f"{q.shape[1]}"
+                )
+            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+            d2, ids = jax.jit(run)(
+                qs, self.emb, self.emb_sq_pallas, self.gids
+            )
+            ids = np.asarray(ids)
+            d2 = np.asarray(d2)
+            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
+            return np.sqrt(d2), ids
+
+        return call
+
+    def search_binscan(
+        self, queries: np.ndarray, k: int, reps: int | None = None
+    ):
+        """Distributed fused binned-min full scan (``reps`` chains)."""
+        if not self.can_binscan(k):
+            raise ValidationError(
+                "binscan ineligible for this shard shape/k (bin and "
+                "provenance limits — kernels/binscan.py)"
+            )
+        return self._binscan_body(k, reps)(queries)
+
+    def _bincompact_cap(self, batch: int, nprobe: int, slack: float = 1.3):
+        """Static per-shard selected-tile budget for search_bincompact.
+
+        Every shard must run the same cap (SPMD); size it for the expected
+        probed-union coverage of the whole batch, divided across shards,
+        with ``slack`` headroom (under-capped tiles are the least-probed)."""
+        kc = max(self.index.n_clusters, 1)
+        tile = self.tile
+        nt_local = self._nt_local
+        draws = batch * nprobe
+        expected = kc * (1.0 - (1.0 - 1.0 / kc) ** draws)
+        n_dev = self.mesh.devices.size
+        tiles_per = (self.n / kc) / tile + 1.0
+        cap = int(min(nt_local, -(-expected * tiles_per * slack / n_dev // 1)))
+        return max(cap, 1)
+
+    def _bincompact_body(self, k: int, nprobe: int, reps: int | None, cap: int):
+        from ..kernels.binscan import pallas_binned_scan_select
+
+        if self.tc is None:
+            raise ValidationError(
+                "bincompact needs tile-aligned shards (rows_per_dev % tile)"
+            )
+        tile = self.tile
+        if k > tile:
+            raise ValidationError(f"bincompact requires k <= tile ({tile})")
+        cmax = self._cmax
+        rows_per_dev = self._rows_per_dev
+        nt_local = self._nt_local
+        kc = self.index.n_clusters
+        max_probe = self._max_probe_bucket(nprobe)
+        interpret = jax.default_backend() != "tpu"
+        n_total = self.n
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(), P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(q0, emb_local, sq_local, gid_local, tc_local, centroids, c_sq):
+            tc2 = tc_local.reshape(nt_local, cmax)
+
+            def one(q):
+                b = q.shape[0]
+                # Replicated probe -> per-cluster popularity counts.
+                c_scores = jnp.dot(
+                    q, centroids.T, preferred_element_type=jnp.float32
+                )
+                _, probe = jax.lax.top_k(
+                    -(c_sq[None, :] - 2.0 * c_scores), max_probe
+                )
+                in_probe = jnp.broadcast_to(
+                    jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
+                    (b, max_probe),
+                )
+                counts = jnp.zeros(kc + 1, jnp.int32).at[
+                    probe.reshape(-1)
+                ].add(in_probe.reshape(-1).astype(jnp.int32))
+                counts = counts.at[kc].set(0)
+                # LOCAL tile popularity via the shard's tile-cluster table
+                # (tc rows list each tile's unique clusters; sentinel kc).
+                tile_pop = counts[tc2].max(axis=1)
+                order = jnp.argsort(
+                    jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)),
+                    stable=True,
+                )
+                sel = order[:cap]
+                d2, local_ids = pallas_binned_scan_select(
+                    q, emb_local, sq_local, sel, k, tile=tile, cap=cap,
+                    interpret=interpret,
+                )
+                gids = gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)]
+                d2 = jnp.where(gids < 0, jnp.inf, d2)
+                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
+                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
+                return _merge_gathered(d2_all, ids_all)
+
+            if reps is None:
+                return one(q0)
+
+            def step(q, _):
+                d2, ids = one(q)
+                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+                return q0 + 0.0 * link, (d2, ids)
+
+            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+            return d2s[-1], idss[-1]
+
+        def call(queries):
+            q = np.asarray(queries, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != self.dim:
+                raise ValidationError(
+                    f"Query dimension mismatch: expected {self.dim}, got "
+                    f"{q.shape[1]}"
+                )
+            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
+            d2, ids = jax.jit(run)(
+                qs, self.emb, self.emb_sq_pallas, self.gids, self.tc,
+                self.centroids, self.c_sq,
+            )
+            ids = np.asarray(ids)
+            d2 = np.asarray(d2)
+            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
+            return np.sqrt(d2), ids
+
+        return call
+
+    def search_bincompact(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int,
+        reps: int | None = None,
+        cap: int | None = None,
+    ):
+        """Distributed probed-union selection + fused binned-min scan.
+
+        Candidate semantics match DeviceIvfSearcher mode="bincompact": the
+        batch's probed-tile union (popularity-capped per shard), streamed
+        through kernels/binscan.py once — no gather pass. Reference anchor:
+        probed-list search, /root/reference/src/ivf/search.rs:100-127.
+        """
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        q = np.asarray(queries)
+        b = q.shape[0] if q.ndim > 1 else 1
+        if cap is None:
+            cap = self._bincompact_cap(b, nprobe)
+        return self._bincompact_body(k, nprobe, reps, cap)(queries)
+
 
 # ----------------------------------------------------------------------
 # Cluster-axis probe fan-out (SURVEY §2 optional `cluster` mesh axis;

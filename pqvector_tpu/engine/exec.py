@@ -160,43 +160,55 @@ class VectorTopKExec(ExecutionPlan):
     def _try_resident(self, context: TaskContext) -> pa.Table | None:
         """Serve candidates from a session-cached HBM-resident searcher.
 
-        TPU serving extension: when the (single) scanned file has a resident
+        TPU serving extension: when every scanned file has a resident
         ``DeviceIvfSearcher`` (Session.device_searcher), candidate ids come
-        from a device IVF search over the same probe set instead of footer
+        from device IVF searches over the same probe sets instead of footer
         probing + candidate-page reads — the per-query I/O drops from
         O(nprobe * cluster) pages to the k winners. Results are IDENTICAL
-        to the host path: the device returns the distance top-k' of exactly
-        the rows the index child would emit, downstream fetch/filter/top-k
+        to the host path: the devices return the distance top-k' of exactly
+        the rows the index children would emit (multi-file sets merge to
+        the union top-k' by device distance), downstream fetch/filter/top-k
         is unchanged, and under a FilterExec the candidate count escalates
-        (k' x4) until k survivors or the probed set is exhausted; any parity
-        hazard (multi-file scan, max_candidates truncation, column or dim
-        mismatch) falls back to the host path. Returns None to fall back.
+        (k' x4) until k survivors or the probed sets are exhausted; any
+        parity hazard (missing searcher, max_candidates truncation, column
+        or dim mismatch) falls back to the host path. Returns None to fall
+        back.
         """
         if not context.resident or self.options.max_candidates is not None:
             return None
         scan = gather_single_parquet_scan(self.scan_plan)
-        if scan is None or len(scan.files) != 1:
+        if scan is None or not scan.files:
             return None
-        path = scan.files[0].object_path
-        searcher = context.resident.get(path)
-        if searcher is None:
-            return None
-        if getattr(searcher, "source_column", None) != self.vector_column:
-            return None
-        if searcher.metric != "l2":
-            return None  # engine distance semantics are (squared) L2
-        if searcher.dim != self.query.size:
-            return None  # host path skips the file (dim-mismatch semantics)
-        # Parity guards: the device must rank exactly what the host would.
-        # bf16 storage perturbs selection (~2^-8); a searcher built before a
-        # re-index/rewrite ranks against stale data.
+        # EVERY scanned file must have a fresh resident searcher (a partial
+        # set would change which files contribute candidates vs the host
+        # path). Per-file device top-k' sets are merged by distance into the
+        # union top-k' — identical candidates to a host index child probing
+        # each file, then pruned to the k' globally-nearest.
         import jax.numpy as _jnp
 
-        if searcher.emb.dtype != _jnp.float32:
-            return None
-        fkey = file_cache_key(path)
-        if fkey == STAT_FAILED or getattr(searcher, "source_key", None) != fkey:
-            return None
+        searchers: list[tuple[str, object]] = []
+        for file in scan.files:
+            path = file.object_path
+            searcher = context.resident.get(path)
+            if searcher is None:
+                return None
+            if getattr(searcher, "source_column", None) != self.vector_column:
+                return None
+            if searcher.metric != "l2":
+                return None  # engine distance semantics are (squared) L2
+            if searcher.dim != self.query.size:
+                return None  # host path skips the file (dim-mismatch)
+            # Parity guards: the device must rank exactly what the host
+            # would. bf16 storage perturbs selection (~2^-8); a searcher
+            # built before a re-index/rewrite ranks against stale data.
+            if searcher.emb.dtype != _jnp.float32:
+                return None
+            fkey = file_cache_key(path)
+            if fkey == STAT_FAILED or getattr(
+                searcher, "source_key", None
+            ) != fkey:
+                return None
+            searchers.append((path, searcher))
 
         from ..utils.profiling import stage
 
@@ -204,26 +216,53 @@ class VectorTopKExec(ExecutionPlan):
             isinstance(node, FilterExec) for node in _walk(self.scan_plan)
         )
         k_fetch = self.k if not has_filter else max(4 * self.k, self.k + 64)
-        k_cap = min(RESIDENT_K_CAP, searcher.n)
+        k_cap = min(RESIDENT_K_CAP, max(s.n for _, s in searchers))
         while True:
+            per_file: list[tuple[str, np.ndarray, np.ndarray]] = []
+            exhausted = True
+            total = 0
             k_eff = min(k_fetch, k_cap)
             with stage("vector_topk.resident.device_search"):
-                _, ids = searcher.search(
-                    self.query[None, :], k_eff, self.options.nprobe,
-                    mode="gather",
-                )
-                ids = np.asarray(ids)[0]
-            ids = ids[ids >= 0].astype(np.int64)
-            if ids.size == 0:
+                for path, searcher in searchers:
+                    k_f = min(k_eff, searcher.n)
+                    dist, ids = searcher.search(
+                        self.query[None, :], k_f, self.options.nprobe,
+                        mode="gather",
+                    )
+                    dist = np.asarray(dist)[0]
+                    ids = np.asarray(ids)[0]
+                    keep = ids >= 0
+                    dist, ids = dist[keep], ids[keep].astype(np.int64)
+                    exhausted &= ids.size < k_f or k_f >= searcher.n
+                    total += ids.size
+                    per_file.append((path, dist, ids))
+            if total == 0:
                 return None
-            exhausted = ids.size < k_eff or k_eff >= searcher.n
+            if len(per_file) == 1:
+                candidates = {per_file[0][0]: per_file[0][2]}
+            else:
+                # Union top-k_eff across files by device distance. When the
+                # probed sets are exhausted, keep the WHOLE union (the host
+                # path would emit every probed candidate).
+                all_d = np.concatenate([d for _, d, _ in per_file])
+                order = np.argsort(all_d, kind="stable")
+                if not exhausted:
+                    order = order[:k_eff]
+                sel = np.zeros(all_d.size, dtype=bool)
+                sel[order] = True
+                candidates = {}
+                off = 0
+                for path, d, ids in per_file:
+                    take = ids[sel[off : off + ids.size]]
+                    off += ids.size
+                    if take.size:
+                        candidates[path] = take
+                total = sum(v.size for v in candidates.values())
             with stage("vector_topk.resident.fetch_and_topk"):
-                file_entries = self._files_with_candidates(
-                    context, {path: ids}
-                )
+                file_entries = self._files_with_candidates(context, candidates)
                 table = self._execute_with_candidates(file_entries, context)
             if table.num_rows >= self.k or exhausted:
-                self._resident_candidates.add(ids.size)
+                self._resident_candidates.add(total)
                 return table
             if k_eff >= k_cap:
                 return None  # filter too selective for the device path

@@ -84,33 +84,38 @@ class Session:
         return DataFrame(self, parse_sql(query))
 
     def device_searcher(self, name: str, **kwargs):
-        """HBM-resident batched searcher for a registered single-file table
-        (TPU serving extension, BASELINE.md config 5). Cached per table."""
+        """HBM-resident batched searcher(s) for a registered table (TPU
+        serving extension, BASELINE.md config 5). Cached per (table, file).
+
+        Single-file tables return the searcher; multi-file tables build one
+        resident searcher PER file (the SQL resident path merges per-file
+        device top-k sets by distance — exec.py _try_resident) and return
+        the list. For a sharded single logical array, prefer
+        pqvector_tpu.dist.
+        """
         table = self._tables.get(name)
         if table is None:
             raise PlanError(f"Table '{name}' is not registered")
-        if len(table.paths) != 1:
-            raise PlanError(
-                "device_searcher currently supports single-file tables; use "
-                "pqvector_tpu.dist for sharded multi-file serving"
-            )
-        cache_key = (name, table.paths[0])
-        cached = self._searchers.get(cache_key)
-        if cached is not None:
-            from .physical import STAT_FAILED, file_cache_key
+        searchers = []
+        for path in table.paths:
+            cache_key = (name, path)
+            cached = self._searchers.get(cache_key)
+            if cached is not None:
+                from .physical import STAT_FAILED, file_cache_key
 
-            fkey = file_cache_key(table.paths[0])
-            if (
-                fkey == STAT_FAILED
-                or getattr(cached, "source_key", None) != fkey
-            ):
-                cached = None  # file re-indexed/rewritten (or unstatable): rebuild
-        if cached is None:
-            from ..query.device import DeviceIvfSearcher
+                fkey = file_cache_key(path)
+                if (
+                    fkey == STAT_FAILED
+                    or getattr(cached, "source_key", None) != fkey
+                ):
+                    cached = None  # re-indexed/rewritten/unstatable: rebuild
+            if cached is None:
+                from ..query.device import DeviceIvfSearcher
 
-            cached = DeviceIvfSearcher.from_parquet(table.paths[0], **kwargs)
-            self._searchers[cache_key] = cached
-        return cached
+                cached = DeviceIvfSearcher.from_parquet(path, **kwargs)
+                self._searchers[cache_key] = cached
+            searchers.append(cached)
+        return searchers[0] if len(searchers) == 1 else searchers
 
     def task_context(self) -> TaskContext:
         resident = {

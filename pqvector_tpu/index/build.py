@@ -36,12 +36,22 @@ class IvfBuildConfig:
     max_iters: int = 20
     seed: int = 42
     block_rows: int = 8192
+    #: Host->device wire dtype for the staged build ("float32" default;
+    #: "bfloat16" halves the tunnel-bound transfer bytes — the build's
+    #: dominant stage on remote-attached TPUs, measured ~50 MB/s — at the
+    #: cost of 2^-8 input rounding before training; all math stays f32 on
+    #: device and results remain deterministic for a given config).
+    transfer_dtype: str = "float32"
 
     def __post_init__(self) -> None:
         if self.max_iters <= 0:
             raise ValidationError("max_iters must be > 0")
         if self.n_clusters is not None and self.n_clusters <= 0:
             raise ValidationError("n_clusters must be > 0")
+        if self.transfer_dtype not in ("float32", "bfloat16"):
+            raise ValidationError(
+                "transfer_dtype must be 'float32' or 'bfloat16'"
+            )
 
 
 def build_ivf_index(
@@ -118,6 +128,11 @@ def build_ivf_index_staged(
     from .streaming import iter_embedding_batches
 
     config = config or IvfBuildConfig()
+    wire_bf16 = config.transfer_dtype == "bfloat16"
+    if wire_bf16:
+        import ml_dtypes
+
+        wire = ml_dtypes.bfloat16
     with stage("build.decode+transfer"):
         chunks = []
         rows = 0
@@ -127,11 +142,15 @@ def build_ivf_index_staged(
             if part.shape[1] != dim:
                 raise ValidationError("Inconsistent embedding dimensions")
             rows += len(part)
+            if wire_bf16:
+                part = part.astype(wire)  # half the tunnel bytes
             chunks.append(jax.device_put(part))  # async; overlaps next decode
         if rows == 0:
             raise ValidationError("Cannot build IVF index with zero vectors")
         x = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
         del chunks
+        if wire_bf16:
+            x = x.astype(jnp.float32)  # all training math stays f32
         if normalize:
             norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
             x = x / jnp.maximum(norms, 1e-30)

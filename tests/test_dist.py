@@ -200,3 +200,101 @@ def test_cluster_axis_loop_matches_single_call(data):
     dl, il = dist2.search_loop(queries, k=3, nprobe=2, reps=2)
     np.testing.assert_array_equal(il, i1)
     np.testing.assert_allclose(dl, d1, rtol=1e-5)
+
+
+def test_distributed_binscan_matches_exact(mesh, data):
+    """Distributed fused binned-min scan: with <=128 rows per shard each
+    shard is a single bin tile, so selection is collision-free and ids
+    match the distributed exact searcher exactly."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0))
+    rng = np.random.default_rng(4)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    exact = DistributedExactSearcher(data, mesh=mesh, row_tile=64)
+    de, ie = exact.search(queries, k=4)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=128)
+    assert dist.can_binscan(4)
+    db, ib = dist.search_binscan(queries, k=4)
+    np.testing.assert_array_equal(ib, ie)
+    np.testing.assert_allclose(db, de, rtol=1e-5, atol=1e-5)
+    dl, il = dist.search_binscan(queries, k=4, reps=2)
+    np.testing.assert_array_equal(il, ie)
+
+
+def test_distributed_binscan_multi_tile_recall():
+    """Multi-tile shards: binscan misses only on cross-tile bin collisions;
+    recall stays high and returned distances are exact re-scores."""
+    rng = np.random.default_rng(11)
+    n, d, k = 2048, 8, 5
+    data2 = rng.standard_normal((n, d)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(data2, d), IvfBuildConfig(n_clusters=8, seed=0)
+    )
+    mesh2 = make_mesh(2)
+    dist = DistributedIvfSearcher(index, data2, mesh=mesh2, tile=128)
+    assert dist._rows_per_dev // dist._binscan_tile() >= 2  # multi-tile
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    db, ib = dist.search_binscan(queries, k=k)
+    d2 = ((queries[:, None, :] - data2[None, :, :]) ** 2).sum(-1)
+    tids = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ib, tids)
+    )
+    assert hits / (len(queries) * k) >= 0.9
+    want = np.sqrt(((queries[:, None, :] - data2[ib]) ** 2).sum(-1))
+    np.testing.assert_allclose(db, want, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_bincompact_matches_fused(mesh, data):
+    """Full-cap bincompact covers every tile, so ids match the exact
+    searcher; the default popularity cap keeps recall on probed clusters."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
+    rng = np.random.default_rng(5)
+    queries = data[[10, 99, 230]]
+    exact = DistributedExactSearcher(data, mesh=mesh, row_tile=64)
+    de, ie = exact.search(queries, k=4)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=128)
+    db, ib = dist.search_bincompact(queries, k=4, nprobe=6, cap=dist._nt_local)
+    np.testing.assert_array_equal(ib, ie)
+    np.testing.assert_allclose(db, de, rtol=1e-5, atol=1e-5)
+    # Loop form agrees with the single call (default cap).
+    d1, i1 = dist.search_bincompact(queries, k=4, nprobe=3)
+    dl, il = dist.search_bincompact(queries, k=4, nprobe=3, reps=2)
+    np.testing.assert_array_equal(il, i1)
+    np.testing.assert_allclose(dl, d1, rtol=1e-5)
+
+
+def test_distributed_bincompact_probe_selection():
+    """With a tight cap, bincompact returns rows from probed clusters (the
+    popularity selection keeps the batch's hot tiles)."""
+    rng = np.random.default_rng(12)
+    n, d, k = 2048, 8, 4
+    centers = rng.uniform(-8, 8, (8, d)).astype(np.float32)
+    lab = rng.integers(0, 8, n)
+    data2 = (centers[lab] + 0.1 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    index = build_ivf_index(
+        Embeddings(data2, d), IvfBuildConfig(n_clusters=8, seed=0)
+    )
+    mesh2 = make_mesh(2)
+    dist = DistributedIvfSearcher(index, data2, mesh=mesh2, tile=128)
+    qrows = rng.integers(0, n, 16)
+    queries = (
+        data2[qrows] + 0.02 * rng.standard_normal((16, d))
+    ).astype(np.float32)
+    single_ref = build_single_reference(index, data2, queries, k)
+    db, ib = dist.search_bincompact(queries, k=k, nprobe=2)
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(ib, single_ref)
+    )
+    assert hits / (len(queries) * k) >= 0.9
+    assert float((ib[:, 0] == qrows).mean()) >= 0.9
+
+
+def build_single_reference(index, data2, queries, k):
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    single = DeviceIvfSearcher(index, data2, row_tile=128)
+    _, ids = single.search(queries, k, nprobe=2)
+    return np.asarray(ids)

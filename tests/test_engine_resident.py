@@ -125,3 +125,101 @@ def test_filter_escalation_reaches_exhaustion(indexed):
     ids_res, _ = _run(res, sql)
     assert ids_res == ids_host
     assert len(ids_res) <= 2
+
+
+# ----------------------------------------------------------------------
+# Multi-file resident serving: per-file device top-k sets merged by
+# distance must EQUAL the host path's union semantics.
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def indexed_pair(tmp_path_factory):
+    root = tmp_path_factory.mktemp("resident_multi")
+    import pyarrow as _pa
+
+    rng = np.random.default_rng(9)
+    paths, xs = [], []
+    for i, n in enumerate((300, 200)):
+        x = rng.standard_normal((n, 8)).astype(np.float32)
+        flat = _pa.array(x.reshape(-1), _pa.float32())
+        offsets = _pa.array(np.arange(n + 1, dtype=np.int32) * 8)
+        table = _pa.table(
+            {
+                "id": _pa.array(np.arange(n) + 1000 * i),
+                "vec": _pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+        p = str(root / f"f{i}.parquet")
+        pq.write_table(table, p, row_group_size=64)
+        IndexBuilder(p, "vec").n_clusters(6).build_inplace()
+        paths.append(p)
+        xs.append(x)
+    return paths, xs
+
+
+@pytest.mark.parametrize(
+    "where", ["", "WHERE id >= 1000", "WHERE id < 3 OR id >= 1150"]
+)
+def test_multifile_resident_matches_host(indexed_pair, where):
+    paths, xs = indexed_pair
+    q = xs[1][7]  # nearest neighbors live in file 1
+    qs = ", ".join(f"{v:.6f}" for v in q)
+    sql = (
+        f"SELECT id FROM t {where} "
+        f"ORDER BY array_distance(vec, [{qs}]) LIMIT 6"
+    )
+    host = Session(VectorTopKOptions(nprobe=4))
+    host.register_parquet("t", paths)
+    res = Session(VectorTopKOptions(nprobe=4))
+    res.register_parquet("t", paths)
+    searchers = res.device_searcher("t")
+    assert isinstance(searchers, list) and len(searchers) == 2
+    ids_host, _ = _run(host, sql)
+    ids_res, df = _run(res, sql)
+    assert ids_res == ids_host
+    # The resident path actually served it (device counter non-zero).
+    plan = df.physical_plan()
+
+    def find(node):
+        if node.name == "VectorTopKExec":
+            return node
+        for c in node.children():
+            got = find(c)
+            if got is not None:
+                return got
+        return None
+
+    topk = find(plan)
+    assert topk is not None
+    assert topk.metrics.value("resident_candidates") > 0
+
+
+def test_multifile_resident_partial_searchers_fall_back(indexed_pair):
+    """Only one of two files resident -> host path (results still equal)."""
+    paths, xs = indexed_pair
+    q = xs[0][0]
+    qs = ", ".join(f"{v:.6f}" for v in q)
+    sql = f"SELECT id FROM t ORDER BY array_distance(vec, [{qs}]) LIMIT 5"
+    host = Session(VectorTopKOptions(nprobe=4))
+    host.register_parquet("t", paths)
+    res = Session(VectorTopKOptions(nprobe=4))
+    res.register_parquet("t", paths)
+    res.register_parquet("t0", paths[0])
+    res.device_searcher("t0")  # resident entry for file 0 only
+    ids_host, _ = _run(host, sql)
+    ids_res, df = _run(res, sql)
+    assert ids_res == ids_host
+
+    plan = df.physical_plan()
+
+    def find(node):
+        if node.name == "VectorTopKExec":
+            return node
+        for c in node.children():
+            got = find(c)
+            if got is not None:
+                return got
+        return None
+
+    assert find(plan).metrics.value("resident_candidates") == 0

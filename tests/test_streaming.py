@@ -93,3 +93,58 @@ def test_builder_streaming_mode(tmp_path):
         assert index.total_rows == 800
         got = np.sort(np.concatenate(index.inverted_lists()))
         np.testing.assert_array_equal(got, np.arange(800))
+
+
+def test_bf16_transfer_build_matches_f32_quality(tmp_path):
+    """transfer_dtype="bfloat16" ships half the bytes; the index must stay
+    structurally valid and cluster ~identically to the f32-wire build (only
+    2^-8 input rounding separates them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pqvector_tpu.builder import IndexBuilder
+    from pqvector_tpu.errors import ValidationError
+    from pqvector_tpu.index.build import IvfBuildConfig
+
+    rng = np.random.default_rng(33)
+    n, d = 3000, 16
+    centers = rng.uniform(-4, 4, (8, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 8, n)]
+         + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    flat = pa.array(x.reshape(-1), pa.float32())
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    table = pa.table(
+        {"id": pa.array(np.arange(n)),
+         "vec": pa.ListArray.from_arrays(offsets, flat)}
+    )
+    paths = []
+    for name in ("f32.parquet", "bf16.parquet"):
+        p = str(tmp_path / name)
+        pq.write_table(table, p)
+        paths.append(p)
+
+    idx_f32 = IndexBuilder(paths[0], "vec").n_clusters(8).seed(3).build_inplace()
+    idx_bf16 = (
+        IndexBuilder(paths[1], "vec").n_clusters(8).seed(3)
+        .transfer_dtype("bfloat16").build_inplace()
+    )
+    assert idx_bf16.n_clusters == 8
+    assert idx_bf16.total_rows == n
+    # Same clustering structure up to label permutation: compare
+    # co-assignment agreement on a row sample.
+    def row_labels(idx):
+        lab = np.empty(n, np.int64)
+        for c in range(idx.n_clusters):
+            lab[idx.cluster_rows(c)] = c
+        return lab
+
+    a, b = row_labels(idx_f32), row_labels(idx_bf16)
+    sample = rng.integers(0, n, (500, 2))
+    same_a = a[sample[:, 0]] == a[sample[:, 1]]
+    same_b = b[sample[:, 0]] == b[sample[:, 1]]
+    assert (same_a == same_b).mean() >= 0.98
+
+    with pytest.raises(ValidationError, match="transfer_dtype"):
+        IvfBuildConfig(transfer_dtype="float16")
+    with pytest.raises(ValidationError, match="transfer dtype"):
+        IndexBuilder(paths[0], "vec").transfer_dtype("int8")
