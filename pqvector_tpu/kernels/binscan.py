@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_topk import _refine
+from .scan_topk import _refine, score_precision
 
 _POS_INF = 3.0e38
 
@@ -63,56 +63,80 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _binscan_body(t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits):
+def _binscan_body(
+    t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits, expand=1
+):
     # q is pre-scaled by -2 on the host, so with the query norm added back
     # part = |q|^2 - 2*q.x + |x|^2 = TRUE squared distance. The query-norm
     # term is rank-neutral per query but REQUIRED here: the bitcast key
     # order only matches float order for non-negative values, and
     # |x|^2 - 2*q.x alone goes negative whenever a candidate sits closer
     # than the query's own norm (regression-pinned in tests/test_binscan.py).
-    scores = jnp.dot(q, emb_t.T, preferred_element_type=jnp.float32)
+    # f32 inputs must multiply at HIGHEST precision: Precision.DEFAULT
+    # truncates f32 operands to one bf16 MXU pass, and on tightly clustered
+    # data that score error exceeds the neighbor spacing — bin selection
+    # picks wrong rows BEFORE the exact re-score (measured on-chip:
+    # recall@10 0.80 on 32-cluster blobs vs 1.0 in interpret mode). bf16
+    # storage is unaffected (bf16 x bf16 -> f32 accumulate is exact-input).
+    scores = jnp.dot(
+        q, emb_t.T, preferred_element_type=jnp.float32,
+        precision=score_precision(q.dtype, emb_t.dtype),
+    )
     part = (scores + sq_t) + qsq[:, :1]  # [bt,tile] + [1,tile] + [bt,1]
     hi_mask = jnp.int32(~((1 << code_bits) - 1))
     tg = t // n_lg
+    # Bin expansion: rows additionally spread across `expand` slab blocks by
+    # tile-group index (tg % expand) — bins = expand * tile at the SAME
+    # per-element op count; collisions drop ~1/expand. Every tile touches
+    # all n_lg slabs of its block exactly once, so block e's slabs are all
+    # first-touched by tile t == e * n_lg: init exactly there (the caller
+    # guarantees nt >= expand * n_lg so every block is touched).
+    blk = jax.lax.rem(tg, expand) * n_lg if expand > 1 else 0
+    is_first = (
+        jnp.logical_and(tg < expand, jax.lax.rem(t, n_lg) == 0)
+        if expand > 1
+        else t == 0
+    )
     for g3 in range(n_lg):
         sl = part[:, g3 * 128 : (g3 + 1) * 128]  # [bt, 128] (static slice)
         bits = jax.lax.bitcast_convert_type(sl, jnp.int32)
         keys = (bits & hi_mask) | ((g3 << tg_bits) + tg)
-        slab = jax.lax.rem(t + g3, n_lg)
+        slab = jax.lax.rem(t + g3, n_lg) + blk
         idx = (pl.dslice(slab, 1), slice(None), slice(None))
 
-        @pl.when(t == 0)
+        @pl.when(is_first)
         def _init():
             out_ref[idx] = keys[None]
 
-        @pl.when(t != 0)
+        @pl.when(jnp.logical_not(is_first))
         def _acc():
             out_ref[idx] = jnp.minimum(out_ref[idx], keys[None])
 
 
 def _binscan_kernel(
-    q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits, code_bits
+    q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits, code_bits,
+    expand,
 ):
     _binscan_body(
         pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[:], sq_ref[0],
-        out_ref, n_lg, tg_bits, code_bits,
+        out_ref, n_lg, tg_bits, code_bits, expand,
     )
 
 
 def _binscan_select_kernel(
     sel_ref, q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits,
-    code_bits,
+    code_bits, expand,
 ):
     # Identical math; `t` is the COMPACTED tile slot (the grid position),
     # and the emb/sq blocks were fetched at sel[t] by the index maps.
     _binscan_body(
         pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[0], sq_ref[0],
-        out_ref, n_lg, tg_bits, code_bits,
+        out_ref, n_lg, tg_bits, code_bits, expand,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile", "b_tile", "interpret")
+    jax.jit, static_argnames=("k", "tile", "b_tile", "expand", "interpret")
 )
 def pallas_binned_scan(
     q: jnp.ndarray,  # [B, d] f32
@@ -121,13 +145,16 @@ def pallas_binned_scan(
     k: int,
     tile: int = 1024,
     b_tile: int = 512,
+    expand: int = 1,
     interpret: bool = False,
 ):
     """Exact brute-force top-k via the fused binned-min scan.
 
     Returns (squared distances [B, k], ids [B, k]) — exact values (winners
     re-scored in f32); selection misses only on cross-tile bin collisions
-    (~k/L per pair) like the ApproxTopK path's recall_target.
+    (~k/(expand*L) per pair) like the ApproxTopK path's recall_target.
+    ``expand`` spreads rows over expand*tile bins (same op count, bigger
+    VMEM accumulator); requires nt >= expand * (tile/128).
     """
     n_pad, d = emb.shape
     b = q.shape[0]
@@ -135,7 +162,11 @@ def pallas_binned_scan(
         raise ValueError(f"n_pad={n_pad} must be a multiple of tile={tile}")
     nt = n_pad // tile
     n_lg = tile // 128
-    l_bins = tile  # n_lg slabs x 128 lanes
+    if expand < 1 or (expand > 1 and nt < expand * n_lg):
+        raise ValueError(
+            f"expand={expand} needs nt >= expand*n_lg ({nt} < {expand * n_lg})"
+        )
+    l_bins = expand * tile  # expand * n_lg slabs x 128 lanes
     if k > l_bins:
         raise ValueError(f"binscan requires k <= {l_bins} bins (got k={k})")
     tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
@@ -161,9 +192,10 @@ def pallas_binned_scan(
 
     keys = pl.pallas_call(
         functools.partial(
-            _binscan_kernel, n_lg=n_lg, tg_bits=tg_bits, code_bits=code_bits
+            _binscan_kernel, n_lg=n_lg, tg_bits=tg_bits,
+            code_bits=code_bits, expand=expand,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_lg, bp, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((expand * n_lg, bp, 128), jnp.int32),
         grid=(bp // bt, nt),
         in_specs=[
             pl.BlockSpec((bt, d), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
@@ -176,7 +208,9 @@ def pallas_binned_scan(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (n_lg, bt, 128), lambda bq, t: (0, bq, 0), memory_space=pltpu.VMEM
+            (expand * n_lg, bt, 128),
+            lambda bq, t: (0, bq, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(qs, qsq2, emb, sq2)
@@ -192,18 +226,22 @@ def _merge_bins(q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel):
     top_k over the L bin columns of int keys; bitwise_not is a strictly
     decreasing int map (no -INT_MIN overflow), so max-of-~keys equals
     min-of-keys. ``sel`` maps compacted tile slots back to global tiles
-    (None for the full scan).
+    (None for the full scan). ``keys`` may carry expand*n_lg slabs (bin
+    expansion); the block index (slab // n_lg) is redundant with the
+    provenance code's tg (it equals tg % expand), so the decode only
+    needs the within-block slab.
     """
     bp = keys.shape[1]
-    kf = min(2 * k, n_lg * 128)
-    flat = jnp.swapaxes(keys, 0, 1).reshape(bp, n_lg * 128)
+    n_slabs = keys.shape[0]  # expand * n_lg
+    kf = min(2 * k, n_slabs * 128)
+    flat = jnp.swapaxes(keys, 0, 1).reshape(bp, n_slabs * 128)
     nk, bins = jax.lax.top_k(jnp.bitwise_not(flat), kf)
     key = jnp.bitwise_not(nk)
     code = key & ((1 << code_bits) - 1)
     tg = code & ((1 << tg_bits) - 1)
     g3 = code >> tg_bits
-    slab = bins // 128
-    lane = bins - slab * 128
+    slab = jnp.mod(bins // 128, n_lg)  # within-block slab
+    lane = bins - (bins // 128) * 128
     t_row = tg * n_lg + jnp.mod(slab - g3, n_lg)
     if sel is not None:
         t_row = sel[t_row]
@@ -216,7 +254,8 @@ def _merge_bins(q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile", "cap", "b_tile", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile", "cap", "b_tile", "expand", "interpret"),
 )
 def pallas_binned_scan_select(
     q: jnp.ndarray,  # [B, d] f32
@@ -227,6 +266,7 @@ def pallas_binned_scan_select(
     tile: int = 2048,
     cap: int | None = None,
     b_tile: int = 512,
+    expand: int = 1,
     interpret: bool = False,
 ):
     """Binned-min scan over SELECTED row tiles (probed-union IVF serving).
@@ -249,8 +289,14 @@ def pallas_binned_scan_select(
         raise ValueError(f"n_pad={n_pad} must be a multiple of tile={tile}")
     nt = n_pad // tile
     n_lg = tile // 128
-    if k > tile:
-        raise ValueError(f"binscan requires k <= {tile} bins (got k={k})")
+    if expand < 1 or (expand > 1 and cap < expand * n_lg):
+        raise ValueError(
+            f"expand={expand} needs cap >= expand*n_lg ({cap} < {expand * n_lg})"
+        )
+    if k > expand * tile:
+        raise ValueError(
+            f"binscan requires k <= {expand * tile} bins (got k={k})"
+        )
     tg_bits = max(1, ((cap - 1) // n_lg).bit_length())
     g3_bits = max(1, (n_lg - 1).bit_length())
     code_bits = tg_bits + g3_bits
@@ -282,7 +328,7 @@ def pallas_binned_scan_select(
             pl.BlockSpec((1, 1, tile), lambda bq, t, s: (s[t], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (n_lg, bt, 128), lambda bq, t, s: (0, bq, 0)
+            (expand * n_lg, bt, 128), lambda bq, t, s: (0, bq, 0)
         ),
     )
     keys = pl.pallas_call(
@@ -291,9 +337,10 @@ def pallas_binned_scan_select(
             n_lg=n_lg,
             tg_bits=tg_bits,
             code_bits=code_bits,
+            expand=expand,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_lg, bp, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((expand * n_lg, bp, 128), jnp.int32),
         interpret=interpret,
     )(sel, qs, qsq2, emb3, sq2)
     return _merge_bins(

@@ -25,6 +25,26 @@ _NEG_INF = -3.0e38
 _POS_INF = 3.0e38
 
 
+def score_precision(*dtypes):
+    """MXU precision for selection-score matmuls.
+
+    TPU ``Precision.DEFAULT`` truncates f32 operands to ONE bf16 pass; the
+    resulting score error scales with |q||x| and on tightly clustered data
+    exceeds the neighbor spacing, so argmin/bin/ApproxTopK *selection* picks
+    wrong rows before any exact re-score can save them (measured on-chip:
+    binscan recall@10 0.80 and XLA scan 0.59 on 32-cluster blobs vs 1.0 in
+    interpret/CPU — the same failure CLAUDE.md records for bf16 *scores*).
+    f32 operands therefore multiply at HIGHEST. bf16 operands keep DEFAULT:
+    the MXU multiplies bf16 natively with f32 accumulation, so the only
+    error is the storage quantization the caller already chose.
+    """
+    return (
+        jax.lax.Precision.HIGHEST
+        if all(jnp.dtype(d) == jnp.float32 for d in dtypes)
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _extract_topk(partial: jnp.ndarray, base: jnp.ndarray, k: int):
     """Tile-local top-k by iterative min extraction (k small).
 
@@ -55,7 +75,8 @@ def _extract_topk(partial: jnp.ndarray, base: jnp.ndarray, k: int):
 def _scan_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref, *, k, tile):
     i = pl.program_id(0)
     scores = jnp.dot(
-        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32,
+        precision=score_precision(q_ref.dtype, emb_ref.dtype),
     )  # [B, T]
     partial = sq_ref[0] - 2.0 * scores  # sq block is [1, 1, tile] -> [1, T]
     d, idx = _extract_topk(partial, i * tile, k)
@@ -68,7 +89,8 @@ def _masked_scan_kernel(
 ):
     i = pl.program_id(0)
     scores = jnp.dot(
-        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32,
+        precision=score_precision(q_ref.dtype, emb_ref.dtype),
     )  # [B, T]
     partial = sq_ref[0] - 2.0 * scores  # sq block is [1, 1, tile] -> [1, T]
     # probed[b, t] = mask[b, cl[t]] via one-hot matmul (no dynamic gather).
@@ -114,7 +136,8 @@ def _masked_local_scan_kernel(
     """
     i = pl.program_id(0)
     scores = jnp.dot(
-        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], emb_ref[:].T, preferred_element_type=jnp.float32,
+        precision=score_precision(q_ref.dtype, emb_ref.dtype),
     )  # [B, T]
     partial = sq_ref[0] - 2.0 * scores
     onehot_l = (

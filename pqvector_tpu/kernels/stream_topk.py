@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_topk import _refine
+from .scan_topk import _refine, score_precision
 
 _NEG_INF = -3.0e38
 _POS_INF = 3.0e38
@@ -166,7 +166,8 @@ def _exact_kernel(q_ref, emb_ref, sq_ref, out_d_ref, out_i_ref,
     # the subsequent broadcast).
     for f in range(subtiles):
         scores = jnp.dot(
-            q_ref[:], emb_ref[0, f].T, preferred_element_type=jnp.float32
+            q_ref[:], emb_ref[0, f].T, preferred_element_type=jnp.float32,
+            precision=score_precision(q_ref.dtype, emb_ref.dtype),
         )  # [B, T]
         partial = sq_ref[0, f] - 2.0 * scores  # [1, T] - [B, T]
         _merge_tile(partial, (i * subtiles + f) * tile, acc_d, acc_i, k)
@@ -192,7 +193,9 @@ def _masked_kernel(sched_ref, q_ref, emb_ref, sq_ref, lcl_ref, tc_ref,
         tile_idx = sched_ref[1 + i]
         for f in range(subtiles):
             scores = jnp.dot(
-                q_ref[:], emb_ref[0, f].T, preferred_element_type=jnp.float32
+                q_ref[:], emb_ref[0, f].T,
+                preferred_element_type=jnp.float32,
+                precision=score_precision(q_ref.dtype, emb_ref.dtype),
             )
             partial = sq_ref[0, f] - 2.0 * scores  # [1, T] - [B, T]
             # Local probe mask, built on the MXU from resident operands (no

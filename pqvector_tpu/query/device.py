@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import ValidationError
+from ..kernels.scan_topk import score_precision
 from ..index.ivf import IvfIndex
 from ..io.embed import read_index_from_parquet
 from ..io.reader import read_embedding_column
@@ -76,7 +77,10 @@ def _exact_topk_impl(
     def step(carry, inputs):
         best_d, best_i = carry
         ti, (xt, x2t) = inputs
-        scores = jnp.dot(qf, xt.T, preferred_element_type=jnp.float32)  # [B, T]
+        scores = jnp.dot(
+            qf, xt.T, preferred_element_type=jnp.float32,
+            precision=score_precision(qf.dtype, xt.dtype),
+        )  # [B, T]
         partial = x2t[None, :] - 2.0 * scores
         ids = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         all_d = jnp.concatenate([best_d, partial], axis=1)
@@ -127,7 +131,8 @@ def _ivf_topk_impl(
         best_d, best_i = carry
         xt = emb[ids_t]  # [B, tile, d] gather
         scores = jnp.einsum(
-            "bd,btd->bt", qf, xt, preferred_element_type=jnp.float32
+            "bd,btd->bt", qf, xt, preferred_element_type=jnp.float32,
+            precision=score_precision(qf.dtype, xt.dtype),
         )
         partial = emb_sq[ids_t] - 2.0 * scores
         all_d = jnp.concatenate([best_d, partial], axis=1)
@@ -228,7 +233,10 @@ def _exact_approx_topk_impl(
     k_fetch = k if k <= 32 else 2 * k
 
     def chunk_topk(x, x2, base):
-        scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
+        scores = jnp.dot(
+            qf, x.T, preferred_element_type=score_dtype,
+            precision=score_precision(qf.dtype, x.dtype, score_dtype),
+        )
         partial = (x2[None, :] - 2.0 * scores.astype(jnp.float32)).astype(
             score_dtype
         )
@@ -267,7 +275,10 @@ def _ivf_approx_masked_impl(
     k_fetch = k if k <= 32 else 2 * k  # see _exact_approx_topk_impl
 
     def chunk_topk(x, x2, cl, base):
-        scores = jnp.dot(qf, x.T, preferred_element_type=score_dtype)
+        scores = jnp.dot(
+            qf, x.T, preferred_element_type=score_dtype,
+            precision=score_precision(qf.dtype, x.dtype, score_dtype),
+        )
         partial = (x2[None, :] - 2.0 * scores.astype(jnp.float32)).astype(
             score_dtype
         )
@@ -342,6 +353,7 @@ def _ivf_compact_bin_impl(
     tile_lo: jnp.ndarray | None = None,
     tile_hi: jnp.ndarray | None = None,
     max_cluster_tiles: int = 0,
+    expand: int = 1,
 ):
     """IVF via probed-union selection + fused binned-min scan IN PLACE.
 
@@ -360,7 +372,7 @@ def _ivf_compact_bin_impl(
         cap_tiles, tile_lo, tile_hi, max_cluster_tiles, emb.shape[0],
     )
     return pallas_binned_scan_select(
-        q, emb, emb_sq, sel, k, tile=ctile, cap=cap_tiles,
+        q, emb, emb_sq, sel, k, tile=ctile, cap=cap_tiles, expand=expand,
         interpret=interpret,
     )
 
@@ -467,7 +479,10 @@ def _ivf_masked_scan_impl(
     def step(carry, inputs):
         best_d, best_i = carry
         ti, (xt, x2t, ct) = inputs
-        scores = jnp.dot(qf, xt.T, preferred_element_type=jnp.float32)
+        scores = jnp.dot(
+            qf, xt.T, preferred_element_type=jnp.float32,
+            precision=score_precision(qf.dtype, xt.dtype),
+        )
         partial = x2t[None, :] - 2.0 * scores
         probed = jnp.take(mask, ct, axis=1)  # [B, T]
         partial = jnp.where(probed, partial, jnp.inf)
@@ -727,12 +742,14 @@ class DeviceIvfSearcher:
         elif mode == "binscan":
             from ..kernels.binscan import pallas_binned_scan
 
+            bt_ = self._binscan_tile()
             d2, ids = pallas_binned_scan(
                 q,
                 self.emb,
                 self._pallas_emb_sq(),
                 k,
-                tile=self._binscan_tile(),
+                tile=bt_,
+                expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
             )
         else:
@@ -953,6 +970,7 @@ class DeviceIvfSearcher:
                 tile_lo=tlo,
                 tile_hi=thi,
                 max_cluster_tiles=span,
+                expand=self._binscan_expand(ctile_b, cap=cap_b),
             )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
@@ -973,12 +991,14 @@ class DeviceIvfSearcher:
             # PartialReduce pass (the measured B=4096 MFU limiter).
             from ..kernels.binscan import pallas_binned_scan
 
+            bt_ = self._binscan_tile()
             d2, ids = pallas_binned_scan(
                 q,
                 self.emb,
                 self._pallas_emb_sq(),
                 k,
-                tile=self._binscan_tile(),
+                tile=bt_,
+                expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "gather":
@@ -1110,8 +1130,14 @@ class DeviceIvfSearcher:
         )
         active = np.unique(probe)
         n_pad = int(self.emb.shape[0])
-        for ctile in (1024, 2048, 512):
+        # Prefer the LARGEST eligible tile: bins = ctile, and cross-tile
+        # bin collisions are the mode's only recall loss (measured at
+        # DEEP-10M B=256: 0.9477 recall at ctile=1024 vs compact's 0.9805
+        # same-probe selection) — 2048 bins halve the collision rate.
+        for ctile in (2048, 1024, 512):
             if n_pad % ctile or k > ctile:
+                continue
+            if not self._binscan_vmem_ok(ctile):
                 continue
             nt = n_pad // ctile
             lo_j, hi_j, _ = self._compact_tile_ranges(ctile)
@@ -1147,8 +1173,14 @@ class DeviceIvfSearcher:
         kc = max(self.index.n_clusters, 1)
         draws = batch * nprobe
         expected = kc * (1.0 - (1.0 - 1.0 / kc) ** draws)
-        for ctile in (1024, 2048, 512):
+        # Prefer the LARGEST eligible tile: bins = ctile, and cross-tile
+        # bin collisions are the mode's only recall loss (measured at
+        # DEEP-10M B=256: 0.9477 recall at ctile=1024 vs compact's 0.9805
+        # same-probe selection) — 2048 bins halve the collision rate.
+        for ctile in (2048, 1024, 512):
             if n_pad % ctile or k > ctile:
+                continue
+            if not self._binscan_vmem_ok(ctile):
                 continue
             nt = n_pad // ctile
             tiles_per = (self.n / kc) / ctile + 1.0
@@ -1348,6 +1380,13 @@ class DeviceIvfSearcher:
             use_binscan=use_binscan,
             use_bincompact=use_bincompact,
             binscan_tile=self._binscan_tile() if use_binscan else 0,
+            bin_expand=(
+                self._binscan_expand(self._binscan_tile())
+                if use_binscan
+                else self._binscan_expand(ctile, cap=cap_tiles)
+                if use_bincompact
+                else 1
+            ),
             ctile=ctile,
             cap_tiles=cap_tiles,
             tile_lo=tlo,
@@ -1385,6 +1424,10 @@ class DeviceIvfSearcher:
             use_approx=use_approx,
             use_binscan=use_binscan,
             binscan_tile=self._binscan_tile() if use_binscan else 0,
+            bin_expand=(
+                self._binscan_expand(self._binscan_tile())
+                if use_binscan else 1
+            ),
             chunk=self._approx_chunk(k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
@@ -1422,16 +1465,45 @@ class DeviceIvfSearcher:
             return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
+    def _binscan_vmem_ok(
+        self, tile: int, b_tile: int = 512, expand: int = 1
+    ) -> bool:
+        """Whether the binscan kernel's VMEM working set fits scoped vmem
+        at this row tile: double-buffered emb block + the
+        (expand*n_lg, bt, 128) i32 bin accumulator + query block, against a
+        conservative 12 MB budget (the 16 MB scoped-vmem lesson from the
+        stream kernels)."""
+        d = int(self.emb.shape[1])
+        esize = jnp.dtype(self.emb.dtype).itemsize
+        emb_block = 2 * tile * d * esize  # double-buffered
+        acc = expand * (tile // 128) * b_tile * 128 * 4
+        q_block = b_tile * d * esize + b_tile * 128 * 4
+        return emb_block + acc + q_block <= 12 * 2**20
+
+    def _binscan_expand(self, tile: int, cap: int | None = None) -> int:
+        """Largest bin-expansion factor (kernels/binscan.py ``expand``):
+        bins = expand*tile at unchanged per-element op count, so cross-tile
+        bin collisions — the mode's only recall loss — drop ~1/expand.
+        Bounded by the tile count (or the compacted cap) needing to cover
+        every slab block, and by the scoped-VMEM accumulator budget."""
+        n_lg = tile // 128
+        nt = int(self.emb.shape[0]) // tile if cap is None else int(cap)
+        for e in (4, 2):
+            if nt >= e * n_lg and self._binscan_vmem_ok(tile, expand=e):
+                return e
+        return 1
+
     def _binscan_tile(self) -> int:
-        """Largest lane-aligned row tile (<=1024) dividing the padded rows.
+        """Largest lane-aligned row tile dividing the padded rows whose
+        working set fits scoped VMEM (dim-scaled — see _binscan_vmem_ok).
 
         The binscan kernel's bin count equals the tile, so bigger is better
-        for recall; 1024 keeps the provenance code within 10 bits at 1M rows
-        (see kernels/binscan.py).
+        for recall (cross-tile bin collisions are the only selection loss);
+        provenance-bit eligibility is checked separately in can_binscan.
         """
         n_pad = int(self.emb.shape[0])
-        for t in (1024, 512, 256, 128):
-            if n_pad % t == 0:
+        for t in (2048, 1024, 512, 256, 128):
+            if n_pad % t == 0 and self._binscan_vmem_ok(t):
                 return t
         raise ValidationError(
             f"padded row count {n_pad} is not lane-aligned for binscan"
@@ -1472,7 +1544,7 @@ import functools as _functools
     static_argnames=(
         "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
         "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
-        "use_bincompact", "binscan_tile", "ctile",
+        "use_bincompact", "binscan_tile", "bin_expand", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret",
     ),
@@ -1483,7 +1555,7 @@ def _masked_pallas_loop(
     use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
-    use_bincompact=False,
+    use_bincompact=False, bin_expand=1,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -1493,14 +1565,15 @@ def _masked_pallas_loop(
             from ..kernels.binscan import pallas_binned_scan
 
             return pallas_binned_scan(
-                q, emb, emb_sq, k=k, tile=binscan_tile, interpret=interpret
+                q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
+                interpret=interpret,
             )
         if use_bincompact:
             return _ivf_compact_bin_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, ctile=ctile, cap_tiles=cap_tiles,
                 interpret=interpret, tile_lo=tile_lo, tile_hi=tile_hi,
-                max_cluster_tiles=max_cluster_tiles,
+                max_cluster_tiles=max_cluster_tiles, expand=bin_expand,
             )
         if use_compact:
             return _ivf_compact_approx_impl(
@@ -1559,12 +1632,12 @@ def _masked_pallas_loop(
     jax.jit,
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
-                     "use_binscan", "binscan_tile"),
+                     "use_binscan", "binscan_tile", "bin_expand"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
-    binscan_tile=0,
+    binscan_tile=0, bin_expand=1,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -1573,7 +1646,8 @@ def _exact_pallas_loop(
     def step(q, _):
         if use_binscan:
             d2, ids = pallas_binned_scan(
-                q, emb, emb_sq, k=k, tile=binscan_tile, interpret=interpret
+                q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
+                interpret=interpret,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -1611,7 +1685,7 @@ _ivf_compact_bin = jax.jit(
     _ivf_compact_bin_impl,
     static_argnames=(
         "k", "max_probe", "ctile", "cap_tiles", "interpret",
-        "max_cluster_tiles",
+        "max_cluster_tiles", "expand",
     ),
 )
 _ivf_masked_scan = jax.jit(

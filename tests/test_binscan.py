@@ -95,6 +95,48 @@ def test_binscan_batch_padding_and_small_tile():
     assert hits / (b * k) >= 0.95
 
 
+def test_binscan_expand_provenance_and_recall():
+    # expand=2 spreads rows over 2*tile bins (tg%expand picks the slab
+    # block); provenance decode must ignore the block index and planted
+    # queries must still come back exactly. Recall should be >= expand=1
+    # (collision rate roughly halves).
+    rng = np.random.default_rng(11)
+    n, d, b, k, tile = 6000, 64, 48, 10, 512
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    e, sq = _pad(emb, tile)
+    rows = np.arange(3, n, 47)[:48]
+    q = emb[rows].copy()
+    d2, ids = pallas_binned_scan(
+        q, e, sq, 1, tile=tile, expand=2, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], rows)
+    assert np.all(np.asarray(d2)[:, 0] < 1e-3)
+    q2 = rng.standard_normal((b, d)).astype(np.float32)
+    _, tids = _true_topk(q2, emb, k)
+    res = {}
+    for ex in (1, 2):
+        _, ids = pallas_binned_scan(
+            q2, e, sq, k, tile=tile, expand=ex, interpret=INTERPRET
+        )
+        ids = np.asarray(ids)
+        res[ex] = sum(
+            len(set(a.tolist()) & set(bb.tolist()))
+            for a, bb in zip(ids, tids)
+        ) / (b * k)
+    assert res[2] >= 0.95 and res[2] >= res[1] - 0.02
+
+
+def test_binscan_expand_needs_enough_tiles():
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((1500, 16)).astype(np.float32)
+    e, sq = _pad(emb, 512)  # nt=4 < expand*n_lg=8
+    with pytest.raises(ValueError, match="expand"):
+        pallas_binned_scan(
+            np.zeros((4, 16), np.float32), e, sq, 4, tile=512, expand=2,
+            interpret=INTERPRET,
+        )
+
+
 def test_binscan_k_exceeding_bins_rejected():
     rng = np.random.default_rng(3)
     emb = rng.standard_normal((100, 8)).astype(np.float32)
@@ -169,6 +211,35 @@ def test_binned_scan_select_matches_subset_truth():
     np.testing.assert_allclose(d2, want, rtol=1e-5, atol=1e-4)
 
 
+def test_binscan_select_expand_subset_and_provenance():
+    # expand=2 on the SELECT path: ids must stay within the selected
+    # tiles and planted rows decode exactly (block index is redundant
+    # with tg%expand — _merge_bins must drop it).
+    from pqvector_tpu.kernels.binscan import pallas_binned_scan_select
+
+    rng = np.random.default_rng(13)
+    n, d, k, tile = 9000, 32, 5, 512
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    e, sq = _pad(emb, tile)
+    sel = np.array([0, 3, 7, 11, 2, 5, 9, 13, 1], np.int32)  # cap=9 >= 2*4
+    rows = np.concatenate(
+        [np.arange(t * tile, (t + 1) * tile) for t in sel]
+    )
+    rows = rows[rows < n]
+    planted = rows[::97][:24]
+    q = emb[planted].copy()
+    d2, ids = pallas_binned_scan_select(
+        q, e, sq, sel, k, tile=tile, expand=2, interpret=INTERPRET
+    )
+    ids = np.asarray(ids)
+    np.testing.assert_array_equal(ids[:, 0], planted)
+    assert set(np.unique(ids)).issubset(set(rows.tolist()))
+    with pytest.raises(ValueError, match="expand"):
+        pallas_binned_scan_select(
+            q, e, sq, sel[:4], k, tile=tile, expand=2, interpret=INTERPRET
+        )
+
+
 def test_bincompact_mode_recall_and_probe_semantics():
     from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
     from pqvector_tpu.query.device import DeviceIvfSearcher
@@ -238,7 +309,7 @@ def test_calibrate_bincompact_measured_cap():
     from pqvector_tpu.query.device import DeviceIvfSearcher
 
     rng = np.random.default_rng(10)
-    n, d, b, k = 6000, 16, 8, 5
+    n, d, b, k = 24000, 16, 8, 5
     centers = rng.uniform(-6, 6, (24, d)).astype(np.float32)
     emb = (centers[rng.integers(0, 24, n)]
            + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
