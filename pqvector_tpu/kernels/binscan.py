@@ -63,6 +63,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def binscan_b_tile(
+    tile: int,
+    d: int,
+    esize: int,
+    expand: int = 1,
+    budget: int = 12 * 2**20,
+) -> int:
+    """Largest query-block size whose VMEM working set fits scoped vmem.
+
+    Mosaic double-buffers BOTH the streamed emb block and the bin
+    accumulator output block, so each is charged twice (measured on-chip:
+    expand=2 tile=2048 bt=512 OOMs at 17.02M — exactly 2x the 8.39 MB
+    accumulator — while the single-buffered model predicted 9.8 MB).
+    Returns 0 if even bt=8 does not fit (tile too large for this dim).
+    """
+    emb_block = 2 * tile * d * esize
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        acc = 2 * expand * (tile // 128) * bt * 128 * 4
+        q_block = bt * d * esize + bt * 128 * 4
+        if emb_block + acc + q_block <= budget:
+            return bt
+    return 0
+
+
 def _binscan_body(
     t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits, expand=1
 ):
@@ -178,7 +202,12 @@ def pallas_binned_scan(
             f"({code_bits} provenance bits); chunk the scan or raise tile"
         )
 
-    bt = min(b_tile, _round_up(b, 8))
+    fit = binscan_b_tile(tile, d, jnp.dtype(emb.dtype).itemsize, expand)
+    if not fit:
+        raise ValueError(
+            f"binscan tile={tile} d={d} expand={expand} exceeds scoped vmem"
+        )
+    bt = min(b_tile, fit, _round_up(b, 8))
     bp = _round_up(b, bt)
     qs = (-2.0 * q).astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
@@ -306,7 +335,12 @@ def pallas_binned_scan_select(
             f"({code_bits} provenance bits); raise tile or lower the cap"
         )
 
-    bt = min(b_tile, _round_up(b, 8))
+    fit = binscan_b_tile(tile, d, jnp.dtype(emb.dtype).itemsize, expand)
+    if not fit:
+        raise ValueError(
+            f"binscan tile={tile} d={d} expand={expand} exceeds scoped vmem"
+        )
+    bt = min(b_tile, fit, _round_up(b, 8))
     bp = _round_up(b, bt)
     qs = (-2.0 * q).astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)

@@ -1465,20 +1465,18 @@ class DeviceIvfSearcher:
             return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
-    def _binscan_vmem_ok(
-        self, tile: int, b_tile: int = 512, expand: int = 1
-    ) -> bool:
+    def _binscan_vmem_ok(self, tile: int, expand: int = 1) -> bool:
         """Whether the binscan kernel's VMEM working set fits scoped vmem
-        at this row tile: double-buffered emb block + the
-        (expand*n_lg, bt, 128) i32 bin accumulator + query block, against a
-        conservative 12 MB budget (the 16 MB scoped-vmem lesson from the
-        stream kernels)."""
+        at this row tile with a query block of at least 256 (the kernel
+        re-streams the full array once per query block, so smaller blocks
+        multiply HBM traffic — kernels/binscan.py binscan_b_tile models
+        the double-buffered emb + bin-accumulator blocks, the charge that
+        OOMed expand=2/tile=2048/bt=512 on-chip at 17.02M)."""
+        from ..kernels.binscan import binscan_b_tile
+
         d = int(self.emb.shape[1])
         esize = jnp.dtype(self.emb.dtype).itemsize
-        emb_block = 2 * tile * d * esize  # double-buffered
-        acc = expand * (tile // 128) * b_tile * 128 * 4
-        q_block = b_tile * d * esize + b_tile * 128 * 4
-        return emb_block + acc + q_block <= 12 * 2**20
+        return binscan_b_tile(tile, d, esize, expand) >= 256
 
     def _binscan_expand(self, tile: int, cap: int | None = None) -> int:
         """Largest bin-expansion factor (kernels/binscan.py ``expand``):

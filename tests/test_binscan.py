@@ -338,3 +338,40 @@ def test_calibrate_bincompact_measured_cap():
     # Clearing the calibration restores the formula path.
     s._bincompact_calibrated = None
     assert s._compact_bin_params(b, 2, k) != (0, 0)
+
+
+def test_binscan_b_tile_vmem_model():
+    """Regression: the bin-accumulator out block is double-buffered by
+    Mosaic (measured on-chip OOM: expand=2, tile=2048, d=128 bf16 at
+    bt=512 allocates 17.02M > the 16M scoped-vmem limit), so expand=2
+    must drop the query block to 256 and large-dim f32 tiles must shrink
+    further."""
+    from pqvector_tpu.kernels.binscan import binscan_b_tile
+
+    assert binscan_b_tile(2048, 128, 2, expand=1) == 512
+    assert binscan_b_tile(2048, 128, 2, expand=2) == 256
+    assert binscan_b_tile(2048, 128, 2, expand=4) == 128
+    # d=1024 f32: tile=2048 emb block alone (16.8M) exceeds the budget.
+    assert binscan_b_tile(2048, 1024, 4) == 0
+    assert binscan_b_tile(1024, 1024, 4) == 256
+
+
+def test_binscan_expand_respects_vmem():
+    """The searcher only picks an expansion whose accumulator still fits
+    with a >=256 query block (on-chip B=4096 compile failed before this
+    guard accounted for Mosaic's output double-buffering)."""
+    from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    rng = np.random.default_rng(11)
+    n, d = 1 << 16, 128
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(emb, d), IvfBuildConfig(n_clusters=16, seed=0)
+    )
+    s = DeviceIvfSearcher(index, emb, row_tile=2048, cluster_sorted=True)
+    t = s._binscan_tile()
+    e = s._binscan_expand(t)
+    from pqvector_tpu.kernels.binscan import binscan_b_tile
+
+    assert binscan_b_tile(t, d, 4, expand=e) >= 256
