@@ -279,6 +279,25 @@ def main():
     else:
         searcher = truth_searcher
 
+    # The nprobe-free full-scan modes (scan, binscan) ignore the cluster
+    # structure entirely, so they serve from the ORIGINAL row order: on a
+    # cluster-sorted layout ApproxTopK's contiguous input segments collide
+    # (measured recall@10 ~0.94 vs ~1.0 unsorted against the precise f32
+    # ground truth — docs/PERFORMANCE.md), and binscan's only loss is
+    # random cross-tile bin collisions either way.
+    scan_searcher = searcher
+    if args.mode in ("auto", "scan", "binscan"):
+        scan_searcher = DeviceIvfSearcher(
+            index,
+            emb,
+            row_tile=4096,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            cluster_sorted=False,
+        )
+
+    def mode_searcher(mode):
+        return scan_searcher if mode in ("scan", "binscan") else searcher
+
     # 4. nprobe sweep until recall target ----------------------------
     # Masked-scan mode: the whole sweep shares one compiled executable
     # (nprobe is a traced scalar), and batch-size-256 throughput beats the
@@ -342,9 +361,10 @@ def main():
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
+        s_m = mode_searcher(mode)
 
         def loop(q, r):
-            return searcher.search_loop(q, args.k, chosen, reps=r, mode=mode)
+            return s_m.search_loop(q, args.k, chosen, reps=r, mode=mode)
 
         # Warm with the SAME reps as the timed calls: `reps` is a static
         # argument, so a different warm-up value leaves the timed executable
@@ -376,7 +396,7 @@ def main():
             ) >= 0.6:
                 log("mode=compact skipped (probed union covers most tiles)")
                 continue
-            if mode == "binscan" and not searcher.can_binscan(args.k):
+            if mode == "binscan" and not scan_searcher.can_binscan(args.k):
                 log("mode=binscan skipped (bin/provenance limits)")
                 continue
             if mode == "bincompact" and searcher.bincompact_coverage(
@@ -385,7 +405,9 @@ def main():
                 log("mode=bincompact skipped (ineligible or ~full coverage)")
                 continue
             if mode in ("approx", "compact", "scan", "binscan", "bincompact"):
-                _, ids_m = searcher.search(queries, args.k, chosen, mode=mode)
+                _, ids_m = mode_searcher(mode).search(
+                    queries, args.k, chosen, mode=mode
+                )
                 r_m = recall_at_k(truth_ids, np.asarray(ids_m))
                 if r_m < args.recall_target:
                     log(f"mode={mode} recall {r_m:.4f} < target; excluded")

@@ -225,12 +225,16 @@ def _exact_approx_topk_impl(
     halve it at a ~2^-8 relative selection perturbation (winners are still
     re-scored in f32).
 
-    Large k over-fetch: approx_min_k's recall_target does not hold at large
-    k (measured 0.77-0.82 recall@100 at rt=0.99 on 1M rows); fetching 2k
-    and keeping the best k after exact re-scoring recovers it.
+    Over-fetch: approx_min_k's recall_target does not hold tightly at
+    either end — 0.77-0.82 recall@100 at rt=0.99 on 1M rows (large k),
+    and ~0.95 recall@10 at rt=0.99 measured against a full-precision f32
+    ground truth (small k: two true winners sharing one PartialReduce
+    block lose one). Fetching max(4k, 64) at small k / 2k at large k and
+    keeping the best k after exact re-scoring recovers it; the widened
+    reduction output is noise next to the scan itself.
     """
     qf = q.astype(emb.dtype)
-    k_fetch = k if k <= 32 else 2 * k
+    k_fetch = max(4 * k, 64) if k <= 32 else 2 * k
 
     def chunk_topk(x, x2, base):
         scores = jnp.dot(
@@ -272,7 +276,7 @@ def _ivf_approx_masked_impl(
     mask = jnp.zeros((b, kc + 1), jnp.bool_)
     mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
     big = jnp.array(jnp.inf, score_dtype)  # bf16 has inf; survives the merge
-    k_fetch = k if k <= 32 else 2 * k  # see _exact_approx_topk_impl
+    k_fetch = max(4 * k, 64) if k <= 32 else 2 * k  # see _exact_approx_topk_impl
 
     def chunk_topk(x, x2, cl, base):
         scores = jnp.dot(
