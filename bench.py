@@ -504,7 +504,7 @@ def main():
     peak_flops, peak_bw = device_peaks(jax)
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
-    if best_mode.split("@")[0] in ("scan", "approx"):
+    if best_mode.split("@")[0] in ("scan", "approx", "binscan"):
         result.update(
             roofline(qps, head_batch, args.rows, args.dim, elem_bytes,
                      peak_flops, peak_bw)
@@ -520,9 +520,11 @@ def main():
             b: roofline(v, int(b), args.rows, args.dim, elem_bytes,
                         peak_flops, peak_bw)["mfu"]
             for b, v in batch_qps.items()
-            if batch_mode.get(b) in ("scan", "approx")
+            if batch_mode.get(b) in ("scan", "approx", "binscan")
         }
-        ivf_only = {m: v for m, v in mode_qps.items() if m != "scan"}
+        ivf_only = {
+            m: v for m, v in mode_qps.items() if m not in ("scan", "binscan")
+        }
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)
     except NameError:
