@@ -145,11 +145,18 @@ def roofline(qps: float, batch: int, rows: int, dim: int, elem_bytes: int,
     }
 
 
-def _device_watchdog(jax, timeout_s: float = 300.0) -> None:
-    """Fail fast (exit 3) if the device cannot run a trivial op.
+def _device_watchdog(
+    jax, timeout_s: float = 300.0, max_wait_s: float = 1800.0
+) -> None:
+    """Wait out a wedged device, then fail fast (exit 3) if it never wakes.
 
-    A hung TPU runtime otherwise blocks forever on the first dispatch and
-    the whole benchmark run with it.
+    The tunneled chip alternates healthy windows with multi-minute outages,
+    and a dispatch issued during an outage usually completes once the window
+    returns (measured: a first probe blocked 213 s then succeeded). So the
+    probe waits up to ``max_wait_s`` with progress logs every ``timeout_s``
+    before giving up — a hung runtime otherwise blocks the first real
+    dispatch forever, but aborting at the first stall would kill runs that
+    only needed to outlast the weather.
     """
     import threading
 
@@ -166,12 +173,20 @@ def _device_watchdog(jax, timeout_s: float = 300.0) -> None:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
+    waited = 0.0
+    while not done.wait(timeout_s):
+        waited += timeout_s
+        if waited >= max_wait_s:
+            log(
+                f"FATAL: device unresponsive after {waited:.0f}s "
+                f"(backend={jax.default_backend()}); aborting benchmark"
+            )
+            os._exit(3)
         log(
-            f"FATAL: device unresponsive after {timeout_s:.0f}s "
-            f"(backend={jax.default_backend()}); aborting benchmark"
+            f"device unresponsive for {waited:.0f}s "
+            f"(backend={jax.default_backend()}); waiting for a healthy "
+            f"window (up to {max_wait_s:.0f}s)"
         )
-        os._exit(3)
 
 
 def main():
