@@ -145,6 +145,42 @@ def roofline(qps: float, batch: int, rows: int, dim: int, elem_bytes: int,
     }
 
 
+def measure_floor_qps(jax, searcher, qb: "np.ndarray", budget_s=4.0) -> float:
+    """Raw matmul+min loop over the resident array: the hardware floor for
+    any full-scan serving mode at this batch size.
+
+    Reported alongside the headline because tunnel windows vary ~3x in
+    delivered matmul throughput (8.25 vs ~40 ms/batch measured at B=4096,
+    1M x 128) — the floor tells a degraded window apart from a code
+    regression. Arrays are passed as jit args (never closed over: big
+    constants ship in the remote-compile body)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def floor_loop(q0, e, s, reps):
+        def step(carry, _):
+            qf = (q0 + carry).astype(e.dtype)
+            scores = jnp.dot(qf, e.T, preferred_element_type=jnp.float32)
+            m = jnp.min(s[None, :] - 2.0 * scores, axis=1)
+            return 0.0 * m[0], m[:1]
+
+        _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+        return ys[-1]
+
+    q = jnp.asarray(qb)
+    sq = searcher._pallas_emb_sq()  # finite pad (inf would poison the min)
+    reps = 25
+    np.asarray(floor_loop(q, searcher.emb, sq, reps))  # compile + warm
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_s and n < 16 * reps:
+        np.asarray(floor_loop(q, searcher.emb, sq, reps))
+        n += reps
+    return n * qb.shape[0] / (time.perf_counter() - t0)
+
+
 def _device_watchdog(
     jax, timeout_s: float = 300.0, max_wait_s: float = 1800.0
 ) -> None:
@@ -486,6 +522,18 @@ def main():
                     if bq[best_b] > qps:
                         best_mode, qps = f"{best_b}@b{big_b}", bq[best_b]
         log(f"headline QPS: {qps:.0f} ({best_mode})")
+        floor_qps = floor_batch = None
+        if not args.smoke:
+            rng_f = np.random.default_rng(17)
+            floor_batch = min(4096, args.rows)
+            fq = emb[rng_f.integers(0, args.rows, floor_batch)].astype(
+                np.float32
+            )
+            floor_qps = measure_floor_qps(jax, scan_searcher, fq)
+            log(
+                f"window floor (matmul+min @ B={floor_batch}): "
+                f"{floor_qps:.0f} QPS"
+            )
     else:  # gather/masked: one dispatch per batch
         ivf_loop = lambda q, r: _repeat_dispatch(
             lambda qq: searcher.search(qq, args.k, chosen, mode=args.mode), q, r
@@ -529,6 +577,12 @@ def main():
             f" HBM {result['hbm_gbps']} GB/s ({result['hbm_frac']:.1%})"
         )
     try:
+        if floor_qps:
+            result["floor_qps"] = round(floor_qps, 1)
+            result["floor_mfu"] = roofline(
+                floor_qps, floor_batch, args.rows, args.dim, elem_bytes,
+                peak_flops, peak_bw
+            )["mfu"]
         result["b256_qps"] = round(qps256, 1)
         result["batch_qps"] = batch_qps
         result["batch_mfu"] = {

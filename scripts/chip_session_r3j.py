@@ -1,0 +1,108 @@
+"""Chip session J: decompose the scan-mode gap against the healthy floor.
+
+bench run 5 measured floor (matmul+min) = 579k QPS / 75.3% MFU in the
+SAME window where scan@4096 ran 148k (20%) — the window is healthy, the
+serving path is slow. Ladder: floor -> +approx_min_k at k_fetch in
+{10, 32, 64} -> +refine (full mode) to find where the time goes, and
+whether the new small-k over-fetch (kf=64) is the main regression.
+
+Run SOLO: bash scripts/tpu_run.sh scripts/chip_session_r3j.py 1800
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+t00 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-t00:7.1f}s] == {m}", flush=True)
+
+
+import numpy as np
+import jax
+
+
+def watchdog(timeout_s=240.0):
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones((8, 128)) + 1.0)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        log(f"FATAL: device unresponsive after {timeout_s:.0f}s")
+        os._exit(3)
+
+
+watchdog()
+log(f"device alive ({jax.devices()})")
+
+import jax.numpy as jnp
+from pqvector_tpu.io.embed import read_index_from_parquet
+from pqvector_tpu.io.reader import read_embedding_column
+from pqvector_tpu.query.device import DeviceIvfSearcher
+
+path = "/root/repo/data/bench_1000000x128.parquet"
+index, col = read_index_from_parquet(path)
+emb_np = read_embedding_column(path, col).data
+rng = np.random.default_rng(3)
+B = 4096
+q_np = (emb_np[rng.integers(0, len(emb_np), B)]
+        + 0.05 * rng.standard_normal((B, 128))).astype(np.float32)
+s = DeviceIvfSearcher(index, emb_np, row_tile=4096, dtype=jnp.bfloat16)
+emb, sq = s.emb, s._pallas_emb_sq()
+q = jnp.asarray(q_np)
+del emb_np
+log("resident (bf16, orig order)")
+
+REPS = 25
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "kind", "kf", "rt"))
+def ladder(q0, e, s_, reps, kind, kf=10, rt=0.99):
+    def step(carry, _):
+        qf = (q0 + carry).astype(e.dtype)
+        scores = jnp.dot(qf, e.T, preferred_element_type=jnp.float32)
+        part = s_[None, :] - 2.0 * scores
+        if kind == "min":
+            m = jnp.min(part, axis=1)
+            return 0.0 * m[0], m[:1]
+        vals, idx = jax.lax.approx_min_k(part, kf, recall_target=rt)
+        return 0.0 * vals[0, 0], vals[:1, :1]
+
+    _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+    return ys[-1]
+
+
+def timeit(tag, fn, budget_s=5.0):
+    np.asarray(fn())
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_s and n < 8 * REPS:
+        np.asarray(fn())
+        n += REPS
+    dt = (time.perf_counter() - t0) / n
+    mfu = 2.0 * 1e6 * 128 * B / dt / 197e12
+    log(f"{tag}: {dt*1e3:.2f} ms/batch  {B/dt:.0f} QPS  ({mfu:.1%} bf16 peak)")
+    return dt
+
+
+timeit("floor matmul+min        ", lambda: ladder(q, emb, sq, REPS, "min"))
+for kf in (10, 32, 64):
+    timeit(f"matmul+approx kf={kf:<3} rt=.99",
+           lambda kf=kf: ladder(q, emb, sq, REPS, "approx", kf, 0.99))
+timeit("matmul+approx kf=64 rt=.95",
+       lambda: ladder(q, emb, sq, REPS, "approx", 64, 0.95))
+timeit("full scan mode (kf=64)  ",
+       lambda: s.search_loop(q, 10, 4, reps=REPS, mode="scan")[1])
+timeit("full binscan mode       ",
+       lambda: s.search_loop(q, 10, 4, reps=REPS, mode="binscan")[1])
+log("session complete")
