@@ -209,6 +209,7 @@ def _exact_approx_topk_impl(
     chunk: int,
     recall_target: float,
     score_dtype=jnp.float32,
+    overfetch: int = 0,
 ):
     """Exact scan with hardware ApproxTopK extraction.
 
@@ -234,7 +235,10 @@ def _exact_approx_topk_impl(
     reduction output is noise next to the scan itself.
     """
     qf = q.astype(emb.dtype)
-    k_fetch = max(4 * k, 64) if k <= 32 else 2 * k
+    if overfetch:  # explicit serving knob (DeviceIvfSearcher.scan_overfetch)
+        k_fetch = max(k, overfetch)
+    else:
+        k_fetch = max(4 * k, 64) if k <= 32 else 2 * k
 
     def chunk_topk(x, x2, base):
         scores = jnp.dot(
@@ -264,6 +268,7 @@ def _ivf_approx_masked_impl(
     chunk: int,
     recall_target: float,
     score_dtype=jnp.float32,
+    overfetch: int = 0,
 ):
     """Masked IVF scan with ApproxTopK extraction (see _exact_approx_topk)."""
     b = q.shape[0]
@@ -276,7 +281,10 @@ def _ivf_approx_masked_impl(
     mask = jnp.zeros((b, kc + 1), jnp.bool_)
     mask = mask.at[jnp.arange(b)[:, None], probe].max(in_probe)
     big = jnp.array(jnp.inf, score_dtype)  # bf16 has inf; survives the merge
-    k_fetch = max(4 * k, 64) if k <= 32 else 2 * k  # see _exact_approx_topk_impl
+    if overfetch:  # see _exact_approx_topk_impl
+        k_fetch = max(k, overfetch)
+    else:
+        k_fetch = max(4 * k, 64) if k <= 32 else 2 * k
 
     def chunk_topk(x, x2, cl, base):
         scores = jnp.dot(
@@ -562,6 +570,11 @@ class DeviceIvfSearcher:
         # dominates at large B; bfloat16 halves that traffic at a ~2^-8
         # relative selection perturbation (winners are re-scored in f32).
         self.approx_score_dtype = jnp.float32
+        # Explicit ApproxTopK fetch width (0 = policy: max(4k, 64) at small
+        # k, 2k at large k). A serving knob: wider = higher selection
+        # recall, narrower = faster extraction (the PartialReduce cost
+        # scales with the fetch width — docs/PERFORMANCE.md).
+        self.scan_overfetch = 0
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -742,6 +755,7 @@ class DeviceIvfSearcher:
                 chunk=self._approx_chunk(k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
             )
         elif mode == "binscan":
             from ..kernels.binscan import pallas_binned_scan
@@ -916,6 +930,7 @@ class DeviceIvfSearcher:
                 chunk=self._approx_chunk(masked=True, k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
             )
         elif mode == "compact":
             # Probed-union tile compaction + hardware extraction: reads only
@@ -987,6 +1002,7 @@ class DeviceIvfSearcher:
                 chunk=self._approx_chunk(k=k),
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
             )
         elif mode == "binscan":
             # Serving mode: fused binned-min full scan (kernels/binscan.py),
@@ -1399,6 +1415,9 @@ class DeviceIvfSearcher:
             chunk=chunk,
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
+            # Scoped to the ApproxTopK modes so flipping the knob doesn't
+            # invalidate the compiled executables of modes that ignore it.
+            overfetch=self.scan_overfetch if (use_scan or use_approx) else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
@@ -1435,6 +1454,7 @@ class DeviceIvfSearcher:
             chunk=self._approx_chunk(k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
+            overfetch=self.scan_overfetch if use_approx else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )
@@ -1548,7 +1568,7 @@ import functools as _functools
         "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
         "use_bincompact", "binscan_tile", "bin_expand", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
-        "score_dtype", "subtiles", "interpret",
+        "score_dtype", "subtiles", "interpret", "overfetch",
     ),
 )
 def _masked_pallas_loop(
@@ -1557,7 +1577,7 @@ def _masked_pallas_loop(
     use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
-    use_bincompact=False, bin_expand=1,
+    use_bincompact=False, bin_expand=1, overfetch=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -1595,12 +1615,14 @@ def _masked_pallas_loop(
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
+                overfetch=overfetch,
             )
         if use_approx:
             return _ivf_approx_masked_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
+                overfetch=overfetch,
             )
         if use_stream:
             return pallas_stream_masked_topk(
@@ -1634,12 +1656,12 @@ def _masked_pallas_loop(
     jax.jit,
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
-                     "use_binscan", "binscan_tile", "bin_expand"),
+                     "use_binscan", "binscan_tile", "bin_expand", "overfetch"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
-    binscan_tile=0, bin_expand=1,
+    binscan_tile=0, bin_expand=1, overfetch=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -1655,6 +1677,7 @@ def _exact_pallas_loop(
             d2, ids = _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
+                overfetch=overfetch,
             )
         elif use_stream:
             d2, ids = pallas_stream_exact_topk(
@@ -1673,7 +1696,7 @@ def _exact_pallas_loop(
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
 _exact_approx_topk = jax.jit(
     _exact_approx_topk_impl,
-    static_argnames=("k", "chunk", "recall_target", "score_dtype"),
+    static_argnames=("k", "chunk", "recall_target", "score_dtype", "overfetch"),
 )
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(
@@ -1695,5 +1718,7 @@ _ivf_masked_scan = jax.jit(
 )
 _ivf_approx_masked = jax.jit(
     _ivf_approx_masked_impl,
-    static_argnames=("k", "max_probe", "chunk", "recall_target", "score_dtype"),
+    static_argnames=(
+        "k", "max_probe", "chunk", "recall_target", "score_dtype", "overfetch"
+    ),
 )

@@ -105,4 +105,30 @@ timeit("full scan mode (kf=64)  ",
        lambda: s.search_loop(q, 10, 4, reps=REPS, mode="scan")[1])
 timeit("full binscan mode       ",
        lambda: s.search_loop(q, 10, 4, reps=REPS, mode="binscan")[1])
+
+# ---- recall + QPS vs explicit fetch width (scan_overfetch knob) ----
+# Truth = exact selection on the SAME bf16 array, isolating the
+# extraction's selection loss from storage rounding.
+_, tids = s.exact(q[:512], 10)
+tids = np.asarray(tids)
+
+
+def recall(ids):
+    return sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(np.asarray(ids)[:512], tids)
+    ) / 5120.0
+
+
+for kf in (16, 32, 48, 64):
+    s.scan_overfetch = kf
+    _, ids = s.search(q_np[:512], 10, 4, mode="scan")
+    r = recall(ids)
+    dt = timeit(f"scan kf={kf:<3}            ",
+                lambda: s.search_loop(q, 10, 4, reps=REPS, mode="scan")[1])
+    log(f"  scan kf={kf}: recall@10(bf16-exact)={r:.4f}")
+s.scan_overfetch = 48
+_, ids = s.search(q_np[:512], 10, 8, mode="approx")
+log(f"  approx kf=48 nprobe=8: recall@10(bf16-exact)={recall(ids):.4f}")
+s.scan_overfetch = 0
 log("session complete")

@@ -283,6 +283,27 @@ def test_scan_mode_matches_exact(setup):
     np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
 
 
+def test_scan_overfetch_knob(setup):
+    """scan_overfetch overrides the ApproxTopK fetch-width policy; results
+    stay exact on CPU for any width >= k, and widths < k clamp to k."""
+    x, _, searcher, queries = setup
+    de, ie = searcher.exact(queries, k=5)
+    try:
+        for kf in (3, 8, 40):  # below-k clamps to k; others widen
+            searcher.scan_overfetch = kf
+            _, i1 = searcher.search(queries, k=5, nprobe=1, mode="scan")
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(ie))
+            _, i2 = searcher.search(queries, k=5, nprobe=3, mode="approx")
+            _, im = searcher.search(queries, k=5, nprobe=3)
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(im))
+            _, il = searcher.search_loop(
+                queries, k=5, nprobe=1, reps=2, mode="scan"
+            )
+            np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+    finally:
+        searcher.scan_overfetch = 0
+
+
 def test_exact_loop_approx_mode(setup):
     x, _, searcher, queries = setup
     de, ie = searcher.exact(queries, k=5)
