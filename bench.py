@@ -429,8 +429,8 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto", "stream", "pallas", "approx", "scan", "binscan",
-                     "bincompact"):
+    if args.mode in ("auto", "stream", "pallas", "approx", "compact", "scan",
+                     "binscan", "bincompact"):
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe

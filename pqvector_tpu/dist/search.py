@@ -23,6 +23,15 @@ from ..query.device import _exact_topk_impl, _ivf_topk_impl, _round_up
 from .mesh import DATA_AXIS, make_mesh
 
 
+def _max_probe_bucket(nprobe: int, n_clusters: int) -> int:
+    """Power-of-two probe bucket (bounded recompiles as nprobe varies),
+    floored at min(128, n_clusters) and capped at n_clusters."""
+    max_probe = 1
+    while max_probe < nprobe:
+        max_probe *= 2
+    return min(max(max_probe, min(128, n_clusters)), n_clusters)
+
+
 def _merge_gathered(best_d, best_i):
     """[n_dev, B, k] gathered results -> final [B, k]."""
     n_dev, b, k = best_d.shape
@@ -32,6 +41,72 @@ def _merge_gathered(best_d, best_i):
     return jnp.take_along_axis(all_d, order, axis=1), jnp.take_along_axis(
         all_i, order, axis=1
     )
+
+
+def _shard_search_body(
+    searcher, shard_fn, operands, specs, rows_local, reps,
+    gather_axes=DATA_AXIS,
+):
+    """shard_map skeleton shared by every distributed search body.
+
+    Per-shard kernel -> global-id map -> all-gather fan-in -> merged top-k,
+    with optional ``reps``-chaining (the timing API: each chained search
+    depends on the last result, so materializing the output proves all reps
+    executed) and the query-validating host wrapper.
+
+    ``shard_fn(q, *locals) -> (d2, local_ids)`` runs on ONE shard.
+    ``operands`` are its shard arguments with the global-id map first;
+    ``specs`` their PartitionSpecs; ``rows_local`` bounds the local-id clip.
+    """
+    mesh, dim, n_total = searcher.mesh, searcher.dim, searcher.n
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q0, gid_local, *rest):
+        def one(q):
+            d2, local_ids = shard_fn(q, *rest)
+            gids = jnp.where(
+                local_ids >= 0,
+                gid_local[jnp.clip(local_ids, 0, rows_local - 1)],
+                -1,
+            )
+            d2 = jnp.where(gids < 0, jnp.inf, d2)
+            d2_all = jax.lax.all_gather(d2, gather_axes)
+            ids_all = jax.lax.all_gather(gids, gather_axes)
+            return _merge_gathered(d2_all, ids_all)
+
+        if reps is None:
+            return one(q0)
+
+        def step(q, _):
+            d2, ids = one(q)
+            link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+            return q0 + 0.0 * link, (d2, ids)
+
+        _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+        return d2s[-1], idss[-1]
+
+    def call(queries):
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != dim:
+            raise ValidationError(
+                f"Query dimension mismatch: expected {dim}, got {q.shape[1]}"
+            )
+        qs = jax.device_put(q, NamedSharding(mesh, P()))
+        d2, ids = jax.jit(run)(qs, *operands)
+        ids = np.asarray(ids)
+        d2 = np.asarray(d2)
+        ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
+        return np.sqrt(d2), ids
+
+    return call
 
 
 class DistributedExactSearcher:
@@ -267,13 +342,7 @@ class DistributedIvfSearcher:
     # ------------------------------------------------------------------
 
     def _max_probe_bucket(self, nprobe: int) -> int:
-        max_probe = 1
-        while max_probe < nprobe:
-            max_probe *= 2
-        return min(
-            max(max_probe, min(128, self.index.n_clusters)),
-            self.index.n_clusters,
-        )
+        return _max_probe_bucket(nprobe, self.index.n_clusters)
 
     def _fused_body(self, k: int, nprobe: int, reps: int | None):
         """shard_map'd fused search: each device runs the streaming masked
@@ -289,70 +358,24 @@ class DistributedIvfSearcher:
         max_probe = self._max_probe_bucket(nprobe)
         tile = self.tile
         cmax = self._cmax
-        rows_per_dev = self._rows_per_dev
         interpret = jax.default_backend() != "tpu"
-        n_total = self.n
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(
-                P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(DATA_AXIS), P(), P(),
-            ),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        def run(q0, emb_local, sq_local, gid_local, lcl_local, tc_local,
-                centroids, c_sq):
-            def one(q):
-                d2, local_ids = pallas_stream_masked_topk(
-                    q, centroids, c_sq, lcl_local, tc_local,
-                    emb_local, sq_local, jnp.int32(nprobe), k,
-                    max_probe=max_probe, tile=tile, cmax=cmax,
-                    interpret=interpret,
-                )
-                gids = jnp.where(
-                    local_ids >= 0,
-                    gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)],
-                    -1,
-                )
-                d2 = jnp.where(gids < 0, jnp.inf, d2)
-                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
-                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
-                return _merge_gathered(d2_all, ids_all)
-
-            if reps is None:
-                return one(q0)
-
-            def step(q, _):
-                d2, ids = one(q)
-                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
-                return q0 + 0.0 * link, (d2, ids)
-
-            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-            return d2s[-1], idss[-1]
-
-        def call(queries):
-            q = np.asarray(queries, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-            if q.shape[1] != self.dim:
-                raise ValidationError(
-                    f"Query dimension mismatch: expected {self.dim}, got "
-                    f"{q.shape[1]}"
-                )
-            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
-            d2, ids = jax.jit(run)(
-                qs, self.emb, self.emb_sq_pallas, self.gids, self.lcl,
-                self.tc, self.centroids, self.c_sq,
+        def shard_fn(q, emb_local, sq_local, lcl_local, tc_local,
+                     centroids, c_sq):
+            return pallas_stream_masked_topk(
+                q, centroids, c_sq, lcl_local, tc_local,
+                emb_local, sq_local, jnp.int32(nprobe), k,
+                max_probe=max_probe, tile=tile, cmax=cmax,
+                interpret=interpret,
             )
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
-            return np.sqrt(d2), ids
 
-        return call
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq_pallas, self.lcl,
+                      self.tc, self.centroids, self.c_sq),
+            specs=(P(DATA_AXIS),) * 5 + (P(), P()),
+            rows_local=self._rows_per_dev, reps=reps,
+        )
 
     def search_fused(self, queries: np.ndarray, k: int, nprobe: int):
         """Fused per-shard stream-kernel search (ids match :meth:`search`)."""
@@ -378,65 +401,24 @@ class DistributedIvfSearcher:
     def _scan_body(self, k: int, reps: int | None, recall_target: float):
         from ..query.device import _exact_approx_topk_impl
 
-        rows_per_dev = self._rows_per_dev
         # Shards are cluster-sorted (rows grouped by assignment before
         # sharding), so mirror DeviceIvfSearcher._approx_chunk: at k > 32
         # PartialReduce's contiguous reduction bins collide on sorted runs
         # and recall collapses unless chunks shrink to 64k rows.
-        chunk = min(rows_per_dev, 65536 if k > 32 else 64 * 4096)
-        n_total = self.n
+        chunk = min(self._rows_per_dev, 65536 if k > 32 else 64 * 4096)
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()),
-            check_vma=False,
+        def shard_fn(q, emb_local, sq_local):
+            return _exact_approx_topk_impl(
+                q, emb_local, sq_local, k=k, chunk=chunk,
+                recall_target=recall_target,
+            )
+
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq),
+            specs=(P(DATA_AXIS),) * 3,
+            rows_local=self._rows_per_dev, reps=reps,
         )
-        def run(q0, emb_local, sq_local, gid_local):
-            def one(q):
-                d2, local_ids = _exact_approx_topk_impl(
-                    q, emb_local, sq_local, k=k, chunk=chunk,
-                    recall_target=recall_target,
-                )
-                gids = jnp.where(
-                    local_ids >= 0,
-                    gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)],
-                    -1,
-                )
-                d2 = jnp.where(gids < 0, jnp.inf, d2)
-                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
-                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
-                return _merge_gathered(d2_all, ids_all)
-
-            if reps is None:
-                return one(q0)
-
-            def step(q, _):
-                d2, ids = one(q)
-                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
-                return q0 + 0.0 * link, (d2, ids)
-
-            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-            return d2s[-1], idss[-1]
-
-        def call(queries):
-            q = np.asarray(queries, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-            if q.shape[1] != self.dim:
-                raise ValidationError(
-                    f"Query dimension mismatch: expected {self.dim}, got "
-                    f"{q.shape[1]}"
-                )
-            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
-            d2, ids = jax.jit(run)(qs, self.emb, self.emb_sq, self.gids)
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
-            return np.sqrt(d2), ids
-
-        return call
 
     def search_scan(
         self,
@@ -473,68 +455,28 @@ class DistributedIvfSearcher:
             t = self._binscan_tile()
         except ValidationError:
             return False
+        from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
+
         nt = self._rows_per_dev // t
-        n_lg = t // 128
-        tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
-        g3_bits = max(1, (n_lg - 1).bit_length())
-        return k <= t and tg_bits + g3_bits <= 13
+        return k <= t and provenance_bits(nt, t) <= PROVENANCE_BITS_MAX
 
     def _binscan_body(self, k: int, reps: int | None):
         from ..kernels.binscan import pallas_binned_scan
 
         tile = self._binscan_tile()
-        rows_per_dev = self._rows_per_dev
         interpret = jax.default_backend() != "tpu"
-        n_total = self.n
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        def run(q0, emb_local, sq_local, gid_local):
-            def one(q):
-                d2, local_ids = pallas_binned_scan(
-                    q, emb_local, sq_local, k, tile=tile, interpret=interpret
-                )
-                gids = gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)]
-                d2 = jnp.where(gids < 0, jnp.inf, d2)
-                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
-                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
-                return _merge_gathered(d2_all, ids_all)
-
-            if reps is None:
-                return one(q0)
-
-            def step(q, _):
-                d2, ids = one(q)
-                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
-                return q0 + 0.0 * link, (d2, ids)
-
-            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-            return d2s[-1], idss[-1]
-
-        def call(queries):
-            q = np.asarray(queries, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-            if q.shape[1] != self.dim:
-                raise ValidationError(
-                    f"Query dimension mismatch: expected {self.dim}, got "
-                    f"{q.shape[1]}"
-                )
-            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
-            d2, ids = jax.jit(run)(
-                qs, self.emb, self.emb_sq_pallas, self.gids
+        def shard_fn(q, emb_local, sq_local):
+            return pallas_binned_scan(
+                q, emb_local, sq_local, k, tile=tile, interpret=interpret
             )
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
-            return np.sqrt(d2), ids
 
-        return call
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq_pallas),
+            specs=(P(DATA_AXIS),) * 3,
+            rows_local=self._rows_per_dev, reps=reps,
+        )
 
     def search_binscan(
         self, queries: np.ndarray, k: int, reps: int | None = None
@@ -574,92 +516,49 @@ class DistributedIvfSearcher:
         if k > tile:
             raise ValidationError(f"bincompact requires k <= tile ({tile})")
         cmax = self._cmax
-        rows_per_dev = self._rows_per_dev
         nt_local = self._nt_local
         kc = self.index.n_clusters
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
-        n_total = self.n
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(
-                P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(), P(),
-            ),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        def run(q0, emb_local, sq_local, gid_local, tc_local, centroids, c_sq):
+        def shard_fn(q, emb_local, sq_local, tc_local, centroids, c_sq):
+            b = q.shape[0]
             tc2 = tc_local.reshape(nt_local, cmax)
-
-            def one(q):
-                b = q.shape[0]
-                # Replicated probe -> per-cluster popularity counts.
-                c_scores = jnp.dot(
-                    q, centroids.T, preferred_element_type=jnp.float32
-                )
-                _, probe = jax.lax.top_k(
-                    -(c_sq[None, :] - 2.0 * c_scores), max_probe
-                )
-                in_probe = jnp.broadcast_to(
-                    jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
-                    (b, max_probe),
-                )
-                counts = jnp.zeros(kc + 1, jnp.int32).at[
-                    probe.reshape(-1)
-                ].add(in_probe.reshape(-1).astype(jnp.int32))
-                counts = counts.at[kc].set(0)
-                # LOCAL tile popularity via the shard's tile-cluster table
-                # (tc rows list each tile's unique clusters; sentinel kc).
-                tile_pop = counts[tc2].max(axis=1)
-                order = jnp.argsort(
-                    jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)),
-                    stable=True,
-                )
-                sel = order[:cap]
-                d2, local_ids = pallas_binned_scan_select(
-                    q, emb_local, sq_local, sel, k, tile=tile, cap=cap,
-                    interpret=interpret,
-                )
-                gids = gid_local[jnp.clip(local_ids, 0, rows_per_dev - 1)]
-                d2 = jnp.where(gids < 0, jnp.inf, d2)
-                d2_all = jax.lax.all_gather(d2, DATA_AXIS)
-                ids_all = jax.lax.all_gather(gids, DATA_AXIS)
-                return _merge_gathered(d2_all, ids_all)
-
-            if reps is None:
-                return one(q0)
-
-            def step(q, _):
-                d2, ids = one(q)
-                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
-                return q0 + 0.0 * link, (d2, ids)
-
-            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-            return d2s[-1], idss[-1]
-
-        def call(queries):
-            q = np.asarray(queries, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-            if q.shape[1] != self.dim:
-                raise ValidationError(
-                    f"Query dimension mismatch: expected {self.dim}, got "
-                    f"{q.shape[1]}"
-                )
-            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
-            d2, ids = jax.jit(run)(
-                qs, self.emb, self.emb_sq_pallas, self.gids, self.tc,
-                self.centroids, self.c_sq,
+            # Replicated probe -> per-cluster popularity counts.
+            c_scores = jnp.dot(
+                q, centroids.T, preferred_element_type=jnp.float32
             )
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
-            return np.sqrt(d2), ids
+            _, probe = jax.lax.top_k(
+                -(c_sq[None, :] - 2.0 * c_scores), max_probe
+            )
+            in_probe = jnp.broadcast_to(
+                jnp.arange(max_probe, dtype=jnp.int32)[None, :] < nprobe,
+                (b, max_probe),
+            )
+            counts = jnp.zeros(kc + 1, jnp.int32).at[
+                probe.reshape(-1)
+            ].add(in_probe.reshape(-1).astype(jnp.int32))
+            counts = counts.at[kc].set(0)
+            # LOCAL tile popularity via the shard's tile-cluster table
+            # (tc rows list each tile's unique clusters; sentinel kc).
+            tile_pop = counts[tc2].max(axis=1)
+            order = jnp.argsort(
+                jnp.where(tile_pop > 0, -tile_pop, jnp.int32(1)),
+                stable=True,
+            )
+            sel = order[:cap]
+            return pallas_binned_scan_select(
+                q, emb_local, sq_local, sel, k, tile=tile, cap=cap,
+                interpret=interpret,
+            )
 
-        return call
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq_pallas, self.tc,
+                      self.centroids, self.c_sq),
+            specs=(P(DATA_AXIS),) * 4 + (P(), P()),
+            rows_local=self._rows_per_dev, reps=reps,
+        )
 
     def search_bincompact(
         self,
@@ -824,13 +723,7 @@ class DistributedClusterIvfSearcher:
         )
 
     def _max_probe_bucket(self, nprobe: int) -> int:
-        max_probe = 1
-        while max_probe < nprobe:
-            max_probe *= 2
-        return min(
-            max(max_probe, min(128, self.index.n_clusters)),
-            self.index.n_clusters,
-        )
+        return _max_probe_bucket(nprobe, self.index.n_clusters)
 
     def _body(self, k: int, nprobe: int, reps: int | None):
         from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -839,70 +732,28 @@ class DistributedClusterIvfSearcher:
         max_probe = self._max_probe_bucket(nprobe)
         tile = self.tile
         cmax = self._cmax
-        per_dev = self._per_dev
         interpret = jax.default_backend() != "tpu"
-        n_total = self.n
         row = P((DATA_AXIS, _CA))
 
-        @functools.partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), row, row, row, row, row, P(), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        def run(q0, emb_local, sq_local, gid_local, lcl_local, tc_local,
-                centroids, c_sq):
-            def one(q):
-                d2, local_ids = pallas_stream_masked_topk(
-                    q, centroids, c_sq, lcl_local, tc_local,
-                    emb_local, sq_local, jnp.int32(nprobe), k,
-                    max_probe=max_probe, tile=tile, cmax=cmax,
-                    interpret=interpret,
-                )
-                gids = jnp.where(
-                    local_ids >= 0,
-                    gid_local[jnp.clip(local_ids, 0, per_dev - 1)],
-                    -1,
-                )
-                d2 = jnp.where(gids < 0, jnp.inf, d2)
-                # Fan-in over BOTH axes: cluster groups hold disjoint
-                # clusters; data shards hold disjoint rows of each group.
-                d2_all = jax.lax.all_gather(d2, (DATA_AXIS, _CA))
-                ids_all = jax.lax.all_gather(gids, (DATA_AXIS, _CA))
-                return _merge_gathered(d2_all, ids_all)
-
-            if reps is None:
-                return one(q0)
-
-            def step(q, _):
-                d2, ids = one(q)
-                link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
-                return q0 + 0.0 * link, (d2, ids)
-
-            _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-            return d2s[-1], idss[-1]
-
-        def call(queries):
-            q = np.asarray(queries, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-            if q.shape[1] != self.dim:
-                raise ValidationError(
-                    f"Query dimension mismatch: expected {self.dim}, got "
-                    f"{q.shape[1]}"
-                )
-            qs = jax.device_put(q, NamedSharding(self.mesh, P()))
-            d2, ids = jax.jit(run)(
-                qs, self.emb, self.emb_sq_pallas, self.gids, self.lcl,
-                self.tc, self.centroids, self.c_sq,
+        def shard_fn(q, emb_local, sq_local, lcl_local, tc_local,
+                     centroids, c_sq):
+            return pallas_stream_masked_topk(
+                q, centroids, c_sq, lcl_local, tc_local,
+                emb_local, sq_local, jnp.int32(nprobe), k,
+                max_probe=max_probe, tile=tile, cmax=cmax,
+                interpret=interpret,
             )
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            ids = np.where(np.isinf(d2) | (ids >= n_total), -1, ids)
-            return np.sqrt(d2), ids
 
-        return call
+        # Fan-in over BOTH axes: cluster groups hold disjoint clusters;
+        # data shards hold disjoint rows of each group.
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq_pallas, self.lcl,
+                      self.tc, self.centroids, self.c_sq),
+            specs=(row,) * 5 + (P(), P()),
+            rows_local=self._per_dev, reps=reps,
+            gather_axes=(DATA_AXIS, _CA),
+        )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int):
         """Fused stream-kernel search over the 2-D mesh."""

@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..errors import ExecutionError, PlanError
+from ..errors import ExecutionError, FormatError, PlanError
 from .access import (
     CandidateCursor,
     FileEntry,
@@ -297,24 +297,18 @@ class VectorTopKExec(ExecutionPlan):
                 # Footer thrift parse through the object store (the
                 # reference's row-count reads are store-range reads too,
                 # exec.rs:157-205) — no local file access.
-                from ..io.pages import parse_parquet_metadata
+                from ..io.pages import (
+                    parse_parquet_metadata,
+                    read_footer_via_store,
+                )
 
                 store = context.object_store
                 path = file.object_path
                 try:
-                    size = store.head(path)
-                    tail = store.get_range(path, size - 8, size)
-                    if tail[4:] != b"PAR1":
-                        raise ExecutionError(
-                            f"'{path}' is not a valid parquet file"
-                        )
-                    meta_len = int.from_bytes(tail[:4], "little")
-                    meta = store.get_range(
-                        path, size - 8 - meta_len, size - 8
-                    )
+                    meta = read_footer_via_store(store, path)
                     _, rgs = parse_parquet_metadata(meta)
-                except ExecutionError:
-                    raise
+                except FormatError as exc:
+                    raise ExecutionError(str(exc)) from exc
                 except Exception as exc:
                     raise ExecutionError(
                         f"Failed to read parquet metadata from '{path}': {exc}"

@@ -402,7 +402,12 @@ def merge_parquet_files(parts: list[str | os.PathLike], output: str | os.PathLik
                     h = handles[pi]
                     for ci, ch in enumerate(all_chunks[pi][g]):
                         key = (pi, g, ci)
-                        if ch.ci_off is None:
+                        if ch.ci_off is None or ch.ci_len is None:
+                            if ch.ci_off is not None:
+                                raise FormatError(
+                                    "ColumnChunk has column_index_offset "
+                                    "without column_index_length"
+                                )
                             ci_pos[key] = None
                             continue
                         h.seek(ch.ci_off)
@@ -414,7 +419,12 @@ def merge_parquet_files(parts: list[str | os.PathLike], output: str | os.PathLik
                     h = handles[pi]
                     for ci, ch in enumerate(all_chunks[pi][g]):
                         key = (pi, g, ci)
-                        if ch.oi_off is None:
+                        if ch.oi_off is None or ch.oi_len is None:
+                            if ch.oi_off is not None:
+                                raise FormatError(
+                                    "ColumnChunk has offset_index_offset "
+                                    "without offset_index_length"
+                                )
                             oi_pos[key] = None
                             oi_newlen[key] = None
                             continue

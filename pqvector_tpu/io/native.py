@@ -322,6 +322,13 @@ def decode_chunk_native(
         if out_values is not None
         else np.empty(value_cap, dtype=np.float32)
     )
+    if values.size < value_cap:
+        # Caller-sized buffer smaller than the chunk's claimed num_values
+        # (ragged rows vs a uniform-dim preallocation): clamp so the native
+        # capacity check returns ERR_CAPACITY instead of writing past the
+        # buffer; the FormatError routes callers to the pyarrow fallback,
+        # which raises the canonical ragged-row error.
+        value_cap = values.size
     row_lengths = np.empty(row_cap, dtype=np.int64)
     num_values = ctypes.c_int64(0)
     rc = lib.pqv_decode_chunk(

@@ -564,6 +564,23 @@ def _decode_page(raw: bytes, codec: str, leaf: SchemaLeaf) -> DecodedPage:
     return decode_data_page(raw, codec, leaf)
 
 
+def read_footer_via_store(store, path: str) -> bytes:
+    """Parquet footer metadata bytes via ObjectStore range reads.
+
+    Tail magic + footer-length bounds checks live here so every store
+    footer read (the selective reader, the engine's row-count reads)
+    shares them.
+    """
+    size = store.head(path)
+    tail = store.get_range(path, size - 8, size)
+    if tail[4:] != b"PAR1":
+        raise FormatError(f"'{path}' is not a valid parquet file")
+    meta_len = int.from_bytes(tail[:4], "little")
+    if meta_len + 8 > size:
+        raise FormatError("Parquet footer length exceeds file size")
+    return store.get_range(path, size - 8 - meta_len, size - 8)
+
+
 class PageSelectiveReader:
     """Read specific rows of a vector column via exact page reads."""
 
@@ -582,16 +599,7 @@ class PageSelectiveReader:
         if self._store is None:
             meta = read_footer_metadata(self.path)
         else:
-            size = self._store.head(self.path)
-            tail = self._store.get_range(self.path, size - 8, size)
-            if tail[4:] != b"PAR1":
-                raise FormatError(f"'{self.path}' is not a valid parquet file")
-            meta_len = int.from_bytes(tail[:4], "little")
-            if meta_len + 8 > size:
-                raise FormatError("Parquet footer length exceeds file size")
-            meta = self._store.get_range(
-                self.path, size - 8 - meta_len, size - 8
-            )
+            meta = read_footer_via_store(self._store, self.path)
         leaves, row_groups = parse_parquet_metadata(meta)
         name = str(column)
         matches = [
@@ -797,7 +805,9 @@ class PageSelectiveReader:
     # 64k = 109 ms, 256k = 292 ms — dead gap bytes dominate past ~16 KB.
     _COALESCE_GAP = 1 << 12
 
-    def _decode_rg_selection(self, rg: int, local: np.ndarray, fd: int):
+    def _decode_rg_selection(
+        self, rg: int, local: np.ndarray, fd: int, dim: int | None = None
+    ):
         """Decode every page touched by ``local`` rows of one row group in a
         single native FFI call (span-coalesced preadv reads).
 
@@ -870,8 +880,14 @@ class PageSelectiveReader:
             self.leaf.max_def,
             self.leaf.max_rep,
             row_cap=n_page_rows,
-            # Exact bound: the chunk's leaf value count caps any page subset.
-            value_cap=int(chunk.num_values),
+            # Under a dimension contract the touched pages hold exactly
+            # rows*dim values (a malformed page trips the native capacity
+            # check -> FormatError -> per-page fallback raises the canonical
+            # dim error). Without one, the chunk's leaf value count is the
+            # only bound — chunk-wide, so reserve it for the ragged path.
+            value_cap=(
+                n_page_rows * dim if dim else int(chunk.num_values)
+            ),
         )
         if res is None:
             return None
@@ -884,7 +900,7 @@ class PageSelectiveReader:
         return values, row_lengths, gidx, int(upages.size)
 
     def _decode_selections(
-        self, rows: np.ndarray, rg_of: np.ndarray, f
+        self, rows: np.ndarray, rg_of: np.ndarray, f, dim: int | None = None
     ) -> list[tuple[np.ndarray, tuple]] | None:
         """Run :meth:`_decode_rg_selection` for every touched row group —
         on the shared scan pool when more than one group is touched and the
@@ -899,7 +915,7 @@ class PageSelectiveReader:
 
         def one(rg: int):
             local = rows[sels[rg]] - int(self._rg_starts[rg])
-            return self._decode_rg_selection(rg, local, fd)
+            return self._decode_rg_selection(rg, local, fd, dim=dim)
 
         pool = _scan_pool() if len(rgs) > 1 else None
         if pool is not None:
@@ -920,7 +936,7 @@ class PageSelectiveReader:
         """
         out = np.empty((rows.size, dim), dtype=np.float32)
         try:
-            decoded = self._decode_selections(rows, rg_of, f)
+            decoded = self._decode_selections(rows, rg_of, f, dim=dim)
             if decoded is None:
                 return None
             for sel, (values, row_lengths, gidx, _) in decoded:

@@ -28,7 +28,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..errors import ValidationError
+from ..errors import FormatError, ValidationError
 from ..index.ivf import IvfIndex
 from ..types import EmbeddingColumn
 from .embed import append_index_inplace
@@ -187,7 +187,7 @@ def write_parquet_with_index(
                 row_group_size, metric,
             )
             return
-        except (ValidationError, pa.ArrowException, OSError):
+        except (FormatError, ValidationError, pa.ArrowException, OSError):
             pass  # fall back to the single-file writer below
     _write_single(
         source, output, table, index, embedding_column, row_group_size, metric

@@ -58,6 +58,27 @@ from .scan_topk import _refine, score_precision
 
 _POS_INF = 3.0e38
 
+# Packed-key provenance budget: code_bits beyond this eat too many value
+# mantissa bits for reliable selection (see module docstring). Every
+# eligibility/calibration gate derives from this constant; the formula-based
+# bincompact gate (query/device.py:_compact_bin_params) subtracts 1 for a
+# precision floor when the tile cap is predicted rather than measured.
+PROVENANCE_BITS_MAX = 13
+
+
+def provenance_split(n_tiles: int, tile: int) -> tuple[int, int]:
+    """(tg_bits, g3_bits) a packed key spends addressing ``n_tiles`` tiles
+    of ``tile`` rows: tile-group bits + lane-group (slab) bits."""
+    n_lg = tile // 128
+    tg_bits = max(1, ((n_tiles - 1) // n_lg).bit_length())
+    g3_bits = max(1, (n_lg - 1).bit_length())
+    return tg_bits, g3_bits
+
+
+def provenance_bits(n_tiles: int, tile: int) -> int:
+    """Total provenance bits for ``n_tiles`` tiles of ``tile`` rows."""
+    return sum(provenance_split(n_tiles, tile))
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -193,10 +214,9 @@ def pallas_binned_scan(
     l_bins = expand * tile  # expand * n_lg slabs x 128 lanes
     if k > l_bins:
         raise ValueError(f"binscan requires k <= {l_bins} bins (got k={k})")
-    tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
-    g3_bits = max(1, (n_lg - 1).bit_length())
+    tg_bits, g3_bits = provenance_split(nt, tile)
     code_bits = tg_bits + g3_bits
-    if code_bits > 13:
+    if code_bits > PROVENANCE_BITS_MAX:
         raise ValueError(
             f"binscan key precision too low for n_pad={n_pad} at tile={tile} "
             f"({code_bits} provenance bits); chunk the scan or raise tile"
@@ -326,10 +346,9 @@ def pallas_binned_scan_select(
         raise ValueError(
             f"binscan requires k <= {expand * tile} bins (got k={k})"
         )
-    tg_bits = max(1, ((cap - 1) // n_lg).bit_length())
-    g3_bits = max(1, (n_lg - 1).bit_length())
+    tg_bits, g3_bits = provenance_split(cap, tile)
     code_bits = tg_bits + g3_bits
-    if code_bits > 13:
+    if code_bits > PROVENANCE_BITS_MAX:
         raise ValueError(
             f"binscan key precision too low for cap={cap} at tile={tile} "
             f"({code_bits} provenance bits); raise tile or lower the cap"

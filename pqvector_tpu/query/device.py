@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import ValidationError
+from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
 from ..kernels.scan_topk import score_precision
 from ..index.ivf import IvfIndex
 from ..io.embed import read_index_from_parquet
@@ -1171,11 +1172,8 @@ class DeviceIvfSearcher:
             n_active = int((np.cumsum(mark[:-1]) > 0).sum())
             cap = int(-(-(n_active * slack) // bucket) * bucket)
             cap = max(1, min(nt, cap))
-            n_lg = ctile // 128
-            bits = max(1, ((cap - 1) // n_lg).bit_length()) + max(
-                1, (n_lg - 1).bit_length()
-            )
-            if bits <= 13:  # the kernel's own packed-key limit
+            # Measured caps may use the kernel's full packed-key budget.
+            if provenance_bits(cap, ctile) <= PROVENANCE_BITS_MAX:
                 self._bincompact_calibrated = (ctile, cap)
                 return (ctile, cap)
         return (0, 0)
@@ -1206,11 +1204,9 @@ class DeviceIvfSearcher:
             tiles_per = (self.n / kc) / ctile + 1.0
             cap = int(min(nt, -(-expected * tiles_per * self.compact_slack // 1)))
             cap = max(cap, 1)
-            n_lg = ctile // 128
-            bits = max(1, ((cap - 1) // n_lg).bit_length()) + max(
-                1, (n_lg - 1).bit_length()
-            )
-            if bits <= 12:
+            # Predicted (unmeasured) caps keep one bit of margin as a
+            # selection-precision floor (>= 2^-11 on the packed value).
+            if provenance_bits(cap, ctile) <= PROVENANCE_BITS_MAX - 1:
                 return ctile, cap
         return 0, 0
 
@@ -1539,10 +1535,7 @@ class DeviceIvfSearcher:
         except ValidationError:
             return False
         nt = int(self.emb.shape[0]) // t
-        n_lg = t // 128
-        tg_bits = max(1, ((nt - 1) // n_lg).bit_length())
-        g3_bits = max(1, (n_lg - 1).bit_length())
-        return k <= t and tg_bits + g3_bits <= 13
+        return k <= t and provenance_bits(nt, t) <= PROVENANCE_BITS_MAX
 
     def _pallas_emb_sq(self):
         if self._emb_sq_pallas is None:

@@ -128,3 +128,21 @@ def test_native_rejects_non_parquet(tmp_path):
             PQ_VECTOR_EMBEDDING_COLUMN_KEY,
             PQ_VECTOR_INDEX_MAGIC,
         )
+
+
+def test_native_chunk_decode_cross_rg_ragged_rejected(tmp_path):
+    """Row groups with different uniform dims: the preallocated [rows, dim]
+    output is smaller than a later chunk's num_values. The native decoder
+    must hit its capacity check (not write past the buffer) and the reader
+    must fall back to the canonical ragged-dims validation error."""
+    from pqvector_tpu.errors import ValidationError
+    from pqvector_tpu.io.reader import read_embedding_column
+
+    path = tmp_path / "ragged_rg.parquet"
+    vecs = [[1.0, 2.0]] * 3 + [[1.0, 2.0, 3.0, 4.0]] * 3
+    table = pa.table({"vec": pa.array(vecs, pa.list_(pa.float32()))})
+    pq.write_table(table, path, row_group_size=3)
+    meta = pq.ParquetFile(path).metadata
+    assert meta.num_row_groups == 2
+    with pytest.raises(ValidationError, match="inconsistent"):
+        read_embedding_column(path, EmbeddingColumn("vec"))
