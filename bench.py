@@ -238,11 +238,12 @@ def main():
     parser.add_argument(
         "--mode", default="auto",
         choices=("auto", "stream", "pallas", "masked", "gather", "approx",
-                 "compact", "scan", "binscan", "bincompact"),
+                 "compact", "scan", "binscan", "bincompact", "xbin"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode); 'binscan' is the fused "
-        "binned-min full scan (kernels/binscan.py)",
+        "binned-min full scan (kernels/binscan.py); 'xbin' is the XLA "
+        "binned-min scan (fused-epilogue selection)",
     )
     parser.add_argument(
         "--bf16", dest="bf16", action="store_true", default=True,
@@ -337,7 +338,7 @@ def main():
     # ground truth — docs/PERFORMANCE.md), and binscan's only loss is
     # random cross-tile bin collisions either way.
     scan_searcher = searcher
-    if args.mode in ("auto", "scan", "binscan"):
+    if args.mode in ("auto", "scan", "binscan", "xbin"):
         scan_searcher = DeviceIvfSearcher(
             index,
             emb,
@@ -347,7 +348,7 @@ def main():
         )
 
     def mode_searcher(mode):
-        return scan_searcher if mode in ("scan", "binscan") else searcher
+        return scan_searcher if mode in ("scan", "binscan", "xbin") else searcher
 
     # 4. nprobe sweep until recall target ----------------------------
     # Masked-scan mode: the whole sweep shares one compiled executable
@@ -407,7 +408,7 @@ def main():
 
     loop_modes = (
         "stream", "pallas", "approx", "compact", "scan", "binscan",
-        "bincompact",
+        "bincompact", "xbin",
     )
 
     def measure_mode(mode, qb, budget_s=4.0):
@@ -430,7 +431,7 @@ def main():
         return reps * b / (time.perf_counter() - t0)
 
     if args.mode in ("auto", "stream", "pallas", "approx", "compact", "scan",
-                     "binscan", "bincompact"):
+                     "binscan", "bincompact", "xbin"):
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe
@@ -450,12 +451,16 @@ def main():
             if mode == "binscan" and not scan_searcher.can_binscan(args.k):
                 log("mode=binscan skipped (bin/provenance limits)")
                 continue
+            if mode == "xbin" and not scan_searcher.can_xbin(args.k):
+                log("mode=xbin skipped (no eligible bin count)")
+                continue
             if mode == "bincompact" and searcher.bincompact_coverage(
                 batch, chosen, args.k
             ) >= 0.9:
                 log("mode=bincompact skipped (ineligible or ~full coverage)")
                 continue
-            if mode in ("approx", "compact", "scan", "binscan", "bincompact"):
+            if mode in ("approx", "compact", "scan", "binscan", "bincompact",
+                        "xbin"):
                 s_m = mode_searcher(mode)
                 if mode == "scan":
                     # Tune the ApproxTopK fetch width to the narrowest that
@@ -516,7 +521,7 @@ def main():
                 bq = {}
                 for mode in mode_qps:
                     if big_b > 1024 and mode not in (
-                        "approx", "compact", "scan", "binscan", "bincompact"
+                        "approx", "compact", "scan", "binscan", "bincompact", "xbin"
                     ):
                         continue
                     if mode == "compact" and searcher.compact_coverage(
@@ -587,7 +592,7 @@ def main():
     peak_flops, peak_bw = device_peaks(jax)
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
-    if best_mode.split("@")[0] in ("scan", "approx", "binscan"):
+    if best_mode.split("@")[0] in ("scan", "approx", "binscan", "xbin"):
         result.update(
             roofline(qps, head_batch, args.rows, args.dim, elem_bytes,
                      peak_flops, peak_bw)
@@ -609,10 +614,10 @@ def main():
             b: roofline(v, int(b), args.rows, args.dim, elem_bytes,
                         peak_flops, peak_bw)["mfu"]
             for b, v in batch_qps.items()
-            if batch_mode.get(b) in ("scan", "approx", "binscan")
+            if batch_mode.get(b) in ("scan", "approx", "binscan", "xbin")
         }
         ivf_only = {
-            m: v for m, v in mode_qps.items() if m not in ("scan", "binscan")
+            m: v for m, v in mode_qps.items() if m not in ("scan", "binscan", "xbin")
         }
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)

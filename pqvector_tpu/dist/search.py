@@ -430,6 +430,37 @@ class DistributedIvfSearcher:
         """Distributed ApproxTopK full scan (``reps`` chains for timing)."""
         return self._scan_body(k, reps, recall_target)(queries)
 
+    def can_xbin(self, k: int = 10) -> bool:
+        """XLA binned-min scan eligibility on the PER-SHARD row count."""
+        from ..query.device import _xbin_bins
+
+        return _xbin_bins(self._rows_per_dev, k) > 0
+
+    def search_xbin(self, queries: np.ndarray, k: int, reps: int | None = None):
+        """Distributed XLA binned-min full scan (mode="xbin" analog of
+        DeviceIvfSearcher.search: fused-epilogue selection per shard; see
+        query/device.py:_exact_xbin_impl). Sharding shrinks each shard's
+        tile-group count, so keys spend FEWER provenance bits than the
+        single-chip form."""
+        from ..query.device import _exact_xbin_impl, _xbin_bins
+
+        l_bins = _xbin_bins(self._rows_per_dev, k)
+        if not l_bins:
+            raise ValidationError(
+                "xbin ineligible for this shard shape/k (no lane-aligned "
+                "bin count divides the per-shard rows)"
+            )
+
+        def shard_fn(q, emb_local, sq_local):
+            return _exact_xbin_impl(q, emb_local, sq_local, k=k, l_bins=l_bins)
+
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, self.emb, self.emb_sq),
+            specs=(P(DATA_AXIS),) * 3,
+            rows_local=self._rows_per_dev, reps=reps,
+        )(queries)
+
     # ------------------------------------------------------------------
     # Distributed fused binned-min scan (mode="binscan"/"bincompact"
     # analogs of DeviceIvfSearcher.search): each shard streams its block

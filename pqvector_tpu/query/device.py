@@ -256,6 +256,96 @@ def _exact_approx_topk_impl(
     return d2[:, :k], ids[:, :k]
 
 
+def _xbin_bins(n_pad: int, k: int) -> int:
+    """Bin count for mode="xbin": the largest lane-aligned (128-multiple)
+    divisor of ``n_pad`` that one ``lax.top_k`` call handles (<= 64k
+    columns — CLAUDE.md: wide-axis top_k is pathological on this backend).
+    0 when ineligible. More bins = fewer collisions among the true top-k
+    AND fewer provenance bits spent per key."""
+    cap = min(n_pad, 65536)
+    best = 0
+    for l_bins in range(128, cap + 1, 128):
+        if n_pad % l_bins == 0:
+            best = l_bins
+    if not best:
+        # No lane-aligned divisor (tiny or odd shard shapes): any divisor
+        # is correct — alignment only affects the bin table's lane packing.
+        for l_bins in range(cap, 0, -1):
+            if n_pad % l_bins == 0:
+                best = l_bins
+                break
+    return best if 0 < k <= best else 0
+
+
+def _exact_xbin_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    k: int,
+    l_bins: int,
+    score_dtype=jnp.float32,
+    overfetch: int = 0,
+):
+    """Full scan with XLA binned-min extraction (fused-epilogue selection).
+
+    The hardware PartialReduce extraction (mode="scan") is a custom call
+    that runs as a serialized pass after the scoring matmul: measured at
+    B=4096 x 1M x 128 the matmul+min floor is 8.5 ms/batch while
+    matmul+PartialReduce is 13.0 ms (scripts/mfu_push.py). This mode keeps
+    selection INSIDE the fusion: each score packs value and provenance
+    into one int32 key (IEEE-754 order isomorphism for non-negative f32 —
+    the kernels/binscan.py trick), and a reshaped min-reduction folds the
+    row axis into ``l_bins`` bins, so XLA emits matmul + elementwise +
+    reduce as one fusion with no [B, n] materialization (the same fusion
+    the floor measurement relies on). A top-k over the [B, l_bins] table
+    plus exact re-score finishes.
+
+    Row r lands in bin ``r % l_bins`` with tile code ``r // l_bins`` in
+    the key's low bits. Recall loss is bin collisions among the true
+    top-k only (~k^2/2 per l_bins); with l_bins up to 64k the collision
+    rate is ~8-32x below the Pallas binscan's tile-bounded table, and the
+    code spends ~5-6 bits vs its 13. Like approx/binscan, serve from the
+    ORIGINAL row order: on cluster-sorted layouts a cluster spanning two
+    tiles puts same-offset rows in the same bin.
+
+    Reference behavior anchor: exact-selection search over probed lists,
+    /root/reference/src/ivf/search.rs:100-127 (nprobe-free serving scan).
+    """
+    b = q.shape[0]
+    n_pad = emb.shape[0]
+    nt = n_pad // l_bins
+    bits = max(1, (nt - 1).bit_length())
+    mask = jnp.int32(~((1 << bits) - 1))
+    qf = q.astype(emb.dtype)
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
+    scores = jnp.dot(
+        qf, emb.T, preferred_element_type=score_dtype,
+        precision=score_precision(qf.dtype, emb.dtype, score_dtype),
+    )
+    # True squared distance (>= 0 up to rounding): the rank-neutral |q|^2
+    # is added back so non-negative bitcast ordering holds. A value that
+    # rounds slightly negative (exact-duplicate row) bitcasts below every
+    # non-negative key and wins its bin — the correct selection.
+    part = (
+        emb_sq[None, :] - 2.0 * scores.astype(jnp.float32) + qsq[:, None]
+    )
+    code = jnp.arange(n_pad, dtype=jnp.int32) // l_bins
+    keys = jax.lax.bitcast_convert_type(part, jnp.int32)
+    keys = (keys & mask) | code[None, :]
+    binmins = jnp.min(keys.reshape(b, nt, l_bins), axis=1)  # [B, l_bins]
+    k_fetch = min(
+        max(k, overfetch) if overfetch else max(2 * k, 32), l_bins
+    )
+    neg, bin_idx = jax.lax.top_k(-binmins, k_fetch)
+    key_w = -neg
+    rows = (key_w & ~mask) * l_bins + bin_idx.astype(jnp.int32)
+    # Value part of the key: +inf exactly for pad-only bins (code bits are
+    # below the cleared mantissa range), so refine marks them missing.
+    val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
+    d2, ids = _refine_and_sort(q, emb, val, rows)
+    return d2[:, :k], ids[:, :k]
+
+
 def _ivf_approx_masked_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -576,6 +666,11 @@ class DeviceIvfSearcher:
         # recall, narrower = faster extraction (the PartialReduce cost
         # scales with the fetch width — docs/PERFORMANCE.md).
         self.scan_overfetch = 0
+        # Explicit xbin bin count (0 = auto: largest lane-aligned divisor
+        # of n_pad <= 64k). Serving/tuning knob: more bins = fewer
+        # collisions but a bigger [B, l_bins] table (HBM write+read) and a
+        # wider host top_k. Must divide the padded row count.
+        self.xbin_bins = 0
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -770,6 +865,13 @@ class DeviceIvfSearcher:
                 tile=bt_,
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "xbin":
+            d2, ids = _exact_xbin(
+                q, self.emb, self.emb_sq, k,
+                l_bins=self._xbin_bins_checked(k),
+                score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -1021,6 +1123,15 @@ class DeviceIvfSearcher:
                 tile=bt_,
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "xbin":
+            # Serving mode: XLA binned-min full scan (fused-epilogue
+            # selection — see _exact_xbin_impl), nprobe ignored.
+            d2, ids = _exact_xbin(
+                q, self.emb, self.emb_sq, k,
+                l_bins=self._xbin_bins_checked(k),
+                score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -1337,12 +1448,13 @@ class DeviceIvfSearcher:
         use_compact = mode == "compact"
         use_binscan = mode == "binscan"
         use_bincompact = mode == "bincompact"
+        use_xbin = mode == "xbin"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
             and not (use_approx or use_scan or use_xla or use_compact
-                     or use_binscan or use_bincompact)
+                     or use_binscan or use_bincompact or use_xbin)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -1379,7 +1491,8 @@ class DeviceIvfSearcher:
             tc,
             self.emb,
             self._pallas_emb_sq()
-            if not (use_approx or use_scan or use_xla or use_compact)
+            if not (use_approx or use_scan or use_xla or use_compact
+                    or use_xbin)
             else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
@@ -1411,9 +1524,14 @@ class DeviceIvfSearcher:
             chunk=chunk,
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
-            # Scoped to the ApproxTopK modes so flipping the knob doesn't
+            # Scoped to the fetch-width modes so flipping the knob doesn't
             # invalidate the compiled executables of modes that ignore it.
-            overfetch=self.scan_overfetch if (use_scan or use_approx) else 0,
+            overfetch=(
+                self.scan_overfetch
+                if (use_scan or use_approx or use_xbin) else 0
+            ),
+            use_xbin=use_xbin,
+            xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
@@ -1429,13 +1547,15 @@ class DeviceIvfSearcher:
         use_stream = mode == "stream"
         use_approx = mode == "approx"
         use_binscan = mode == "binscan"
+        use_xbin = mode == "xbin"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
         d2, ids = _exact_pallas_loop(
             q,
             self.emb,
-            self.emb_sq if use_approx else self._pallas_emb_sq(),
+            self.emb_sq
+            if (use_approx or use_xbin) else self._pallas_emb_sq(),
             k=k,
             tile=tile_p,
             reps=reps,
@@ -1450,7 +1570,11 @@ class DeviceIvfSearcher:
             chunk=self._approx_chunk(k=k),
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
-            overfetch=self.scan_overfetch if use_approx else 0,
+            overfetch=(
+                self.scan_overfetch if (use_approx or use_xbin) else 0
+            ),
+            use_xbin=use_xbin,
+            xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )
@@ -1537,6 +1661,29 @@ class DeviceIvfSearcher:
         nt = int(self.emb.shape[0]) // t
         return k <= t and provenance_bits(nt, t) <= PROVENANCE_BITS_MAX
 
+    def can_xbin(self, k: int = 10) -> bool:
+        """Whether the XLA binned-min scan supports this array/k (the
+        padded row count needs a divisor <= 64k bins that is >= k;
+        lane-aligned 128-multiples preferred — see _xbin_bins)."""
+        return _xbin_bins(int(self.emb.shape[0]), k) > 0
+
+    def _xbin_bins_checked(self, k: int) -> int:
+        n_pad = int(self.emb.shape[0])
+        if self.xbin_bins:
+            l_bins = int(self.xbin_bins)
+            if n_pad % l_bins or not (0 < k <= l_bins) or l_bins > 65536:
+                raise ValidationError(
+                    f"xbin_bins={l_bins} invalid: must divide n_pad="
+                    f"{n_pad}, satisfy k<=bins, and stay <= 65536"
+                )
+            return l_bins
+        l_bins = _xbin_bins(n_pad, k)
+        if not l_bins:
+            raise ValidationError(
+                f"xbin ineligible for n_pad={n_pad}, k={k}"
+            )
+        return l_bins
+
     def _pallas_emb_sq(self):
         if self._emb_sq_pallas is None:
             self._emb_sq_pallas = jnp.where(
@@ -1561,7 +1708,8 @@ import functools as _functools
         "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
         "use_bincompact", "binscan_tile", "bin_expand", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
-        "score_dtype", "subtiles", "interpret", "overfetch",
+        "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
+        "xbin_bins",
     ),
 )
 def _masked_pallas_loop(
@@ -1570,7 +1718,8 @@ def _masked_pallas_loop(
     use_scan, use_xla, chunk, recall_target, score_dtype, subtiles,
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
-    use_bincompact=False, bin_expand=1, overfetch=0,
+    use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
+    xbin_bins=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -1603,6 +1752,11 @@ def _masked_pallas_loop(
             return _ivf_masked_scan_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, tile=tile,
+            )
+        if use_xbin:
+            return _exact_xbin_impl(
+                q, emb, emb_sq, k=k, l_bins=xbin_bins,
+                score_dtype=score_dtype, overfetch=overfetch,
             )
         if use_scan:
             return _exact_approx_topk_impl(
@@ -1649,12 +1803,13 @@ def _masked_pallas_loop(
     jax.jit,
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
-                     "use_binscan", "binscan_tile", "bin_expand", "overfetch"),
+                     "use_binscan", "binscan_tile", "bin_expand", "overfetch",
+                     "use_xbin", "xbin_bins"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
-    binscan_tile=0, bin_expand=1, overfetch=0,
+    binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -1665,6 +1820,11 @@ def _exact_pallas_loop(
             d2, ids = pallas_binned_scan(
                 q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
                 interpret=interpret,
+            )
+        elif use_xbin:
+            d2, ids = _exact_xbin_impl(
+                q, emb, emb_sq, k=k, l_bins=xbin_bins,
+                score_dtype=score_dtype, overfetch=overfetch,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -1690,6 +1850,10 @@ _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
 _exact_approx_topk = jax.jit(
     _exact_approx_topk_impl,
     static_argnames=("k", "chunk", "recall_target", "score_dtype", "overfetch"),
+)
+_exact_xbin = jax.jit(
+    _exact_xbin_impl,
+    static_argnames=("k", "l_bins", "score_dtype", "overfetch"),
 )
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(

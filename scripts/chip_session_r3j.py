@@ -131,4 +131,23 @@ s.scan_overfetch = 48
 _, ids = s.search(q_np[:512], 10, 8, mode="approx")
 log(f"  approx kf=48 nprobe=8: recall@10(bf16-exact)={recall(ids):.4f}")
 s.scan_overfetch = 0
+
+# ---- XLA binned-min scan (mode="xbin": fused-epilogue selection) ----
+# Sweep the bin count: more bins = fewer collisions but a bigger
+# [B, l_bins] table (HBM write+read) + wider top_k. n_pad = 1,003,520 =
+# 4096 x 245; lane-aligned divisor candidates below.
+if s.can_xbin(10):
+    for lb in (0, 31360, 15680, 7840, 3584):
+        if lb and int(s.emb.shape[0]) % lb:
+            continue
+        s.xbin_bins = lb
+        _, ids = s.search(q_np[:512], 10, 4, mode="xbin")
+        r = recall(ids)
+        timeit(f"xbin bins={s._xbin_bins_checked(10):<6}       ",
+               lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin")[1])
+        log(f"  xbin bins={s._xbin_bins_checked(10)}: "
+            f"recall@10(bf16-exact)={r:.4f}")
+    s.xbin_bins = 0
+else:
+    log("xbin ineligible")
 log("session complete")

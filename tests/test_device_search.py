@@ -304,6 +304,50 @@ def test_scan_overfetch_knob(setup):
         searcher.scan_overfetch = 0
 
 
+def test_xbin_mode_matches_exact(setup):
+    """mode="xbin" (XLA binned-min scan): at this fixture size the whole
+    array is one tile group (nt=1), so selection is collision-free and must
+    equal the exact scan; nprobe is ignored."""
+    x, _, searcher, queries = setup
+    assert searcher.can_xbin(5)
+    de, ie = searcher.exact(queries, k=5)
+    d1, i1 = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(de), rtol=1e-5)
+    dl, il = searcher.search_loop(queries, k=5, nprobe=1, reps=2, mode="xbin")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+    dl, il = searcher.exact_loop(queries, k=5, reps=2, mode="xbin")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+
+
+def test_xbin_multi_tile_provenance(setup):
+    """Small l_bins forces nt > 1: packed keys must decode to the right
+    rows (exact distances, ascending, subset of the array) with only bin
+    collisions as selection loss."""
+    from pqvector_tpu.query.device import _exact_xbin_impl
+
+    x, _, searcher, queries = setup
+    n_pad = int(searcher.emb.shape[0])
+    assert n_pad % 128 == 0 and n_pad // 128 > 1
+    d2, ids = _exact_xbin_impl(
+        jnp_q := searcher._check_queries(queries), searcher.emb,
+        searcher.emb_sq, k=5, l_bins=128,
+    )
+    d2, ids = np.asarray(d2), np.asarray(ids)
+    hits = 0
+    for b, q in enumerate(queries):
+        want_ids, want_d = brute_force(x, q, 5)
+        got = ids[b][ids[b] >= 0]
+        assert len(set(got.tolist())) == len(got)  # distinct rows
+        # Exact re-scored distances for whatever was selected, ascending.
+        true_d = ((x[got] - q[None, :]) ** 2).sum(1)
+        np.testing.assert_allclose(d2[b][: len(got)], true_d, rtol=1e-4)
+        assert np.all(np.diff(d2[b]) >= -1e-5)
+        hits += len(set(got.tolist()) & set(want_ids.tolist()))
+    # 128 bins x nt=4: collisions among the top-5 are rare but possible.
+    assert hits >= 0.8 * queries.shape[0] * 5
+
+
 def test_exact_loop_approx_mode(setup):
     x, _, searcher, queries = setup
     de, ie = searcher.exact(queries, k=5)

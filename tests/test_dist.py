@@ -169,6 +169,24 @@ def test_distributed_scan_matches_exact(mesh, data):
     np.testing.assert_array_equal(il, ie)
 
 
+def test_distributed_xbin_matches_exact(mesh, data):
+    """Distributed XLA binned-min scan: with one tile group per shard
+    (l_bins = rows_per_dev) selection is collision-free, so ids match the
+    distributed exact searcher exactly."""
+    index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0))
+    rng = np.random.default_rng(5)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    exact = DistributedExactSearcher(data, mesh=mesh, row_tile=64)
+    de, ie = exact.search(queries, k=4)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=64)
+    assert dist.can_xbin(4)
+    dx, ix = dist.search_xbin(queries, k=4)
+    np.testing.assert_array_equal(ix, ie)
+    np.testing.assert_allclose(dx, de, rtol=1e-5, atol=1e-5)
+    dl, il = dist.search_xbin(queries, k=4, reps=2)
+    np.testing.assert_array_equal(il, ie)
+
+
 def test_cluster_axis_matches_single_device(data):
     """2-D (data x cluster) mesh probe fan-out: ids match the row-sharded
     1-D fused path (and therefore the single-device searcher) for several
