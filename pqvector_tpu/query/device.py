@@ -285,6 +285,7 @@ def _exact_xbin_impl(
     l_bins: int,
     score_dtype=jnp.float32,
     overfetch: int = 0,
+    chunk_groups: int = 0,
 ):
     """Full scan with XLA binned-min extraction (fused-epilogue selection).
 
@@ -308,31 +309,65 @@ def _exact_xbin_impl(
     ORIGINAL row order: on cluster-sorted layouts a cluster spanning two
     tiles puts same-offset rows in the same bin.
 
+    ``chunk_groups`` > 0 switches to a ``lax.scan`` over blocks of that
+    many tile groups (clamped to a divisor of nt): per-step matmul+min
+    with an int32 key accumulator carried in HBM. Memory is bounded at
+    [B, chunk_groups*l_bins] per step even if XLA declines to fuse the
+    strided reshape+min into the dot (the unchunked form would then
+    materialize the full [B, n] block — 16 GB at B=4096 x 1M f32).
+
     Reference behavior anchor: exact-selection search over probed lists,
     /root/reference/src/ivf/search.rs:100-127 (nprobe-free serving scan).
     """
     b = q.shape[0]
-    n_pad = emb.shape[0]
+    n_pad, d = emb.shape
     nt = n_pad // l_bins
     bits = max(1, (nt - 1).bit_length())
     mask = jnp.int32(~((1 << bits) - 1))
     qf = q.astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
-    scores = jnp.dot(
-        qf, emb.T, preferred_element_type=score_dtype,
-        precision=score_precision(qf.dtype, emb.dtype, score_dtype),
-    )
-    # True squared distance (>= 0 up to rounding): the rank-neutral |q|^2
-    # is added back so non-negative bitcast ordering holds. A value that
-    # rounds slightly negative (exact-duplicate row) bitcasts below every
-    # non-negative key and wins its bin — the correct selection.
-    part = (
-        emb_sq[None, :] - 2.0 * scores.astype(jnp.float32) + qsq[:, None]
-    )
+    prec = score_precision(qf.dtype, emb.dtype, score_dtype)
     code = jnp.arange(n_pad, dtype=jnp.int32) // l_bins
-    keys = jax.lax.bitcast_convert_type(part, jnp.int32)
-    keys = (keys & mask) | code[None, :]
-    binmins = jnp.min(keys.reshape(b, nt, l_bins), axis=1)  # [B, l_bins]
+
+    def block_keys(e_blk, s_blk, c_blk, g):
+        # [B, g*l_bins] scores -> packed keys -> per-bin min over the g
+        # local tile groups. True squared distance (>= 0 up to rounding):
+        # the rank-neutral |q|^2 is added back so non-negative bitcast
+        # ordering holds. A value that rounds slightly negative
+        # (exact-duplicate row) bitcasts below every non-negative key and
+        # wins its bin — the correct selection.
+        scores = jnp.dot(
+            qf, e_blk.T, preferred_element_type=score_dtype, precision=prec
+        )
+        part = (
+            s_blk[None, :] - 2.0 * scores.astype(jnp.float32)
+            + qsq[:, None]
+        )
+        keys = jax.lax.bitcast_convert_type(part, jnp.int32)
+        keys = (keys & mask) | c_blk[None, :]
+        return jnp.min(keys.reshape(b, g, l_bins), axis=1)
+
+    if chunk_groups and chunk_groups < nt:
+        g = max(1, min(chunk_groups, nt))
+        while nt % g:  # largest divisor of nt <= chunk_groups
+            g -= 1
+        ngrp = nt // g
+
+        def step(carry, xs):
+            e_blk, s_blk, c_blk = xs
+            return jnp.minimum(carry, block_keys(e_blk, s_blk, c_blk, g)), None
+
+        binmins, _ = jax.lax.scan(
+            step,
+            jnp.full((b, l_bins), jnp.int32(2**31 - 1)),
+            (
+                emb.reshape(ngrp, g * l_bins, d),
+                emb_sq.reshape(ngrp, g * l_bins),
+                code.reshape(ngrp, g * l_bins),
+            ),
+        )
+    else:
+        binmins = block_keys(emb, emb_sq, code, nt)  # [B, l_bins]
     k_fetch = min(
         max(k, overfetch) if overfetch else max(2 * k, 32), l_bins
     )
@@ -671,6 +706,10 @@ class DeviceIvfSearcher:
         # collisions but a bigger [B, l_bins] table (HBM write+read) and a
         # wider host top_k. Must divide the padded row count.
         self.xbin_bins = 0
+        # xbin memory hedge: >0 chunks the scan into lax.scan steps of
+        # this many tile groups (see _exact_xbin_impl); 0 = one fused
+        # matmul+binned-min over the whole array.
+        self.xbin_chunk_groups = 0
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -872,6 +911,7 @@ class DeviceIvfSearcher:
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
+                chunk_groups=self.xbin_chunk_groups,
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -1132,6 +1172,7 @@ class DeviceIvfSearcher:
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
+                chunk_groups=self.xbin_chunk_groups,
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -1532,6 +1573,7 @@ class DeviceIvfSearcher:
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
+            xbin_chunk=self.xbin_chunk_groups if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
@@ -1575,6 +1617,7 @@ class DeviceIvfSearcher:
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
+            xbin_chunk=self.xbin_chunk_groups if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )
@@ -1709,7 +1752,7 @@ import functools as _functools
         "use_bincompact", "binscan_tile", "bin_expand", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
-        "xbin_bins",
+        "xbin_bins", "xbin_chunk",
     ),
 )
 def _masked_pallas_loop(
@@ -1719,7 +1762,7 @@ def _masked_pallas_loop(
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
-    xbin_bins=0,
+    xbin_bins=0, xbin_chunk=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -1757,6 +1800,7 @@ def _masked_pallas_loop(
             return _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
+                chunk_groups=xbin_chunk,
             )
         if use_scan:
             return _exact_approx_topk_impl(
@@ -1804,12 +1848,12 @@ def _masked_pallas_loop(
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
-                     "use_xbin", "xbin_bins"),
+                     "use_xbin", "xbin_bins", "xbin_chunk"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
-    binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
+    binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0, xbin_chunk=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -1825,6 +1869,7 @@ def _exact_pallas_loop(
             d2, ids = _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
+                chunk_groups=xbin_chunk,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -1853,7 +1898,9 @@ _exact_approx_topk = jax.jit(
 )
 _exact_xbin = jax.jit(
     _exact_xbin_impl,
-    static_argnames=("k", "l_bins", "score_dtype", "overfetch"),
+    static_argnames=(
+        "k", "l_bins", "score_dtype", "overfetch", "chunk_groups"
+    ),
 )
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(

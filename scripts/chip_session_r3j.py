@@ -147,6 +147,12 @@ if s.can_xbin(10):
                lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin")[1])
         log(f"  xbin bins={s._xbin_bins_checked(10)}: "
             f"recall@10(bf16-exact)={r:.4f}")
+    # Chunked variant (memory hedge): same keys via lax.scan accumulator.
+    s.xbin_bins = 7840
+    s.xbin_chunk_groups = 16
+    timeit("xbin bins=7840 chunk=16 ",
+           lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin")[1])
+    s.xbin_chunk_groups = 0
     s.xbin_bins = 0
 else:
     log("xbin ineligible")

@@ -348,6 +348,40 @@ def test_xbin_multi_tile_provenance(setup):
     assert hits >= 0.8 * queries.shape[0] * 5
 
 
+def test_xbin_chunked_matches_unchunked(setup):
+    """chunk_groups folds the same keys through a lax.scan accumulator:
+    bit-identical selection to the one-fusion form for any divisor, and
+    non-divisor requests clamp to the largest divisor of nt."""
+    from pqvector_tpu.query.device import _exact_xbin_impl
+
+    x, _, searcher, queries = setup
+    q = searcher._check_queries(queries)
+    ref_d, ref_i = _exact_xbin_impl(
+        q, searcher.emb, searcher.emb_sq, k=5, l_bins=128
+    )
+    nt = int(searcher.emb.shape[0]) // 128
+    assert nt > 1
+    for g in (1, 2, nt - 1, nt):
+        d2, ids = _exact_xbin_impl(
+            q, searcher.emb, searcher.emb_sq, k=5, l_bins=128,
+            chunk_groups=g,
+        )
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(d2), np.asarray(ref_d), rtol=1e-6
+        )
+    # Through the serving knob: same ids as the unchunked searcher mode.
+    _, i0 = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+    searcher.xbin_chunk_groups = 2
+    try:
+        _, i1 = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+        _, il = searcher.exact_loop(queries, k=5, reps=2, mode="xbin")
+    finally:
+        searcher.xbin_chunk_groups = 0
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(i0))
+
+
 def test_exact_loop_approx_mode(setup):
     x, _, searcher, queries = setup
     de, ie = searcher.exact(queries, k=5)
