@@ -440,25 +440,8 @@ def main():
         # exact-selection modes share the sweep's recall by construction.
         mode_qps: dict[str, float] = {}
         modes = loop_modes if args.mode == "auto" else (args.mode,)
-        for mode in modes:
-            if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
-                continue
-            if mode == "compact" and searcher.compact_coverage(
-                batch, chosen, args.k
-            ) >= 0.6:
-                log("mode=compact skipped (probed union covers most tiles)")
-                continue
-            if mode == "binscan" and not scan_searcher.can_binscan(args.k):
-                log("mode=binscan skipped (bin/provenance limits)")
-                continue
-            if mode == "xbin" and not scan_searcher.can_xbin(args.k):
-                log("mode=xbin skipped (no eligible bin count)")
-                continue
-            if mode == "bincompact" and searcher.bincompact_coverage(
-                batch, chosen, args.k
-            ) >= 0.9:
-                log("mode=bincompact skipped (ineligible or ~full coverage)")
-                continue
+
+        def _measure_one_mode(mode):
             if mode in ("approx", "compact", "scan", "binscan", "bincompact",
                         "xbin"):
                 s_m = mode_searcher(mode)
@@ -486,11 +469,40 @@ def main():
                     log(f"mode={mode} recall {r_m:.4f} < target; excluded")
                     if mode == "scan":
                         scan_searcher.scan_overfetch = 0
-                    continue
+                    return
                 if mode != "scan":
                     log(f"mode={mode}: recall@{args.k}={r_m:.4f}")
             mode_qps[mode] = measure_mode(mode, qbatch)
             log(f"mode={mode}: {mode_qps[mode]:.0f} QPS @ B={batch}")
+
+        for mode in modes:
+            if mode == "stream" and not searcher._can_stream_masked(args.k, batch):
+                continue
+            if mode == "compact" and searcher.compact_coverage(
+                batch, chosen, args.k
+            ) >= 0.6:
+                log("mode=compact skipped (probed union covers most tiles)")
+                continue
+            if mode == "binscan" and not scan_searcher.can_binscan(args.k):
+                log("mode=binscan skipped (bin/provenance limits)")
+                continue
+            if mode == "xbin" and not scan_searcher.can_xbin(args.k):
+                log("mode=xbin skipped (no eligible bin count)")
+                continue
+            if mode == "bincompact" and searcher.bincompact_coverage(
+                batch, chosen, args.k
+            ) >= 0.9:
+                log("mode=bincompact skipped (ineligible or ~full coverage)")
+                continue
+            try:
+                _measure_one_mode(mode)
+            except Exception as e:  # noqa: BLE001 — one bad mode (e.g. a
+                # device OOM in a new kernel) must not kill the whole
+                # bench run; auto mode just drops it from the contest.
+                if args.mode != "auto":
+                    raise
+                log(f"mode={mode} failed ({type(e).__name__}: {e}); excluded")
+                scan_searcher.scan_overfetch = 0
         if not mode_qps:
             # Every requested mode was excluded (recall gate / eligibility);
             # fall back to the always-eligible exact-selection kernel so the
@@ -536,7 +548,16 @@ def main():
                         args.k, big_b
                     ):
                         continue
-                    bq[mode] = measure_mode(mode, big)
+                    try:
+                        bq[mode] = measure_mode(mode, big)
+                    except Exception as e:  # noqa: BLE001 — memory scales
+                        # with B (e.g. xbin's bin table), so a mode that
+                        # passed B=256 can still OOM here; drop it.
+                        log(
+                            f"mode={mode} failed @ B={big_b} "
+                            f"({type(e).__name__}: {e}); excluded"
+                        )
+                        continue
                     log(f"mode={mode}: {bq[mode]:.0f} QPS @ B={big_b}")
                 if bq:
                     best_b = max(bq, key=bq.get)
