@@ -436,15 +436,32 @@ class DistributedIvfSearcher:
 
         return _xbin_bins(self._rows_per_dev, k) > 0
 
-    def search_xbin(self, queries: np.ndarray, k: int, reps: int | None = None):
+    def search_xbin(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        l_bins: int = 0,
+        chunk_groups: int = 0,
+    ):
         """Distributed XLA binned-min full scan (mode="xbin" analog of
         DeviceIvfSearcher.search: fused-epilogue selection per shard; see
         query/device.py:_exact_xbin_impl). Sharding shrinks each shard's
         tile-group count, so keys spend FEWER provenance bits than the
-        single-chip form."""
+        single-chip form. ``l_bins``/``chunk_groups`` mirror the device
+        searcher's xbin_bins / xbin_chunk_groups knobs (0 = auto bins /
+        unchunked), applied per shard."""
         from ..query.device import _exact_xbin_impl, _xbin_bins
 
-        l_bins = _xbin_bins(self._rows_per_dev, k)
+        if l_bins:
+            if self._rows_per_dev % l_bins or not (0 < k <= l_bins) \
+                    or l_bins > 65536:
+                raise ValidationError(
+                    f"l_bins={l_bins} invalid: must divide rows_per_dev="
+                    f"{self._rows_per_dev}, satisfy k<=bins, stay <= 65536"
+                )
+        else:
+            l_bins = _xbin_bins(self._rows_per_dev, k)
         if not l_bins:
             raise ValidationError(
                 "xbin ineligible for this shard shape/k (no lane-aligned "
@@ -452,7 +469,10 @@ class DistributedIvfSearcher:
             )
 
         def shard_fn(q, emb_local, sq_local):
-            return _exact_xbin_impl(q, emb_local, sq_local, k=k, l_bins=l_bins)
+            return _exact_xbin_impl(
+                q, emb_local, sq_local, k=k, l_bins=l_bins,
+                chunk_groups=chunk_groups,
+            )
 
         return _shard_search_body(
             self, shard_fn,

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+from pqvector_tpu.errors import ValidationError
 from pqvector_tpu.dist import (
     DistributedExactSearcher,
     DistributedIvfSearcher,
@@ -185,6 +186,14 @@ def test_distributed_xbin_matches_exact(mesh, data):
     np.testing.assert_allclose(dx, de, rtol=1e-5, atol=1e-5)
     dl, il = dist.search_xbin(queries, k=4, reps=2)
     np.testing.assert_array_equal(il, ie)
+    # Explicit bins + chunked accumulator: same ids for any divisor pair.
+    lb = dist._rows_per_dev // 2
+    d3, i3 = dist.search_xbin(queries, k=4, l_bins=lb, chunk_groups=1)
+    got = set(np.asarray(i3)[0].tolist())
+    assert got  # collisions possible at 2 rows/bin; ids must be valid rows
+    assert all(0 <= g < data.shape[0] for g in got if g >= 0)
+    with pytest.raises(ValidationError):
+        dist.search_xbin(queries, k=4, l_bins=7)  # not a divisor
 
 
 def test_cluster_axis_matches_single_device(data):
