@@ -83,7 +83,14 @@ def ladder(q0, e, s_, reps, kind, kf=10, rt=0.99):
 
 
 def timeit(tag, fn, budget_s=5.0):
-    np.asarray(fn())
+    # Fault-isolate each step: an OOM/compile failure in one variant (the
+    # unchunked xbin epilogue is a known 16 GB risk at B=4096) must not
+    # abort the session and burn the healthy window for the other steps.
+    try:
+        np.asarray(fn())
+    except Exception as e:
+        log(f"{tag}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+        return None
     n = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < budget_s and n < 8 * REPS:
@@ -141,8 +148,13 @@ if s.can_xbin(10):
         if lb and int(s.emb.shape[0]) % lb:
             continue
         s.xbin_bins = lb
-        _, ids = s.search(q_np[:512], 10, 4, mode="xbin")
-        r = recall(ids)
+        try:
+            _, ids = s.search(q_np[:512], 10, 4, mode="xbin")
+            r = recall(ids)
+        except Exception as e:
+            log(f"xbin bins={lb}: recall probe FAILED "
+                f"({type(e).__name__}: {str(e)[:200]})")
+            continue
         timeit(f"xbin bins={s._xbin_bins_checked(10):<6}       ",
                lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin")[1])
         log(f"  xbin bins={s._xbin_bins_checked(10)}: "
