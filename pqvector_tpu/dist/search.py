@@ -450,8 +450,11 @@ class DistributedIvfSearcher:
         tile-group count, so keys spend FEWER provenance bits than the
         single-chip form. ``l_bins``/``chunk_groups`` mirror the device
         searcher's xbin_bins / xbin_chunk_groups knobs (0 = auto bins /
-        unchunked), applied per shard."""
-        from ..query.device import _exact_xbin_impl, _xbin_bins
+        auto-chunk policy, -1 forces the one-call fused form — see
+        query/device.py:_xbin_auto_chunk), applied per shard."""
+        from ..query.device import (
+            _exact_xbin_impl, _xbin_auto_chunk, _xbin_bins,
+        )
 
         if l_bins:
             if self._rows_per_dev % l_bins or not (0 < k <= l_bins) \
@@ -468,10 +471,15 @@ class DistributedIvfSearcher:
                 "bin count divides the per-shard rows)"
             )
 
+        eff_chunk = _xbin_auto_chunk(
+            int(np.shape(queries)[0]), self._rows_per_dev, l_bins,
+            chunk_groups,
+        )
+
         def shard_fn(q, emb_local, sq_local):
             return _exact_xbin_impl(
                 q, emb_local, sq_local, k=k, l_bins=l_bins,
-                chunk_groups=chunk_groups,
+                chunk_groups=eff_chunk,
             )
 
         return _shard_search_body(

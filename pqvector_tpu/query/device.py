@@ -277,6 +277,33 @@ def _xbin_bins(n_pad: int, k: int) -> int:
     return best if 0 < k <= best else 0
 
 
+#: Auto-chunk budget for mode="xbin" (bytes). The unchunked form relies on
+#: XLA fusing the strided reshape+min epilogue into the scoring dot; if the
+#: compiler declines, the full [B, n_pad] f32 score block materializes in
+#: HBM (16 GB at B=4096 x 1M — a device OOM). Until that fusion is verified
+#: per shape on chip, the auto policy (xbin_chunk_groups=0) only risks an
+#: unfused block up to this budget and chunks beyond it.
+_XBIN_FUSE_BUDGET = int(
+    os.environ.get("PQVECTOR_TPU_XBIN_FUSE_BUDGET", 2 << 30)
+)
+
+
+def _xbin_auto_chunk(b: int, n_pad: int, l_bins: int, chunk_groups: int) -> int:
+    """Effective ``chunk_groups`` for _exact_xbin_impl.
+
+    >0 = explicit; -1 = force the one-call fused form (experiments);
+    0 = auto: unchunked while a hypothetical unfused [B, n_pad] f32 block
+    stays within _XBIN_FUSE_BUDGET, else lax.scan steps sized so the
+    per-step [B, g*l_bins] block stays within the budget (min one tile
+    group — [B, l_bins] must fit regardless, it is the output table).
+    """
+    if chunk_groups > 0:
+        return int(chunk_groups)
+    if chunk_groups < 0 or b * n_pad * 4 <= _XBIN_FUSE_BUDGET:
+        return 0
+    return max(1, _XBIN_FUSE_BUDGET // max(1, b * l_bins * 4))
+
+
 def _exact_xbin_impl(
     q: jnp.ndarray,  # [B, d] f32
     emb: jnp.ndarray,  # [n_pad, d]
@@ -707,8 +734,10 @@ class DeviceIvfSearcher:
         # wider host top_k. Must divide the padded row count.
         self.xbin_bins = 0
         # xbin memory hedge: >0 chunks the scan into lax.scan steps of
-        # this many tile groups (see _exact_xbin_impl); 0 = one fused
-        # matmul+binned-min over the whole array.
+        # this many tile groups (see _exact_xbin_impl); -1 forces the
+        # one-call fused form; 0 (default) = auto policy: unchunked only
+        # while the worst-case unfused score block stays within
+        # _XBIN_FUSE_BUDGET (PQVECTOR_TPU_XBIN_FUSE_BUDGET, 2 GiB).
         self.xbin_chunk_groups = 0
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
@@ -911,7 +940,10 @@ class DeviceIvfSearcher:
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
-                chunk_groups=self.xbin_chunk_groups,
+                chunk_groups=_xbin_auto_chunk(
+                    q.shape[0], int(self.emb.shape[0]),
+                    self._xbin_bins_checked(k), self.xbin_chunk_groups,
+                ),
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -1172,7 +1204,10 @@ class DeviceIvfSearcher:
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
-                chunk_groups=self.xbin_chunk_groups,
+                chunk_groups=_xbin_auto_chunk(
+                    q.shape[0], int(self.emb.shape[0]),
+                    self._xbin_bins_checked(k), self.xbin_chunk_groups,
+                ),
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -1573,7 +1608,10 @@ class DeviceIvfSearcher:
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
-            xbin_chunk=self.xbin_chunk_groups if use_xbin else 0,
+            xbin_chunk=_xbin_auto_chunk(
+                q.shape[0], int(self.emb.shape[0]),
+                self._xbin_bins_checked(k), self.xbin_chunk_groups,
+            ) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
         )
@@ -1617,7 +1655,10 @@ class DeviceIvfSearcher:
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
-            xbin_chunk=self.xbin_chunk_groups if use_xbin else 0,
+            xbin_chunk=_xbin_auto_chunk(
+                q.shape[0], int(self.emb.shape[0]),
+                self._xbin_bins_checked(k), self.xbin_chunk_groups,
+            ) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
         )

@@ -144,6 +144,10 @@ s.scan_overfetch = 0
 # [B, l_bins] table (HBM write+read) + wider top_k. n_pad = 1,003,520 =
 # 4096 x 245; lane-aligned divisor candidates below.
 if s.can_xbin(10):
+    # Force the one-call fused form (-1): the default 0 is now an
+    # auto-chunk policy that would chunk at B=4096 x 1M; this session's
+    # whole point is to measure whether XLA fuses the unchunked epilogue.
+    s.xbin_chunk_groups = -1
     for lb in (0, 31360, 15680, 7840, 3584):
         if lb and int(s.emb.shape[0]) % lb:
             continue

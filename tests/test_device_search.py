@@ -382,6 +382,41 @@ def test_xbin_chunked_matches_unchunked(setup):
     np.testing.assert_array_equal(np.asarray(il), np.asarray(i0))
 
 
+def test_xbin_auto_chunk_policy(setup, monkeypatch):
+    """xbin_chunk_groups=0 is an auto policy: unchunked within the fuse
+    budget, bounded lax.scan steps beyond it (the unchunked epilogue is a
+    16 GB OOM risk at B=4096 x 1M if XLA declines the strided-reshape
+    fusion); -1 forces the one-call form; results are identical either
+    way."""
+    from pqvector_tpu.query import device as dev
+
+    # Pure policy math.
+    assert dev._xbin_auto_chunk(4096, 1_003_520, 62720, 7) == 7  # explicit
+    assert dev._xbin_auto_chunk(4096, 1_003_520, 62720, -1) == 0  # forced
+    assert dev._xbin_auto_chunk(256, 1_003_520, 62720, 0) == 0  # in budget
+    g = dev._xbin_auto_chunk(4096, 1_003_520, 62720, 0)  # 16 GB unfused
+    assert g >= 1 and 4096 * g * 62720 * 4 <= dev._XBIN_FUSE_BUDGET
+
+    # Behavioral: shrink the budget so the fixture trips the auto chunk;
+    # selection must stay bit-identical to the forced-unchunked form.
+    x, _, searcher, queries = setup
+    _, i_fused = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+    monkeypatch.setattr(dev, "_XBIN_FUSE_BUDGET", 1024)
+    searcher.xbin_chunk_groups = -1
+    try:
+        _, i_forced = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+        searcher.xbin_chunk_groups = 0
+        _, i_auto = searcher.search(queries, k=5, nprobe=1, mode="xbin")
+        _, i_loop = searcher.search_loop(
+            queries, k=5, nprobe=1, reps=2, mode="xbin"
+        )
+    finally:
+        searcher.xbin_chunk_groups = 0
+    np.testing.assert_array_equal(np.asarray(i_forced), np.asarray(i_fused))
+    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_fused))
+    np.testing.assert_array_equal(np.asarray(i_loop), np.asarray(i_fused))
+
+
 def test_exact_loop_approx_mode(setup):
     x, _, searcher, queries = setup
     de, ie = searcher.exact(queries, k=5)
