@@ -416,9 +416,19 @@ def main():
         "bincompact", "xbin",
     )
 
+    # mode="scan" fetch width tuned by _measure_one_mode (None until then).
+    # The knob lives on the shared searcher and is honored by scan, approx
+    # AND xbin — scope it to scan here so a width tuned for scan's recall
+    # gate cannot silently leak into the other modes' measurements.
+    scan_tuned: list = [None]
+
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
         s_m = mode_searcher(mode)
+        s_m.scan_overfetch = (
+            scan_tuned[0] if mode == "scan" and scan_tuned[0] is not None
+            else 0
+        )
 
         def loop(q, r):
             return s_m.search_loop(q, args.k, chosen, reps=r, mode=mode)
@@ -450,6 +460,8 @@ def main():
             if mode in ("approx", "compact", "scan", "binscan", "bincompact",
                         "xbin"):
                 s_m = mode_searcher(mode)
+                if mode != "scan":
+                    s_m.scan_overfetch = 0  # recall probe at default width
                 if mode == "scan":
                     # Tune the ApproxTopK fetch width to the narrowest that
                     # clears the recall gate: the PartialReduce extraction
@@ -466,6 +478,7 @@ def main():
                             f"recall@{args.k}={r_m:.4f}"
                         )
                         if r_m >= args.recall_target:
+                            scan_tuned[0] = kf
                             break
                 else:
                     _, ids_m = s_m.search(queries, args.k, chosen, mode=mode)

@@ -452,8 +452,9 @@ class DistributedIvfSearcher:
         searcher's xbin_bins / xbin_chunk_groups knobs (0 = auto bins /
         auto-chunk policy, -1 forces the one-call fused form — see
         query/device.py:_xbin_auto_chunk), applied per shard."""
+        from ..kernels.binscan import PROVENANCE_BITS_MAX
         from ..query.device import (
-            _exact_xbin_impl, _xbin_auto_chunk, _xbin_bins,
+            _exact_xbin_impl, _xbin_auto_chunk, _xbin_bins, _xbin_code_bits,
         )
 
         if l_bins:
@@ -463,6 +464,13 @@ class DistributedIvfSearcher:
                     f"l_bins={l_bins} invalid: must divide rows_per_dev="
                     f"{self._rows_per_dev}, satisfy k<=bins, stay <= 65536"
                 )
+            if _xbin_code_bits(self._rows_per_dev, l_bins) \
+                    > PROVENANCE_BITS_MAX:
+                raise ValidationError(
+                    f"l_bins={l_bins} spends "
+                    f"{_xbin_code_bits(self._rows_per_dev, l_bins)} "
+                    f"provenance bits per shard (max {PROVENANCE_BITS_MAX})"
+                )
         else:
             l_bins = _xbin_bins(self._rows_per_dev, k)
         if not l_bins:
@@ -471,9 +479,9 @@ class DistributedIvfSearcher:
                 "bin count divides the per-shard rows)"
             )
 
+        b = int(np.shape(queries)[0]) if np.ndim(queries) > 1 else 1
         eff_chunk = _xbin_auto_chunk(
-            int(np.shape(queries)[0]), self._rows_per_dev, l_bins,
-            chunk_groups,
+            b, self._rows_per_dev, l_bins, chunk_groups,
         )
 
         def shard_fn(q, emb_local, sq_local):
@@ -499,12 +507,21 @@ class DistributedIvfSearcher:
     # ------------------------------------------------------------------
 
     def _binscan_tile(self) -> int:
+        """Largest lane-aligned tile dividing the per-shard rows whose
+        working set also fits scoped VMEM (binscan_b_tile >= 256, the same
+        gate as DeviceIvfSearcher._binscan_vmem_ok — without it a large-dim
+        shard would pass eligibility and then crash in the kernel)."""
+        from ..kernels.binscan import binscan_b_tile
+
         rows_per_dev = self._rows_per_dev
+        d = int(self.emb.shape[1])
+        esize = jnp.dtype(self.emb.dtype).itemsize
         for t in (1024, 512, 256, 128):
-            if rows_per_dev % t == 0:
+            if rows_per_dev % t == 0 and binscan_b_tile(t, d, esize) >= 256:
                 return t
         raise ValidationError(
-            f"shard row count {rows_per_dev} is not lane-aligned for binscan"
+            f"shard row count {rows_per_dev} has no lane-aligned binscan "
+            f"tile that fits scoped VMEM at d={d}"
         )
 
     def can_binscan(self, k: int = 10) -> bool:
@@ -639,6 +656,11 @@ class DistributedIvfSearcher:
         b = q.shape[0] if q.ndim > 1 else 1
         if cap is None:
             cap = self._bincompact_cap(b, nprobe)
+        else:
+            # The kernel's grid is static over `cap` selected tiles; a cap
+            # beyond the shard tile count would read past the
+            # scalar-prefetch tile list on TPU (garbage DMA offsets).
+            cap = max(1, min(int(cap), self._nt_local))
         return self._bincompact_body(k, nprobe, reps, cap)(queries)
 
 

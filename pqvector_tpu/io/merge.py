@@ -29,7 +29,6 @@ import os
 from ..errors import FormatError, ValidationError
 from .thrift import (
     CT_BINARY,
-    CT_I16,
     CT_I64,
     CT_LIST,
     CT_STOP,
@@ -42,7 +41,6 @@ from .thrift import (
     zigzag_encode,
 )
 
-FOOTER_SIZE = 8
 MAGIC = b"PAR1"
 
 
@@ -130,7 +128,6 @@ _FMD_COLUMN_ORDERS = 7
 _RG_COLUMNS = 1
 _RG_TOTAL_BYTE_SIZE = 2
 _RG_NUM_ROWS = 3
-_RG_SORTING = 4
 _RG_FILE_OFFSET = 5
 _RG_TOTAL_COMPRESSED = 6
 _RG_ORDINAL = 7
@@ -272,17 +269,14 @@ def _shift_offset_index(raw: bytes, page_shift: int) -> bytes:
 
 class _PartMeta:
     def __init__(self, path: str):
+        from .embed import read_footer_metadata
+
         self.path = path
-        with open(path, "rb") as f:
-            f.seek(0, os.SEEK_END)
-            size = f.tell()
-            f.seek(size - FOOTER_SIZE)
-            tail = f.read(FOOTER_SIZE)
-            if tail[4:] != MAGIC:
-                raise FormatError(f"'{path}' is not a valid parquet file")
-            meta_len = int.from_bytes(tail[:4], "little")
-            f.seek(size - FOOTER_SIZE - meta_len)
-            meta = f.read(meta_len)
+        # Shared bounds-checked footer reader (magic, encryption and
+        # footer-length-vs-file-size checks) — a corrupt part must raise
+        # FormatError here, not a confusing negative-seek OSError that the
+        # write_parquet_with_index fallback would silently swallow.
+        meta = read_footer_metadata(path)
         self.fields = {}
         buf = memoryview(meta)
         fields, _ = parse_struct_fields(buf)
@@ -490,34 +484,33 @@ def _merged_metadata(
                 new_start = ch.pages_start + shifts[key]
                 if first_offset is None or new_start < first_offset:
                     first_offset = new_start
-        num_rows_body = metas[0].rg_field(metas[0].row_groups[g], _RG_NUM_ROWS)
+        # Re-emit part 0's RowGroup with targeted replacements (the same
+        # pattern as the ColumnChunk path) so any field this module does
+        # not know about — e.g. one added by a newer writer — survives
+        # verbatim, as the module contract promises. num_rows and
+        # sorting_columns are kept from part 0 (identical across parts by
+        # the row-count check above).
+        def rg_transform(fid, ctype, body, g=g, cols=cols,
+                         total_byte_size=total_byte_size,
+                         total_compressed=total_compressed,
+                         first_offset=first_offset):
+            if fid == _RG_COLUMNS:
+                return join_struct_list(cols)
+            if fid == _RG_TOTAL_BYTE_SIZE:
+                return enc_i64(total_byte_size)
+            if fid == _RG_FILE_OFFSET:
+                return enc_i64(
+                    first_offset if first_offset is not None else 4
+                )
+            if fid == _RG_TOTAL_COMPRESSED:
+                return enc_i64(total_compressed)
+            if fid == _RG_ORDINAL:
+                return write_varint(zigzag_encode(g))
+            return None
 
-        out = bytearray()
-        prev = 0
-        out += write_field_header(prev, _RG_COLUMNS, CT_LIST)
-        out += join_struct_list(cols)
-        prev = _RG_COLUMNS
-        out += write_field_header(prev, _RG_TOTAL_BYTE_SIZE, CT_I64)
-        out += enc_i64(total_byte_size)
-        prev = _RG_TOTAL_BYTE_SIZE
-        out += write_field_header(prev, _RG_NUM_ROWS, CT_I64)
-        out += num_rows_body
-        prev = _RG_NUM_ROWS
-        sorting = metas[0].rg_field(metas[0].row_groups[g], _RG_SORTING)
-        if sorting is not None:
-            out += write_field_header(prev, _RG_SORTING, CT_LIST)
-            out += sorting
-            prev = _RG_SORTING
-        out += write_field_header(prev, _RG_FILE_OFFSET, CT_I64)
-        out += enc_i64(first_offset if first_offset is not None else 4)
-        prev = _RG_FILE_OFFSET
-        out += write_field_header(prev, _RG_TOTAL_COMPRESSED, CT_I64)
-        out += enc_i64(total_compressed)
-        prev = _RG_TOTAL_COMPRESSED
-        out += write_field_header(prev, _RG_ORDINAL, CT_I16)
-        out += write_varint(zigzag_encode(g))
-        out.append(CT_STOP)
-        rg_items.append(bytes(out))
+        rg_items.append(
+            reemit_struct(memoryview(metas[0].row_groups[g]), rg_transform)
+        )
     row_groups_body = join_struct_list(rg_items)
 
     # Column orders: merge if every part has them.

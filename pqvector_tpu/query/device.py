@@ -256,22 +256,32 @@ def _exact_approx_topk_impl(
     return d2[:, :k], ids[:, :k]
 
 
+def _xbin_code_bits(n_pad: int, l_bins: int) -> int:
+    """Low mantissa bits a packed xbin key spends on the tile code."""
+    return max(1, (n_pad // l_bins - 1).bit_length())
+
+
 def _xbin_bins(n_pad: int, k: int) -> int:
     """Bin count for mode="xbin": the largest lane-aligned (128-multiple)
     divisor of ``n_pad`` that one ``lax.top_k`` call handles (<= 64k
-    columns — CLAUDE.md: wide-axis top_k is pathological on this backend).
+    columns — CLAUDE.md: wide-axis top_k is pathological on this backend)
+    AND whose tile code fits the packed key's provenance budget
+    (PROVENANCE_BITS_MAX, shared with kernels/binscan.py — beyond it the
+    code bits eat too many value mantissa bits for reliable selection).
     0 when ineligible. More bins = fewer collisions among the true top-k
     AND fewer provenance bits spent per key."""
     cap = min(n_pad, 65536)
     best = 0
     for l_bins in range(128, cap + 1, 128):
-        if n_pad % l_bins == 0:
+        if n_pad % l_bins == 0 and \
+                _xbin_code_bits(n_pad, l_bins) <= PROVENANCE_BITS_MAX:
             best = l_bins
     if not best:
         # No lane-aligned divisor (tiny or odd shard shapes): any divisor
         # is correct — alignment only affects the bin table's lane packing.
         for l_bins in range(cap, 0, -1):
-            if n_pad % l_bins == 0:
+            if n_pad % l_bins == 0 and \
+                    _xbin_code_bits(n_pad, l_bins) <= PROVENANCE_BITS_MAX:
                 best = l_bins
                 break
     return best if 0 < k <= best else 0
@@ -487,10 +497,24 @@ def _compact_select(
         # per element (measured 72 ms for 10M rows — the whole budget).
         tile_pop = jnp.zeros(nt, jnp.int32)
         cnt = counts[:kc]
-        for j in range(max_cluster_tiles):
-            t = jnp.clip(tile_lo + j, 0, nt - 1)
-            val = jnp.where(tile_lo + j <= tile_hi, cnt, 0)
-            tile_pop = tile_pop.at[t].max(val)
+        if max_cluster_tiles <= 16:
+            for j in range(max_cluster_tiles):
+                t = jnp.clip(tile_lo + j, 0, nt - 1)
+                val = jnp.where(tile_lo + j <= tile_hi, cnt, 0)
+                tile_pop = tile_pop.at[t].max(val)
+        else:
+            # A skewed index can make one cluster span thousands of tiles;
+            # unrolled, each step emits its own scatter-max (HLO size and
+            # remote-compile time scale with the span). Roll it instead —
+            # identical ops, constant-size graph.
+            def _pop_step(j, pop):
+                t = jnp.clip(tile_lo + j, 0, nt - 1)
+                val = jnp.where(tile_lo + j <= tile_hi, cnt, 0)
+                return pop.at[t].max(val)
+
+            tile_pop = jax.lax.fori_loop(
+                0, max_cluster_tiles, _pop_step, tile_pop
+            )
     else:
         cl_t = row_cluster.reshape(nt, ctile)
         tile_pop = counts[cl_t].max(axis=1)
@@ -1759,6 +1783,14 @@ class DeviceIvfSearcher:
                 raise ValidationError(
                     f"xbin_bins={l_bins} invalid: must divide n_pad="
                     f"{n_pad}, satisfy k<=bins, and stay <= 65536"
+                )
+            if _xbin_code_bits(n_pad, l_bins) > PROVENANCE_BITS_MAX:
+                raise ValidationError(
+                    f"xbin_bins={l_bins} spends "
+                    f"{_xbin_code_bits(n_pad, l_bins)} provenance bits at "
+                    f"n_pad={n_pad} (max {PROVENANCE_BITS_MAX}): too few "
+                    f"value mantissa bits for reliable selection; use more "
+                    f"bins"
                 )
             return l_bins
         l_bins = _xbin_bins(n_pad, k)

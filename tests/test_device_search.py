@@ -382,6 +382,56 @@ def test_xbin_chunked_matches_unchunked(setup):
     np.testing.assert_array_equal(np.asarray(il), np.asarray(i0))
 
 
+def test_compact_select_rolled_matches_gather():
+    """A cluster spanning > 16 tiles routes tile-popularity into the rolled
+    fori_loop (unrolled scatter-max per step would scale HLO size with the
+    span on skewed indexes); selection must equal the gather formulation."""
+    import jax.numpy as jnp
+
+    from pqvector_tpu.query.device import _compact_select
+
+    rng = np.random.default_rng(0)
+    kc, d, ctile = 4, 8, 16
+    spans = [20, 2, 1, 1]  # cluster 0 spans 20 tiles -> rolled branch
+    nt = sum(spans)
+    n_pad = nt * ctile
+    tile_lo = jnp.asarray(np.cumsum([0] + spans[:-1]), jnp.int32)
+    tile_hi = jnp.asarray(np.cumsum(spans), jnp.int32) - 1
+    row_cluster = jnp.asarray(
+        np.repeat(np.arange(kc), np.array(spans) * ctile), jnp.int32
+    )
+    centroids = jnp.asarray(rng.standard_normal((kc, d)), jnp.float32)
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+    q = jnp.asarray(rng.standard_normal((3, d)), jnp.float32)
+    args = (q, centroids, c_sq, row_cluster, jnp.int32(2), 4, ctile, nt)
+    sel_rolled = _compact_select(*args, tile_lo, tile_hi, max(spans), n_pad)
+    sel_gather = _compact_select(*args, None, None, 0, n_pad)
+    np.testing.assert_array_equal(
+        np.asarray(sel_rolled), np.asarray(sel_gather)
+    )
+
+
+def test_xbin_provenance_cap():
+    """xbin tile codes share binscan's provenance-bit budget: a bin count
+    whose code bits exceed PROVENANCE_BITS_MAX eats too many value mantissa
+    bits for reliable selection — auto skips it, explicit raises."""
+    from types import SimpleNamespace
+
+    from pqvector_tpu.errors import ValidationError
+    from pqvector_tpu.kernels.binscan import PROVENANCE_BITS_MAX
+    from pqvector_tpu.query.device import (
+        DeviceIvfSearcher, _xbin_bins, _xbin_code_bits,
+    )
+
+    n_pad = 128 * (1 << 17)  # 16.8M rows: 128 bins would need 17 code bits
+    assert _xbin_code_bits(n_pad, 128) == 17 > PROVENANCE_BITS_MAX
+    lb = _xbin_bins(n_pad, 10)
+    assert lb > 0 and _xbin_code_bits(n_pad, lb) <= PROVENANCE_BITS_MAX
+    fake = SimpleNamespace(emb=np.empty((n_pad, 0)), xbin_bins=128)
+    with pytest.raises(ValidationError, match="provenance bits"):
+        DeviceIvfSearcher._xbin_bins_checked(fake, 10)
+
+
 def test_xbin_auto_chunk_policy(setup, monkeypatch):
     """xbin_chunk_groups=0 is an auto policy: unchunked within the fuse
     budget, bounded lax.scan steps beyond it (the unchunked epilogue is a

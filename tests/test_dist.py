@@ -288,6 +288,10 @@ def test_distributed_bincompact_matches_fused(mesh, data):
     dl, il = dist.search_bincompact(queries, k=4, nprobe=3, reps=2)
     np.testing.assert_array_equal(il, i1)
     np.testing.assert_allclose(dl, d1, rtol=1e-5)
+    # An explicit cap beyond the shard tile count clamps (the kernel grid
+    # is static over cap; past-the-end would read garbage tile indices).
+    dc, ic = dist.search_bincompact(queries, k=4, nprobe=6, cap=10**6)
+    np.testing.assert_array_equal(ic, ie)
 
 
 def test_distributed_bincompact_probe_selection():
