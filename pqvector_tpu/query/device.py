@@ -691,6 +691,36 @@ def _ivf_masked_scan_impl(
     return _refine_and_sort(q, emb, best_d, best_i)
 
 
+def _dedup_topk(d, ids, k: int):
+    """Collapse duplicate ids in an ascending-by-distance top-m candidate
+    list down to the k nearest DISTINCT ids.
+
+    Spilled layouts (query/spill.py) hold each row at most twice, so a
+    top-2k selection always contains the true top-k distinct rows: the
+    k-th distinct winner bounds every later entry, and the k-1 nearer rows
+    occupy at most 2k-2 slots. Keep-first semantics ride the stable
+    argsort — among equal ids the earlier (nearer) slot survives; invalid
+    slots (id -1, distance inf) sort to the tail either way.
+    """
+    m = ids.shape[1]
+    if k >= m:
+        return d, ids
+    order = jnp.argsort(ids, axis=1, stable=True)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    dup_s = jnp.concatenate(
+        [
+            jnp.zeros_like(ids_s[:, :1], bool),
+            (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    inv = jnp.argsort(order, axis=1)
+    dup = jnp.take_along_axis(dup_s, inv, axis=1)
+    d_m = jnp.where(dup, jnp.inf, d)
+    neg, idx = jax.lax.top_k(-d_m, k)
+    return -neg, jnp.take_along_axis(jnp.where(dup, -1, ids), idx, axis=1)
+
+
 class DeviceIvfSearcher:
     """Device-resident searcher over one embedding matrix + its IVF index."""
 
@@ -716,6 +746,10 @@ class DeviceIvfSearcher:
         # gathers hit consecutive rows and masked scans see runs of equal
         # cluster ids. Returned ids are mapped back to original rows.
         self._gid: np.ndarray | None = None
+        # True when the resident layout holds duplicate rows (spilled
+        # multi-assignment, query/spill.py): public searches then select
+        # 2k and dedup by original id (_dedup_topk).
+        self._spill_dups = False
         if cluster_sorted and not np.array_equal(
             index.row_ids, np.arange(index.total_rows, dtype=index.row_ids.dtype)
         ):
@@ -884,7 +918,7 @@ class DeviceIvfSearcher:
             tile //= 2
         return tile
 
-    def exact(self, queries: np.ndarray, k: int, mode: str = "auto"):
+    def _exact_impl(self, queries: np.ndarray, k: int, mode: str = "auto"):
         """Exact brute-force top-k. Returns (sqrt distances [B,k], ids [B,k]);
         missing slots (k > n) have id -1 and distance inf.
 
@@ -973,7 +1007,9 @@ class DeviceIvfSearcher:
             raise ValidationError(f"Unknown exact mode '{mode}'")
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"):
+    def _search_impl(
+        self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"
+    ):
         """IVF top-k. Returns (sqrt distances [B,k], ids [B,k]); slots beyond
         the candidate count have id -1 and distance inf.
 
@@ -1504,7 +1540,7 @@ class DeviceIvfSearcher:
             )
         return self._tile_tables[tile]
 
-    def search_loop(
+    def _search_loop_impl(
         self, queries, k: int, nprobe: int, reps: int = 16, mode: str = "auto"
     ):
         """``reps`` data-dependency-chained IVF searches in ONE dispatch.
@@ -1641,7 +1677,9 @@ class DeviceIvfSearcher:
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
-    def exact_loop(self, queries, k: int, reps: int = 16, mode: str = "auto"):
+    def _exact_loop_impl(
+        self, queries, k: int, reps: int = 16, mode: str = "auto"
+    ):
         """``reps`` chained exact scans in one dispatch (see search_loop)."""
         q = self._check_queries(queries)
         if k <= 0:
@@ -1812,6 +1850,85 @@ class DeviceIvfSearcher:
         if self._gid_dev is not None:
             ids = self._gid_dev[jnp.clip(ids, 0, self.n - 1)]
         return jnp.where(invalid, -1, ids)
+
+    # ------------------------------------------------------------------
+    # Public entry points. On a spilled layout (with_spill) each row may
+    # appear twice, so the impls select 2k and the wrappers dedup by
+    # original id; otherwise they pass straight through.
+    # ------------------------------------------------------------------
+
+    def _spill_k(self, k: int) -> int:
+        return 2 * k if self._spill_dups and k > 0 else k
+
+    def exact(self, queries: np.ndarray, k: int, mode: str = "auto"):
+        """Exact brute-force top-k (see ``_exact_impl`` for modes)."""
+        d, ids = self._exact_impl(queries, self._spill_k(k), mode)
+        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"
+    ):
+        """IVF top-k (see ``_search_impl`` for the mode catalogue)."""
+        d, ids = self._search_impl(queries, self._spill_k(k), nprobe, mode)
+        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+
+    def search_loop(
+        self, queries, k: int, nprobe: int, reps: int = 16, mode: str = "auto"
+    ):
+        """``reps`` chained IVF searches in ONE dispatch (see
+        ``_search_loop_impl`` — the honest-throughput measurement path)."""
+        d, ids = self._search_loop_impl(
+            queries, self._spill_k(k), nprobe, reps=reps, mode=mode
+        )
+        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+
+    def exact_loop(self, queries, k: int, reps: int = 16, mode: str = "auto"):
+        """``reps`` chained exact scans in one dispatch."""
+        d, ids = self._exact_loop_impl(
+            queries, self._spill_k(k), reps=reps, mode=mode
+        )
+        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+
+    @classmethod
+    def with_spill(
+        cls,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        spill: float = 0.2,
+        assign_block: int = 65536,
+        assign_dtype=jnp.float32,
+        **kwargs,
+    ) -> "DeviceIvfSearcher":
+        """Resident searcher over a SPILLED layout: the ``spill`` fraction
+        of rows with the smallest runner-up margin is duplicated into
+        their runner-up cluster (query/spill.py), lifting probe recall at
+        unchanged nprobe — the probed modes' residual loss is union
+        misses, not selection (docs/PERFORMANCE.md, DEEP-10M round 3).
+
+        Wire format is untouched: the spill is a runtime structure built
+        from the standard index at load. Costs: device HBM and probed
+        traffic grow by ~``spill``; effective k budgets halve (the impls
+        select 2k for dedup — e.g. stream mode's k<=128 becomes k<=64).
+        ``cluster_sorted`` is implied (the extended layout is sorted).
+        """
+        from .spill import build_spilled_layout
+
+        kwargs.pop("cluster_sorted", None)
+        if kwargs.get("metric") == "cosine":
+            # Runner-up margins must be computed in the search metric; the
+            # constructor's own normalization is idempotent over this.
+            from ..index.metrics import normalize_rows
+
+            embeddings = normalize_rows(np.asarray(embeddings, np.float32))
+        ext_index, ext_emb, gid = build_spilled_layout(
+            index, embeddings, spill,
+            block=assign_block, assign_dtype=assign_dtype,
+        )
+        searcher = cls(ext_index, ext_emb, **kwargs)
+        searcher._gid = gid
+        searcher._gid_dev = jnp.asarray(gid)
+        searcher._spill_dups = True
+        return searcher
 
 
 import functools as _functools
