@@ -189,7 +189,13 @@ class DistributedIvfSearcher:
         embeddings: np.ndarray,
         mesh=None,
         tile: int = 1024,
+        orig_ids: np.ndarray | None = None,
     ):
+        """``orig_ids`` (spilled layouts, query/spill.py): maps each row of
+        ``embeddings`` to the ORIGINAL row it copies; searches then return
+        original ids and dedup (rows may appear twice, possibly on two
+        different shards — the all-gather merge sees both)."""
+        self._spill_dups = orig_ids is not None
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
         embeddings = np.asarray(embeddings, dtype=np.float32)
@@ -238,7 +244,9 @@ class DistributedIvfSearcher:
                 sq_blocks[dev, start : start + count] = np.einsum(
                     "nd,nd->n", embeddings[rows], embeddings[rows]
                 )
-                gid_blocks[dev, start : start + count] = rows
+                gid_blocks[dev, start : start + count] = (
+                    orig_ids[rows] if orig_ids is not None else rows
+                )
                 rc_blocks[dev, start : start + count] = c
                 tables[dev, c, :count] = np.arange(start, start + count)
             fill[dev] += count
@@ -299,6 +307,32 @@ class DistributedIvfSearcher:
             NamedSharding(self.mesh, P()),
         )
         self._rows_per_dev = rows_per_dev
+
+    @classmethod
+    def with_spill(
+        cls,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        spill: float = 0.2,
+        mesh=None,
+        tile: int = 1024,
+        assign_block: int = 65536,
+        assign_dtype=jnp.float32,
+    ) -> "DistributedIvfSearcher":
+        """Row-sharded searcher over a SPILLED layout (query/spill.py):
+        the ``spill`` fraction of smallest-runner-up-margin rows is
+        duplicated into its runner-up cluster before the greedy shard
+        balance, lifting probe recall at unchanged nprobe. Copies may land
+        on different shards; the all-gather merge sees both, so public
+        searches select 2k and dedup by original id (dedup_topk_np).
+        Mirrors DeviceIvfSearcher.with_spill; wire format untouched."""
+        from ..query.spill import build_spilled_layout
+
+        ext_index, ext_emb, gid = build_spilled_layout(
+            index, embeddings, spill,
+            block=assign_block, assign_dtype=assign_dtype,
+        )
+        return cls(ext_index, ext_emb, mesh=mesh, tile=tile, orig_ids=gid)
 
     def search(self, queries: np.ndarray, k: int, nprobe: int):
         q = np.asarray(queries, dtype=np.float32)
@@ -434,6 +468,8 @@ class DistributedIvfSearcher:
         """XLA binned-min scan eligibility on the PER-SHARD row count."""
         from ..query.device import _xbin_bins
 
+        if self._spill_dups:
+            k = 2 * k  # spilled searches select 2k for the id dedup
         return _xbin_bins(self._rows_per_dev, k) > 0
 
     def search_xbin(
@@ -533,6 +569,8 @@ class DistributedIvfSearcher:
             return False
         from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
 
+        if self._spill_dups:
+            k = 2 * k  # spilled searches select 2k for the id dedup
         nt = self._rows_per_dev // t
         return k <= t and provenance_bits(nt, t) <= PROVENANCE_BITS_MAX
 
@@ -662,6 +700,33 @@ class DistributedIvfSearcher:
             # scalar-prefetch tile list on TPU (garbage DMA offsets).
             cap = max(1, min(int(cap), self._nt_local))
         return self._bincompact_body(k, nprobe, reps, cap)(queries)
+
+
+def _wrap_spill_dedup(name: str) -> None:
+    """On a spilled layout every search method must select 2k and dedup by
+    original id (see with_spill). All public search methods share the
+    (self, queries, k, ...) signature, so one uniform wrapper covers them;
+    unspilled searchers pass straight through."""
+    inner = getattr(DistributedIvfSearcher, name)
+
+    @functools.wraps(inner)
+    def outer(self, queries, k, *args, **kwargs):
+        if not self._spill_dups:
+            return inner(self, queries, k, *args, **kwargs)
+        from ..query.spill import dedup_topk_np
+
+        d, ids = inner(self, queries, 2 * k, *args, **kwargs)
+        return dedup_topk_np(d, ids, k)
+
+    setattr(DistributedIvfSearcher, name, outer)
+
+
+for _name in (
+    "search", "search_fused", "search_loop", "search_scan", "search_xbin",
+    "search_binscan", "search_bincompact",
+):
+    _wrap_spill_dedup(_name)
+del _name
 
 
 # ----------------------------------------------------------------------

@@ -66,6 +66,31 @@ def _runner_up_blocks(emb, centroids, c_sq, primary, block: int):
     return runner.reshape(-1), margin.reshape(-1)
 
 
+def dedup_topk_np(
+    d: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side analog of device.py:_dedup_topk for the distributed
+    searchers (their public API returns numpy): collapse duplicate ids in
+    ascending-by-distance [B, m] candidates to the k nearest distinct.
+    Keep-first rides the stable argsort; invalid slots (id -1, distance
+    inf) stay at the tail."""
+    m = ids.shape[1]
+    if k >= m:
+        return d, ids
+    order = np.argsort(ids, axis=1, kind="stable")
+    ids_s = np.take_along_axis(ids, order, axis=1)
+    dup_s = np.zeros_like(ids_s, dtype=bool)
+    dup_s[:, 1:] = (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)
+    inv = np.argsort(order, axis=1, kind="stable")
+    dup = np.take_along_axis(dup_s, inv, axis=1)
+    d_m = np.where(dup, np.inf, d)
+    idx = np.argsort(d_m, axis=1, kind="stable")[:, :k]
+    return (
+        np.take_along_axis(d_m, idx, axis=1),
+        np.take_along_axis(np.where(dup, -1, ids), idx, axis=1),
+    )
+
+
 def runner_up_assignment(
     embeddings: np.ndarray,
     index: IvfIndex,

@@ -329,3 +329,81 @@ def build_single_reference(index, data2, queries, k):
     single = DeviceIvfSearcher(index, data2, row_tile=128)
     _, ids = single.search(queries, k, nprobe=2)
     return np.asarray(ids)
+
+
+def test_distributed_spilled_matches_exact_and_dedups(mesh, data):
+    """Spilled distributed searcher: originals-only ids, no duplicates,
+    exact agreement with the unspilled searcher at full probe coverage
+    (nprobe=kc probes every cluster, so the spill can only ADD duplicate
+    copies — dedup must collapse them back to the true top-k)."""
+    index = build_ivf_index(
+        Embeddings(data, data.shape[1]), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    base = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    sp = DistributedIvfSearcher.with_spill(
+        index, data, spill=0.3, mesh=mesh, tile=8
+    )
+    assert sp._spill_dups and not base._spill_dups
+    queries = data[[5, 50, 111]] + 0.02
+    d0, i0 = base.search_fused(queries, k=4, nprobe=6)
+    d1, i1 = sp.search_fused(queries, k=4, nprobe=6)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5)
+    for r in i1:
+        ids = [v for v in r.tolist() if v >= 0]
+        assert len(set(ids)) == len(ids)
+        assert all(v < len(data) for v in ids)
+
+
+def test_distributed_spilled_recall_lift(mesh, data):
+    """At nprobe=1 on clustered data, spilling boundary rows into the
+    runner-up cluster must not lose recall vs the unspilled searcher
+    (and lifts it when boundary rows exist)."""
+    index = build_ivf_index(
+        Embeddings(data, data.shape[1]), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    rng = np.random.default_rng(3)
+    q = (data[rng.integers(0, len(data), 24)]
+         + 0.3 * rng.standard_normal((24, data.shape[1]))).astype(np.float32)
+    d2 = (
+        np.sum(q * q, 1)[:, None] - 2.0 * q @ data.T
+        + np.sum(data * data, 1)[None, :]
+    )
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :4]
+
+    def rec(searcher):
+        _, ids = searcher.search_fused(q, k=4, nprobe=1)
+        return sum(
+            len(set(a.tolist()) & set(b.tolist()))
+            for a, b in zip(ids, truth)
+        ) / truth.size
+
+    base = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    sp = DistributedIvfSearcher.with_spill(
+        index, data, spill=0.4, mesh=mesh, tile=8
+    )
+    assert rec(sp) >= rec(base)
+
+
+def test_distributed_spilled_loop_and_scan(mesh, data):
+    """search_loop and the full-scan modes also dedup on spilled layouts
+    (the scan modes cover every row, so every duplicated row WILL appear
+    twice before dedup)."""
+    index = build_ivf_index(
+        Embeddings(data, data.shape[1]), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    sp = DistributedIvfSearcher.with_spill(
+        index, data, spill=0.5, mesh=mesh, tile=8
+    )
+    queries = data[[7, 70]] + 0.01
+    d2 = (
+        np.sum(queries * queries, 1)[:, None] - 2.0 * queries @ data.T
+        + np.sum(data * data, 1)[None, :]
+    )
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :3]
+    _, il = sp.search_loop(queries, k=3, nprobe=6, reps=2)
+    np.testing.assert_array_equal(il, truth)
+    _, isc = sp.search_scan(queries, k=3)
+    for r in isc:
+        ids = [v for v in r.tolist() if v >= 0]
+        assert len(set(ids)) == len(ids)
