@@ -217,6 +217,11 @@ class VectorTopKExec(ExecutionPlan):
         )
         k_fetch = self.k if not has_filter else max(4 * self.k, self.k + 64)
         k_cap = min(RESIDENT_K_CAP, max(s.n for _, s in searchers))
+        if any(s._spill_dups for _, s in searchers):
+            # Spilled searchers select 2k internally for the id dedup;
+            # halve the escalation ceiling so the device-side lax.top_k
+            # stays within the cap the comment above justifies.
+            k_cap = max(1, k_cap // 2)
         while True:
             per_file: list[tuple[str, np.ndarray, np.ndarray]] = []
             exhausted = True

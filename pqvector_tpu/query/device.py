@@ -842,18 +842,35 @@ class DeviceIvfSearcher:
         path: str | os.PathLike,
         dtype: jnp.dtype = jnp.float32,
         row_tile: int = 2048,
+        spill: float = 0.0,
+        assign_dtype=jnp.float32,
     ) -> "DeviceIvfSearcher":
+        """Resident searcher from an indexed Parquet file. ``spill`` > 0
+        builds the spilled multi-assignment layout (see with_spill) — the
+        serving knob Session.device_searcher(name, spill=...) forwards."""
         from ..io.embed import read_index_metric
 
         index, column = read_index_from_parquet(path)
         emb = read_embedding_column(path, column)
-        searcher = cls(
-            index,
-            emb.data,
-            dtype=dtype,
-            row_tile=row_tile,
-            metric=read_index_metric(path),
-        )
+        metric = read_index_metric(path)
+        if spill:
+            searcher = cls.with_spill(
+                index,
+                emb.data,
+                spill=spill,
+                assign_dtype=assign_dtype,
+                dtype=dtype,
+                row_tile=row_tile,
+                metric=metric,
+            )
+        else:
+            searcher = cls(
+                index,
+                emb.data,
+                dtype=dtype,
+                row_tile=row_tile,
+                metric=metric,
+            )
         # Provenance for the SQL engine's resident fast path (column-match
         # enforcement mirrors index_exec.rs:123-129; the (size, mtime) key
         # lets the engine reject a searcher built before a re-index).

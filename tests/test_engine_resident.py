@@ -223,3 +223,31 @@ def test_multifile_resident_partial_searchers_fall_back(indexed_pair):
         return None
 
     assert find(plan).metrics.value("resident_candidates") == 0
+
+
+def test_resident_spilled_lifts_recall(indexed):
+    """A spilled resident searcher (Session.device_searcher(spill=...))
+    intentionally DIVERGES from the host path: its probe recall is at
+    least the host's at the same nprobe (boundary rows are reachable via
+    their runner-up cluster). Results carry original ids, no duplicates
+    from the replicated rows, and respect the WHERE filter."""
+    path, x = indexed
+    host = Session(VectorTopKOptions(nprobe=3))
+    host.register_parquet("t", path)
+    res = Session(VectorTopKOptions(nprobe=3))
+    res.register_parquet("t", path)
+    searcher = res.device_searcher("t", spill=0.3)
+    assert searcher._spill_dups
+
+    d2 = np.sum((x - x[23]) ** 2, axis=1)
+    for where, mask in (("", np.ones(len(x), bool)),
+                        ("WHERE id >= 200", np.arange(len(x)) >= 200)):
+        truth = set(np.flatnonzero(mask)[
+            np.argsort(d2[mask], kind="stable")[:5]
+        ].tolist())
+        sql = _query_sql(x, 23, k=5, where=where)
+        ids_host, _ = _run(host, sql)
+        ids_res, _ = _run(res, sql)
+        assert len(set(ids_res)) == len(ids_res) == 5
+        assert all((i >= 200) for i in ids_res) or where == ""
+        assert len(set(ids_res) & truth) >= len(set(ids_host) & truth)
