@@ -43,3 +43,14 @@ df = session.sql(
     f"SELECT id FROM t ORDER BY array_distance({common.DEFAULT_COLUMN}, [{vec}]) LIMIT 5"
 )
 print("sql ids:    ", df.collect().column("id").to_pylist())
+
+# Recall knob: a SPILLED resident layout duplicates boundary rows into
+# their runner-up cluster (query/spill.py), lifting probe recall at the
+# same nprobe — the probed modes' residual loss is exactly those rows.
+spilled = Session(VectorTopKOptions(nprobe=8))
+spilled.register_parquet("t", indexed)
+spilled.device_searcher("t", spill=0.2)
+df_sp = spilled.sql(
+    f"SELECT id FROM t ORDER BY array_distance({common.DEFAULT_COLUMN}, [{vec}]) LIMIT 5"
+)
+print("spilled ids:", df_sp.collect().column("id").to_pylist())

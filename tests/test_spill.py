@@ -218,3 +218,13 @@ def test_spilled_search_loop_dedups(setup):
         assert len(set(ids)) == len(ids)
     _, el = s.exact_loop(q, k, reps=2, mode="xla")
     np.testing.assert_array_equal(np.asarray(el), _exact_ids(x, q, k))
+
+
+def test_spill_needs_two_clusters():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, 8), IvfBuildConfig(n_clusters=1, seed=0)
+    )
+    with pytest.raises(ValidationError, match="at least 2 clusters"):
+        build_spilled_layout(index, x, spill=0.2)
