@@ -1817,6 +1817,7 @@ class DeviceIvfSearcher:
     def can_binscan(self, k: int = 10) -> bool:
         """Whether the fused binned-min scan supports this array/k (bin and
         provenance-precision limits — kernels/binscan.py)."""
+        k = self._spill_k(k)  # spilled searches select 2k for the dedup
         try:
             t = self._binscan_tile()
         except ValidationError:
@@ -1828,7 +1829,7 @@ class DeviceIvfSearcher:
         """Whether the XLA binned-min scan supports this array/k (the
         padded row count needs a divisor <= 64k bins that is >= k;
         lane-aligned 128-multiples preferred — see _xbin_bins)."""
-        return _xbin_bins(int(self.emb.shape[0]), k) > 0
+        return _xbin_bins(int(self.emb.shape[0]), self._spill_k(k)) > 0
 
     def _xbin_bins_checked(self, k: int) -> int:
         n_pad = int(self.emb.shape[0])

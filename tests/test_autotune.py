@@ -1,0 +1,134 @@
+"""Serving-plan autotuner (query/autotune.py): recall gating, nprobe
+walk, ranking, and rejection bookkeeping — all against the CPU backend
+with an injected deterministic timer."""
+
+import numpy as np
+import pytest
+
+from pqvector_tpu import IvfBuildConfig, build_ivf_index
+from pqvector_tpu.errors import ValidationError
+from pqvector_tpu.query.autotune import AutotuneReport, autotune
+from pqvector_tpu.query.device import DeviceIvfSearcher
+from pqvector_tpu.types import Embeddings
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    centers = 6.0 * rng.standard_normal((12, 16)).astype(np.float32)
+    x = (centers[rng.integers(0, 12, 1500)]
+         + rng.standard_normal((1500, 16))).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, 16), IvfBuildConfig(n_clusters=12, seed=0)
+    )
+    searcher = DeviceIvfSearcher(index, x, cluster_sorted=True)
+    q = (x[rng.integers(0, 1500, 24)]
+         + 0.3 * rng.standard_normal((24, 16))).astype(np.float32)
+    return searcher, q
+
+
+class FakeTimer:
+    """Deterministic clock: each call advances a fixed step."""
+
+    def __init__(self, step=1.0):
+        self.t = 0.0
+        self.step = step
+
+    def __call__(self):
+        self.t += self.step
+        return self.t
+
+
+def test_autotune_finds_plans(setup):
+    searcher, q = setup
+    report = autotune(
+        searcher, q, k=5, recall_target=0.9,
+        modes=("masked", "gather"), reps=2, budget_s=0.5,
+        timer=FakeTimer(),
+    )
+    assert isinstance(report, AutotuneReport)
+    assert report.best is not None
+    assert {p.mode for p in report.plans} <= {"masked", "gather"}
+    for p in report.plans:
+        assert p.recall >= 0.9
+        assert p.nprobe >= 1
+        assert p.qps > 0
+    # ranked best-first
+    qps = [p.qps for p in report.plans]
+    assert qps == sorted(qps, reverse=True)
+
+
+def test_autotune_nprobe_walk_is_minimal(setup):
+    """The chosen nprobe is the smallest grid value clearing the target:
+    a looser target must never pick a larger nprobe."""
+    searcher, q = setup
+    loose = autotune(
+        searcher, q, k=5, recall_target=0.5, modes=("masked",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    ).best
+    tight = autotune(
+        searcher, q, k=5, recall_target=0.98, modes=("masked",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    ).best
+    assert loose is not None and tight is not None
+    assert loose.nprobe <= tight.nprobe
+    assert tight.recall >= 0.98
+
+
+def test_autotune_scan_modes_are_nprobe_free(setup):
+    searcher, q = setup
+    report = autotune(
+        searcher, q, k=5, recall_target=0.5, modes=("scan",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert report.best is not None
+    assert report.best.nprobe == 0
+    assert "full scan" in report.best.notes
+
+
+def test_autotune_rejects_unreachable_target(setup):
+    searcher, q = setup
+    report = autotune(
+        searcher, q, k=5, recall_target=1.01, modes=("masked",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert report.best is None
+    assert "masked" in report.rejected
+
+
+def test_autotune_rejects_ineligible_mode(setup):
+    """stream mode requires k <= 128; k=200 must land in rejected with
+    the ValidationError text, not crash the tuner."""
+    searcher, q = setup
+    report = autotune(
+        searcher, q, k=200, recall_target=0.5, modes=("stream", "masked"),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert "stream" in report.rejected
+    assert any(p.mode == "masked" for p in report.plans)
+
+
+def test_autotune_validates_queries(setup):
+    searcher, _ = setup
+    with pytest.raises(ValidationError, match="query sample"):
+        autotune(searcher, np.zeros((0, 16), np.float32))
+
+
+def test_autotune_spilled_searcher(setup):
+    """The tuner runs unchanged on a spilled layout (exact ground truth
+    stays the true top-k through the dedup)."""
+    _, q = setup
+    # Fresh (index, x) pair — the fixture searcher's emb is padded/permuted.
+    rng = np.random.default_rng(11)
+    centers = 6.0 * rng.standard_normal((12, 16)).astype(np.float32)
+    x = (centers[rng.integers(0, 12, 1500)]
+         + rng.standard_normal((1500, 16))).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, 16), IvfBuildConfig(n_clusters=12, seed=0)
+    )
+    sp = DeviceIvfSearcher.with_spill(index, x, spill=0.3)
+    report = autotune(
+        sp, q, k=5, recall_target=0.9, modes=("masked",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert report.best is not None and report.best.recall >= 0.9
