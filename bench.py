@@ -243,7 +243,8 @@ def main():
     parser.add_argument(
         "--mode", default="auto",
         choices=("auto", "stream", "pallas", "masked", "gather", "approx",
-                 "compact", "scan", "binscan", "bincompact", "xbin"),
+                 "compact", "scan", "binscan", "bincompact", "xbin",
+                 "xbin8"),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode); 'binscan' is the fused "
@@ -343,7 +344,7 @@ def main():
     # ground truth — docs/PERFORMANCE.md), and binscan's only loss is
     # random cross-tile bin collisions either way.
     scan_searcher = searcher
-    if args.mode in ("auto", "scan", "binscan", "xbin"):
+    if args.mode in ("auto", "scan", "binscan", "xbin", "xbin8"):
         scan_searcher = DeviceIvfSearcher(
             index,
             emb,
@@ -353,7 +354,8 @@ def main():
         )
 
     def mode_searcher(mode):
-        return scan_searcher if mode in ("scan", "binscan", "xbin") else searcher
+        return scan_searcher if mode in ("scan", "binscan", "xbin", "xbin8") \
+            else searcher
 
     # 4. nprobe sweep until recall target ----------------------------
     # Masked-scan mode: the whole sweep shares one compiled executable
@@ -413,7 +415,7 @@ def main():
 
     loop_modes = (
         "stream", "pallas", "approx", "compact", "scan", "binscan",
-        "bincompact", "xbin",
+        "bincompact", "xbin", "xbin8",
     )
 
     # mode="scan" fetch width tuned by _measure_one_mode (None until then).
@@ -446,7 +448,7 @@ def main():
         return reps * b / (time.perf_counter() - t0)
 
     if args.mode in ("auto", "stream", "pallas", "approx", "compact", "scan",
-                     "binscan", "bincompact", "xbin"):
+                     "binscan", "bincompact", "xbin", "xbin8"):
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe
@@ -458,7 +460,7 @@ def main():
 
         def _measure_one_mode(mode):
             if mode in ("approx", "compact", "scan", "binscan", "bincompact",
-                        "xbin"):
+                        "xbin", "xbin8"):
                 s_m = mode_searcher(mode)
                 if mode != "scan":
                     s_m.scan_overfetch = 0  # recall probe at default width
@@ -504,8 +506,10 @@ def main():
             if mode == "binscan" and not scan_searcher.can_binscan(args.k):
                 log("mode=binscan skipped (bin/provenance limits)")
                 continue
-            if mode == "xbin" and not scan_searcher.can_xbin(args.k):
-                log("mode=xbin skipped (no eligible bin count)")
+            if mode in ("xbin", "xbin8") and not scan_searcher.can_xbin(
+                args.k
+            ):
+                log(f"mode={mode} skipped (no eligible bin count)")
                 continue
             if mode == "bincompact" and searcher.bincompact_coverage(
                 batch, chosen, args.k
@@ -551,7 +555,8 @@ def main():
                 bq = {}
                 for mode in mode_qps:
                     if big_b > 1024 and mode not in (
-                        "approx", "compact", "scan", "binscan", "bincompact", "xbin"
+                        "approx", "compact", "scan", "binscan", "bincompact",
+                        "xbin", "xbin8",
                     ):
                         continue
                     if mode == "compact" and searcher.compact_coverage(
@@ -631,9 +636,12 @@ def main():
     peak_flops, peak_bw = device_peaks(jax)
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
-    if best_mode.split("@")[0] in ("scan", "approx", "binscan", "xbin"):
+    if best_mode.split("@")[0] in ("scan", "approx", "binscan", "xbin",
+                                   "xbin8"):
+        # xbin8 streams int8 codes: 1 byte/element of scan traffic.
+        head_eb = 1 if best_mode.startswith("xbin8") else elem_bytes
         result.update(
-            roofline(qps, head_batch, args.rows, args.dim, elem_bytes,
+            roofline(qps, head_batch, args.rows, args.dim, head_eb,
                      peak_flops, peak_bw)
         )
         log(
@@ -653,10 +661,11 @@ def main():
             b: roofline(v, int(b), args.rows, args.dim, elem_bytes,
                         peak_flops, peak_bw)["mfu"]
             for b, v in batch_qps.items()
-            if batch_mode.get(b) in ("scan", "approx", "binscan", "xbin")
+            if batch_mode.get(b) in ("scan", "approx", "binscan", "xbin", "xbin8")
         }
         ivf_only = {
-            m: v for m, v in mode_qps.items() if m not in ("scan", "binscan", "xbin")
+            m: v for m, v in mode_qps.items()
+            if m not in ("scan", "binscan", "xbin", "xbin8")
         }
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)

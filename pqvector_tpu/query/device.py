@@ -418,6 +418,106 @@ def _exact_xbin_impl(
     return d2[:, :k], ids[:, :k]
 
 
+@jax.jit
+def _quantize_rows_i8(emb):
+    """Symmetric per-row int8 quantization: (codes int8, scale f32).
+
+    x ~= scale[r] * codes[r]; zero rows (padding) get scale 1 / codes 0."""
+    x = emb.astype(jnp.float32)
+    a = jnp.max(jnp.abs(x), axis=1)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+    return qi, s
+
+
+def _exact_xbin8_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb_i8: jnp.ndarray,  # [n_pad, d] int8 codes
+    scale: jnp.ndarray,  # [n_pad] f32 per-row scale
+    emb_sq: jnp.ndarray,  # [n_pad] f32 EXACT |x|^2 (+inf pad)
+    emb_ref: jnp.ndarray,  # [n_pad, d] full-precision rows (re-score)
+    k: int,
+    l_bins: int,
+    overfetch: int = 0,
+    chunk_groups: int = 0,
+):
+    """Int8 (SQ8) variant of the xbin scan: the scoring matmul runs
+    int8 x int8 -> int32 (2x the bf16 MXU rate on v5e; the scan crosses
+    HBM at 1/4 the f32 bytes) and the binned-min extraction stays fused,
+    so the mode attacks BOTH sides of the measured scan limiter
+    (matmul+min floor 62.7-75.3%% of bf16 peak vs 19.7-40.8%% with the
+    PartialReduce extraction — scripts/mfu_push.py, bench round 3).
+
+    Selection uses the quantized cross term (exact |x|^2 is kept in f32,
+    so the error is only 2 * |q.x - tq*sr*dot| ~ 1%%); winners are
+    re-scored exactly against ``emb_ref`` (_refine_and_sort), so returned
+    distances keep the library's exactness contract and the quantization
+    costs only selection recall, recoverable with ``overfetch``. The
+    approximate part is clamped at 0 so the non-negative IEEE bitcast
+    ordering of the packed keys holds (a clamped tie means near-duplicate
+    candidates — any of them is a correct fetch).
+    """
+    b = q.shape[0]
+    n_pad, d = emb_i8.shape
+    nt = n_pad // l_bins
+    bits = max(1, (nt - 1).bit_length())
+    mask = jnp.int32(~((1 << bits) - 1))
+    qa = jnp.max(jnp.abs(q), axis=1)
+    tq = jnp.where(qa > 0, qa / 127.0, 1.0)  # [B]
+    qi = jnp.clip(jnp.round(q / tq[:, None]), -127, 127).astype(jnp.int8)
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
+    code = jnp.arange(n_pad, dtype=jnp.int32) // l_bins
+
+    def block_keys(e_blk, sc_blk, s_blk, c_blk, g):
+        dots = jnp.dot(qi, e_blk.T, preferred_element_type=jnp.int32)
+        part = (
+            s_blk[None, :]
+            - 2.0 * tq[:, None] * (sc_blk[None, :] * dots.astype(jnp.float32))
+            + qsq[:, None]
+        )
+        part = jnp.maximum(part, 0.0)
+        keys = jax.lax.bitcast_convert_type(part, jnp.int32)
+        keys = (keys & mask) | c_blk[None, :]
+        return jnp.min(keys.reshape(b, g, l_bins), axis=1)
+
+    if chunk_groups and chunk_groups < nt:
+        g = max(1, min(chunk_groups, nt))
+        while nt % g:
+            g -= 1
+        ngrp = nt // g
+
+        def step(carry, xs):
+            e_blk, sc_blk, s_blk, c_blk = xs
+            return (
+                jnp.minimum(carry, block_keys(e_blk, sc_blk, s_blk, c_blk, g)),
+                None,
+            )
+
+        binmins, _ = jax.lax.scan(
+            step,
+            jnp.full((b, l_bins), jnp.int32(2**31 - 1)),
+            (
+                emb_i8.reshape(ngrp, g * l_bins, d),
+                scale.reshape(ngrp, g * l_bins),
+                emb_sq.reshape(ngrp, g * l_bins),
+                code.reshape(ngrp, g * l_bins),
+            ),
+        )
+    else:
+        binmins = block_keys(emb_i8, scale, emb_sq, code, nt)
+    # Quantization perturbs within-bin races on top of collisions: default
+    # to a wider fetch than xbin (4k vs 2k) before the exact re-score.
+    k_fetch = min(
+        max(k, overfetch) if overfetch else max(4 * k, 64), l_bins
+    )
+    neg, bin_idx = jax.lax.top_k(-binmins, k_fetch)
+    key_w = -neg
+    rows = (key_w & ~mask) * l_bins + bin_idx.astype(jnp.int32)
+    val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
+    d2, ids = _refine_and_sort(q, emb_ref, val, rows)
+    return d2[:, :k], ids[:, :k]
+
+
 def _ivf_approx_masked_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -808,6 +908,8 @@ class DeviceIvfSearcher:
         self.emb = jnp.asarray(emb, dtype=dtype)
         self._gid_dev = None if self._gid is None else jnp.asarray(self._gid)
         self._emb_sq_pallas = None  # lazy: finite-sentinel copy for kernels
+        self._emb_i8 = None  # lazy: (codes, scale) for mode="xbin8"
+        self._emb_i8_scale = None
         self.emb_sq = jnp.asarray(sq)
         self.centroids = jnp.asarray(index.centroids)
         self.c_sq = jnp.sum(self.centroids * self.centroids, axis=1)
@@ -1014,6 +1116,17 @@ class DeviceIvfSearcher:
                 q, self.emb, self.emb_sq, k,
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
+                chunk_groups=_xbin_auto_chunk(
+                    q.shape[0], int(self.emb.shape[0]),
+                    self._xbin_bins_checked(k), self.xbin_chunk_groups,
+                ),
+            )
+        elif mode == "xbin8":
+            e8, sc = self._xbin8_arrays()
+            d2, ids = _exact_xbin8(
+                q, e8, sc, self.emb_sq, self.emb, k,
+                l_bins=self._xbin_bins_checked(k),
                 overfetch=self.scan_overfetch,
                 chunk_groups=_xbin_auto_chunk(
                     q.shape[0], int(self.emb.shape[0]),
@@ -1280,6 +1393,20 @@ class DeviceIvfSearcher:
                 q, self.emb, self.emb_sq, k,
                 l_bins=self._xbin_bins_checked(k),
                 score_dtype=self.approx_score_dtype,
+                overfetch=self.scan_overfetch,
+                chunk_groups=_xbin_auto_chunk(
+                    q.shape[0], int(self.emb.shape[0]),
+                    self._xbin_bins_checked(k), self.xbin_chunk_groups,
+                ),
+            )
+        elif mode == "xbin8":
+            # Serving mode: int8 xbin — quantized scoring on the int8 MXU,
+            # 1/4 the f32 scan bytes, exact re-score of winners; nprobe
+            # ignored (see _exact_xbin8_impl).
+            e8, sc = self._xbin8_arrays()
+            d2, ids = _exact_xbin8(
+                q, e8, sc, self.emb_sq, self.emb, k,
+                l_bins=self._xbin_bins_checked(k),
                 overfetch=self.scan_overfetch,
                 chunk_groups=_xbin_auto_chunk(
                     q.shape[0], int(self.emb.shape[0]),
@@ -1581,6 +1708,8 @@ class DeviceIvfSearcher:
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
+        if mode == "xbin8":  # nprobe-free int8 scan: dedicated loop
+            return self._xbin8_loop_call(q, k, reps)
         nprobe = min(max(nprobe, 1), self.index.n_clusters)
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
@@ -1701,6 +1830,8 @@ class DeviceIvfSearcher:
         q = self._check_queries(queries)
         if k <= 0:
             raise ValidationError("k must be > 0")
+        if mode == "xbin8":
+            return self._xbin8_loop_call(q, k, reps)
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
@@ -1862,6 +1993,29 @@ class DeviceIvfSearcher:
                 jnp.isinf(self.emb_sq), 3.0e38, self.emb_sq
             )
         return self._emb_sq_pallas
+
+    def _xbin8_loop_call(self, q, k: int, reps: int):
+        """reps-chained mode="xbin8" dispatch (shared by both loop APIs)."""
+        e8, sc = self._xbin8_arrays()
+        d2, ids = _xbin8_loop(
+            q, e8, sc, self.emb_sq, self.emb, k,
+            l_bins=self._xbin_bins_checked(k),
+            overfetch=self.scan_overfetch,
+            chunk_groups=_xbin_auto_chunk(
+                q.shape[0], int(self.emb.shape[0]),
+                self._xbin_bins_checked(k), self.xbin_chunk_groups,
+            ),
+            reps=reps,
+        )
+        return jnp.sqrt(d2), self._map_ids(d2, ids)
+
+    def _xbin8_arrays(self):
+        """Lazy per-row int8 quantization of the resident array for
+        mode="xbin8" (+25% of the f32 residency; the scan then crosses
+        HBM at 1/4 the f32 bytes and the matmul runs on the int8 MXU)."""
+        if self._emb_i8 is None:
+            self._emb_i8, self._emb_i8_scale = _quantize_rows_i8(self.emb)
+        return self._emb_i8, self._emb_i8_scale
 
     def _map_ids(self, d2, ids):
         invalid = jnp.isinf(d2) | (ids >= self.n) | (ids < 0)
@@ -2110,6 +2264,34 @@ _exact_xbin = jax.jit(
         "k", "l_bins", "score_dtype", "overfetch", "chunk_groups"
     ),
 )
+_exact_xbin8 = jax.jit(
+    _exact_xbin8_impl,
+    static_argnames=("k", "l_bins", "overfetch", "chunk_groups"),
+)
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("k", "l_bins", "overfetch", "chunk_groups", "reps"),
+)
+def _xbin8_loop(
+    q0, emb_i8, scale, emb_sq, emb_ref, k, l_bins, overfetch, chunk_groups,
+    reps,
+):
+    """``reps`` chained int8 binned-min scans in one dispatch (the same
+    data-dependency chaining as _exact_pallas_loop — honest throughput
+    through the tunnel)."""
+
+    def step(q, _):
+        d2, ids = _exact_xbin8_impl(
+            q, emb_i8, scale, emb_sq, emb_ref, k=k, l_bins=l_bins,
+            overfetch=overfetch, chunk_groups=chunk_groups,
+        )
+        link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
+        return q0 + 0.0 * link, (d2, ids)
+
+    _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
+    return d2s[-1], idss[-1]
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(
     _ivf_compact_approx_impl,

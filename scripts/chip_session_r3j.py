@@ -170,6 +170,26 @@ if s.can_xbin(10):
            lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin")[1])
     s.xbin_chunk_groups = 0
     s.xbin_bins = 0
+
+    # ---- int8 xbin (mode="xbin8"): quantized scoring on the int8 MXU,
+    # 1/4 the f32 scan bytes, exact re-score. Attacks BOTH sides of the
+    # limiter this session decomposes (the floor's matmul rate and the
+    # scan traffic). Same fused-epilogue question as xbin, so measure
+    # both the forced-unfused (-1) and the bounded chunked form.
+    watchdog(180.0)
+    for chunk in (-1, 16):
+        s.xbin_chunk_groups = chunk
+        try:
+            _, ids = s.search(q_np[:512], 10, 4, mode="xbin8")
+            r = recall(ids)
+        except Exception as e:
+            log(f"xbin8 chunk={chunk}: recall probe FAILED "
+                f"({type(e).__name__}: {str(e)[:200]})")
+            continue
+        timeit(f"xbin8 chunk={chunk:<4}        ",
+               lambda: s.search_loop(q, 10, 4, reps=REPS, mode="xbin8")[1])
+        log(f"  xbin8 chunk={chunk}: recall@10(bf16-exact)={r:.4f}")
+    s.xbin_chunk_groups = 0
 else:
     log("xbin ineligible")
 log("session complete")

@@ -572,3 +572,63 @@ def test_compact_loop_matches_single(setup):
     dl, il = searcher.search_loop(queries, k=4, nprobe=3, reps=2, mode="compact")
     np.testing.assert_array_equal(np.asarray(il), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(dl), np.asarray(d1), rtol=1e-5)
+
+
+def test_xbin8_mode_recall_and_exact_distances(setup):
+    """mode="xbin8" (int8 quantized xbin): selection may differ from the
+    exact scan by quantization races, but returned distances are EXACT
+    (winners re-scored against the full-precision rows), ascending, and
+    recall stays high under the default 4k over-fetch."""
+    x, _, searcher, queries = setup
+    assert searcher.can_xbin(5)
+    de, ie = searcher.exact(queries, k=5)
+    d8, i8 = searcher.search(queries, k=5, nprobe=1, mode="xbin8")
+    i8 = np.asarray(i8)
+    d8 = np.asarray(d8)
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist()))
+        for a, b in zip(i8, np.asarray(ie))
+    )
+    assert hits / ie.size >= 0.9
+    # distances exact for whatever ids were returned
+    for b in range(len(queries)):
+        want = np.sqrt(((x[i8[b]] - queries[b]) ** 2).sum(1))
+        np.testing.assert_allclose(d8[b], want, rtol=1e-4, atol=1e-4)
+        assert np.all(np.diff(d8[b]) >= -1e-6)
+    # loops route through the dedicated chained dispatch
+    dl, il = searcher.search_loop(queries, k=5, nprobe=1, reps=2, mode="xbin8")
+    np.testing.assert_array_equal(np.asarray(il), i8)
+    dl, il = searcher.exact_loop(queries, k=5, reps=2, mode="xbin8")
+    np.testing.assert_array_equal(np.asarray(il), i8)
+
+
+def test_xbin8_quantization_unit():
+    """Per-row symmetric int8 codes reconstruct within 1/254 relative
+    error per component; zero (pad) rows stay zero with scale 1."""
+    from pqvector_tpu.query.device import _quantize_rows_i8
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x = np.vstack([
+        rng.standard_normal((20, 8)).astype(np.float32) * 10.0,
+        np.zeros((4, 8), np.float32),
+    ])
+    qi, s = _quantize_rows_i8(jnp.asarray(x))
+    qi, s = np.asarray(qi), np.asarray(s)
+    recon = qi.astype(np.float32) * s[:, None]
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    np.testing.assert_allclose(recon, x, atol=float(amax.max()) / 253)
+    assert np.all(qi[20:] == 0) and np.all(s[20:] == 1.0)
+    assert np.abs(qi).max() <= 127
+
+
+def test_xbin8_chunked_matches_unchunked(setup):
+    x, _, searcher, queries = setup
+    d0, i0 = searcher.search(queries, k=5, nprobe=1, mode="xbin8")
+    searcher.xbin_chunk_groups = 1
+    try:
+        d1, i1 = searcher.search(queries, k=5, nprobe=1, mode="xbin8")
+    finally:
+        searcher.xbin_chunk_groups = 0
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6)
