@@ -307,6 +307,8 @@ class DistributedIvfSearcher:
             NamedSharding(self.mesh, P()),
         )
         self._rows_per_dev = rows_per_dev
+        self._emb_i8 = None  # lazy per-shard int8 codes for search_xbin8
+        self._emb_i8_scale = None
 
     @classmethod
     def with_spill(
@@ -533,6 +535,77 @@ class DistributedIvfSearcher:
             rows_local=self._rows_per_dev, reps=reps,
         )(queries)
 
+    def _xbin8_arrays(self):
+        """Lazy per-shard int8 quantization of the row-sharded array
+        (mode="xbin8" analog — row-wise ops, so the quantization itself
+        runs shard-local under jit)."""
+        if self._emb_i8 is None:
+            from ..query.device import _quantize_rows_i8
+
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._emb_i8, self._emb_i8_scale = jax.jit(
+                _quantize_rows_i8, out_shardings=(sh, sh)
+            )(self.emb)
+        return self._emb_i8, self._emb_i8_scale
+
+    def search_xbin8(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        l_bins: int = 0,
+        chunk_groups: int = 0,
+    ):
+        """Distributed int8 xbin scan (mode="xbin8" analog): per-shard
+        int8 scoring + fused binned-min selection, winners re-scored
+        exactly against the shard's full-precision rows before the
+        all-gather merge (query/device.py:_exact_xbin8_impl)."""
+        from ..kernels.binscan import PROVENANCE_BITS_MAX
+        from ..query.device import (
+            _exact_xbin8_impl, _xbin_auto_chunk, _xbin_bins, _xbin_code_bits,
+        )
+
+        if l_bins:
+            if self._rows_per_dev % l_bins or not (0 < k <= l_bins) \
+                    or l_bins > 65536:
+                raise ValidationError(
+                    f"l_bins={l_bins} invalid: must divide rows_per_dev="
+                    f"{self._rows_per_dev}, satisfy k<=bins, stay <= 65536"
+                )
+            if _xbin_code_bits(self._rows_per_dev, l_bins) \
+                    > PROVENANCE_BITS_MAX:
+                raise ValidationError(
+                    f"l_bins={l_bins} spends "
+                    f"{_xbin_code_bits(self._rows_per_dev, l_bins)} "
+                    f"provenance bits per shard (max {PROVENANCE_BITS_MAX})"
+                )
+        else:
+            l_bins = _xbin_bins(self._rows_per_dev, k)
+        if not l_bins:
+            raise ValidationError(
+                "xbin ineligible for this shard shape/k (no lane-aligned "
+                "bin count divides the per-shard rows)"
+            )
+
+        b = int(np.shape(queries)[0]) if np.ndim(queries) > 1 else 1
+        eff_chunk = _xbin_auto_chunk(
+            b, self._rows_per_dev, l_bins, chunk_groups,
+        )
+        e8, sc = self._xbin8_arrays()
+
+        def shard_fn(q, e8_local, sc_local, sq_local, emb_local):
+            return _exact_xbin8_impl(
+                q, e8_local, sc_local, sq_local, emb_local,
+                k=k, l_bins=l_bins, chunk_groups=eff_chunk,
+            )
+
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, e8, sc, self.emb_sq, self.emb),
+            specs=(P(DATA_AXIS),) * 5,
+            rows_local=self._rows_per_dev, reps=reps,
+        )(queries)
+
     # ------------------------------------------------------------------
     # Distributed fused binned-min scan (mode="binscan"/"bincompact"
     # analogs of DeviceIvfSearcher.search): each shard streams its block
@@ -723,7 +796,7 @@ def _wrap_spill_dedup(name: str) -> None:
 
 for _name in (
     "search", "search_fused", "search_loop", "search_scan", "search_xbin",
-    "search_binscan", "search_bincompact",
+    "search_xbin8", "search_binscan", "search_bincompact",
 ):
     _wrap_spill_dedup(_name)
 del _name

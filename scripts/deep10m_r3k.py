@@ -125,6 +125,16 @@ if s_orig.can_xbin(10):
     s_orig.xbin_chunk_groups = 16
     measure(s_orig, "xbin", 4096)
     s_orig.xbin_chunk_groups = 0
+    # int8 variant: 1/4 the f32 scan bytes + int8 MXU rate; winners
+    # re-scored exactly (see _exact_xbin8_impl). At 10M the int8 codes
+    # add ~1 GB next to the bf16 residency.
+    try:
+        _, ids = s_orig.search(q_all[:256], 10, 4, mode="xbin8")
+        log(f"xbin8 recall@10: {recall(ids):.4f}")
+        for b in (256, 1024, 4096):
+            measure(s_orig, "xbin8", b)
+    except Exception as e:
+        log(f"xbin8 block failed ({type(e).__name__}: {str(e)[:200]})")
 else:
     log("xbin ineligible at this n_pad")
 

@@ -407,3 +407,36 @@ def test_distributed_spilled_loop_and_scan(mesh, data):
     for r in isc:
         ids = [v for v in r.tolist() if v >= 0]
         assert len(set(ids)) == len(ids)
+
+
+def test_distributed_xbin8_recall_and_exact_distances(mesh, data):
+    """Distributed int8 xbin: quantization may perturb selection, so pin
+    recall vs the distributed exact searcher plus EXACT distances for the
+    returned ids (per-shard re-score against full-precision rows)."""
+    index = build_ivf_index(
+        Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    rng = np.random.default_rng(5)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    exact = DistributedExactSearcher(data, mesh=mesh, row_tile=64)
+    _, ie = exact.search(queries, k=4)
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=64)
+    d8, i8 = dist.search_xbin8(queries, k=4)
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist())) for a, b in zip(i8, ie)
+    )
+    assert hits / ie.size >= 0.9
+    for b in range(len(queries)):
+        want = np.sqrt(((data[i8[b]] - queries[b]) ** 2).sum(1))
+        np.testing.assert_allclose(d8[b], want, rtol=1e-4, atol=1e-4)
+    dl, il = dist.search_xbin8(queries, k=4, reps=2)
+    np.testing.assert_array_equal(il, i8)
+    # Spilled layout composes: ids deduped, original rows only.
+    sp = DistributedIvfSearcher.with_spill(
+        index, data, spill=0.3, mesh=mesh, tile=64
+    )
+    _, isp = sp.search_xbin8(queries, k=4)
+    for r in isp:
+        ids = [v for v in r.tolist() if v >= 0]
+        assert len(set(ids)) == len(ids)
+        assert all(v < len(data) for v in ids)
