@@ -24,6 +24,18 @@ import time
 
 import numpy as np
 
+#: Full-scan serving modes: nprobe-free, scored over every row, rooflined
+#: as 2*rows*dim FLOP/query. ONE list — membership checks below must not
+#: drift apart when a mode is added (the xbin8 lesson: nine hand-edited
+#: tuples).
+SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8")
+#: Modes the best-of-modes contest considers (chained-loop timing path).
+LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
+              "bincompact", "xbin", "xbin8")
+#: Modes served from the original-row-order bf16 searcher (full scans
+#: collide on cluster-sorted layouts — CLAUDE.md).
+ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8")
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -242,9 +254,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
         "--mode", default="auto",
-        choices=("auto", "stream", "pallas", "masked", "gather", "approx",
-                 "compact", "scan", "binscan", "bincompact", "xbin",
-                 "xbin8"),
+        choices=("auto", "masked", "gather") + LOOP_MODES,
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode); 'binscan' is the fused "
@@ -344,7 +354,7 @@ def main():
     # ground truth — docs/PERFORMANCE.md), and binscan's only loss is
     # random cross-tile bin collisions either way.
     scan_searcher = searcher
-    if args.mode in ("auto", "scan", "binscan", "xbin", "xbin8"):
+    if args.mode in ("auto",) + ORIG_ORDER_MODES:
         scan_searcher = DeviceIvfSearcher(
             index,
             emb,
@@ -354,8 +364,7 @@ def main():
         )
 
     def mode_searcher(mode):
-        return scan_searcher if mode in ("scan", "binscan", "xbin", "xbin8") \
-            else searcher
+        return scan_searcher if mode in ORIG_ORDER_MODES else searcher
 
     # 4. nprobe sweep until recall target ----------------------------
     # Masked-scan mode: the whole sweep shares one compiled executable
@@ -413,10 +422,7 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    loop_modes = (
-        "stream", "pallas", "approx", "compact", "scan", "binscan",
-        "bincompact", "xbin", "xbin8",
-    )
+    loop_modes = LOOP_MODES
 
     # mode="scan" fetch width tuned by _measure_one_mode (None until then).
     # The knob lives on the shared searcher and is honored by scan, approx
@@ -447,8 +453,7 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto", "stream", "pallas", "approx", "compact", "scan",
-                     "binscan", "bincompact", "xbin", "xbin8"):
+    if args.mode in ("auto",) + LOOP_MODES:
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe
@@ -459,8 +464,7 @@ def main():
         modes = loop_modes if args.mode == "auto" else (args.mode,)
 
         def _measure_one_mode(mode):
-            if mode in ("approx", "compact", "scan", "binscan", "bincompact",
-                        "xbin", "xbin8"):
+            if mode in ("compact", "bincompact") + SCAN_MODES:
                 s_m = mode_searcher(mode)
                 if mode != "scan":
                     s_m.scan_overfetch = 0  # recall probe at default width
@@ -555,8 +559,7 @@ def main():
                 bq = {}
                 for mode in mode_qps:
                     if big_b > 1024 and mode not in (
-                        "approx", "compact", "scan", "binscan", "bincompact",
-                        "xbin", "xbin8",
+                        ("compact", "bincompact") + SCAN_MODES
                     ):
                         continue
                     if mode == "compact" and searcher.compact_coverage(
@@ -636,8 +639,7 @@ def main():
     peak_flops, peak_bw = device_peaks(jax)
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
-    if best_mode.split("@")[0] in ("scan", "approx", "binscan", "xbin",
-                                   "xbin8"):
+    if best_mode.split("@")[0] in SCAN_MODES:
         # xbin8 streams int8 codes: 1 byte/element of scan traffic.
         head_eb = 1 if best_mode.startswith("xbin8") else elem_bytes
         result.update(
@@ -661,11 +663,11 @@ def main():
             b: roofline(v, int(b), args.rows, args.dim, elem_bytes,
                         peak_flops, peak_bw)["mfu"]
             for b, v in batch_qps.items()
-            if batch_mode.get(b) in ("scan", "approx", "binscan", "xbin", "xbin8")
+            if batch_mode.get(b) in SCAN_MODES
         }
         ivf_only = {
             m: v for m, v in mode_qps.items()
-            if m not in ("scan", "binscan", "xbin", "xbin8")
+            if m not in ORIG_ORDER_MODES
         }
         if ivf_only:
             result["ivf_b256_qps"] = round(max(ivf_only.values()), 1)

@@ -336,7 +336,7 @@ class DistributedIvfSearcher:
         )
         return cls(ext_index, ext_emb, mesh=mesh, tile=tile, orig_ids=gid)
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int):
+    def _search_impl(self, queries: np.ndarray, k: int, nprobe: int):
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -413,12 +413,12 @@ class DistributedIvfSearcher:
             rows_local=self._rows_per_dev, reps=reps,
         )
 
-    def search_fused(self, queries: np.ndarray, k: int, nprobe: int):
+    def _search_fused_impl(self, queries: np.ndarray, k: int, nprobe: int):
         """Fused per-shard stream-kernel search (ids match :meth:`search`)."""
         nprobe = min(max(1, nprobe), self.index.n_clusters)
         return self._fused_body(k, nprobe, None)(queries)
 
-    def search_loop(
+    def _search_loop_impl(
         self, queries: np.ndarray, k: int, nprobe: int, reps: int = 16
     ):
         """``reps`` chained fused searches in ONE dispatch (timing API —
@@ -456,7 +456,7 @@ class DistributedIvfSearcher:
             rows_local=self._rows_per_dev, reps=reps,
         )
 
-    def search_scan(
+    def _search_scan_impl(
         self,
         queries: np.ndarray,
         k: int,
@@ -474,7 +474,7 @@ class DistributedIvfSearcher:
             k = 2 * k  # spilled searches select 2k for the id dedup
         return _xbin_bins(self._rows_per_dev, k) > 0
 
-    def search_xbin(
+    def _search_xbin_impl(
         self,
         queries: np.ndarray,
         k: int,
@@ -548,7 +548,7 @@ class DistributedIvfSearcher:
             )(self.emb)
         return self._emb_i8, self._emb_i8_scale
 
-    def search_xbin8(
+    def _search_xbin8_impl(
         self,
         queries: np.ndarray,
         k: int,
@@ -665,7 +665,7 @@ class DistributedIvfSearcher:
             rows_local=self._rows_per_dev, reps=reps,
         )
 
-    def search_binscan(
+    def _search_binscan_impl(
         self, queries: np.ndarray, k: int, reps: int | None = None
     ):
         """Distributed fused binned-min full scan (``reps`` chains)."""
@@ -747,7 +747,7 @@ class DistributedIvfSearcher:
             rows_local=self._rows_per_dev, reps=reps,
         )
 
-    def search_bincompact(
+    def _search_bincompact_impl(
         self,
         queries: np.ndarray,
         k: int,
@@ -774,32 +774,95 @@ class DistributedIvfSearcher:
             cap = max(1, min(int(cap), self._nt_local))
         return self._bincompact_body(k, nprobe, reps, cap)(queries)
 
+    # ------------------------------------------------------------------
+    # Public entry points (explicit wrappers, mirroring DeviceIvfSearcher):
+    # on a spilled layout every search selects 2k and dedups by original
+    # id (copies may sit on different shards, so the all-gather merge sees
+    # both); unspilled searchers pass straight through.
+    # ------------------------------------------------------------------
 
-def _wrap_spill_dedup(name: str) -> None:
-    """On a spilled layout every search method must select 2k and dedup by
-    original id (see with_spill). All public search methods share the
-    (self, queries, k, ...) signature, so one uniform wrapper covers them;
-    unspilled searchers pass straight through."""
-    inner = getattr(DistributedIvfSearcher, name)
-
-    @functools.wraps(inner)
-    def outer(self, queries, k, *args, **kwargs):
+    def _spill_dedup(self, fn, queries, k, *args, **kwargs):
         if not self._spill_dups:
-            return inner(self, queries, k, *args, **kwargs)
+            return fn(queries, k, *args, **kwargs)
         from ..query.spill import dedup_topk_np
 
-        d, ids = inner(self, queries, 2 * k, *args, **kwargs)
+        d, ids = fn(queries, 2 * k, *args, **kwargs)
         return dedup_topk_np(d, ids, k)
 
-    setattr(DistributedIvfSearcher, name, outer)
+    def search(self, queries: np.ndarray, k: int, nprobe: int):
+        """Cluster-table gather search (see _search_impl)."""
+        return self._spill_dedup(self._search_impl, queries, k, nprobe)
 
+    def search_fused(self, queries: np.ndarray, k: int, nprobe: int):
+        """Fused per-shard stream-kernel search (ids match search)."""
+        return self._spill_dedup(self._search_fused_impl, queries, k, nprobe)
 
-for _name in (
-    "search", "search_fused", "search_loop", "search_scan", "search_xbin",
-    "search_xbin8", "search_binscan", "search_bincompact",
-):
-    _wrap_spill_dedup(_name)
-del _name
+    def search_loop(
+        self, queries: np.ndarray, k: int, nprobe: int, reps: int = 16
+    ):
+        """``reps`` chained fused searches in ONE dispatch (timing API)."""
+        return self._spill_dedup(
+            self._search_loop_impl, queries, k, nprobe, reps
+        )
+
+    def search_scan(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        recall_target: float = 0.99,
+    ):
+        """Distributed ApproxTopK full scan (see _search_scan_impl)."""
+        return self._spill_dedup(
+            self._search_scan_impl, queries, k, reps, recall_target
+        )
+
+    def search_xbin(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        l_bins: int = 0,
+        chunk_groups: int = 0,
+    ):
+        """Distributed XLA binned-min scan (see _search_xbin_impl)."""
+        return self._spill_dedup(
+            self._search_xbin_impl, queries, k, reps, l_bins, chunk_groups
+        )
+
+    def search_xbin8(
+        self,
+        queries: np.ndarray,
+        k: int,
+        reps: int | None = None,
+        l_bins: int = 0,
+        chunk_groups: int = 0,
+    ):
+        """Distributed int8 xbin scan (see _search_xbin8_impl)."""
+        return self._spill_dedup(
+            self._search_xbin8_impl, queries, k, reps, l_bins, chunk_groups
+        )
+
+    def search_binscan(
+        self, queries: np.ndarray, k: int, reps: int | None = None
+    ):
+        """Distributed fused binned-min full scan (``reps`` chains)."""
+        return self._spill_dedup(self._search_binscan_impl, queries, k, reps)
+
+    def search_bincompact(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int,
+        reps: int | None = None,
+        cap: int | None = None,
+    ):
+        """Distributed probed-union binned-min scan (see
+        _search_bincompact_impl)."""
+        return self._spill_dedup(
+            self._search_bincompact_impl, queries, k, nprobe, reps, cap
+        )
+
 
 
 # ----------------------------------------------------------------------

@@ -97,8 +97,12 @@ class Session:
         if table is None:
             raise PlanError(f"Table '{name}' is not registered")
         searchers = []
+        # kwargs are part of the identity: device_searcher("t", spill=0.2)
+        # after a plain device_searcher("t") must build the spilled
+        # searcher, not silently serve the cached unspilled one.
+        kw_key = tuple(sorted((k, repr(v)) for k, v in kwargs.items()))
         for path in table.paths:
-            cache_key = (name, path)
+            cache_key = (name, path, kw_key)
             cached = self._searchers.get(cache_key)
             if cached is not None:
                 from .physical import STAT_FAILED, file_cache_key
@@ -118,9 +122,11 @@ class Session:
         return searchers[0] if len(searchers) == 1 else searchers
 
     def task_context(self) -> TaskContext:
+        # Later registrations win per path (dict insertion order): a user
+        # who re-built a file's searcher with new kwargs serves with it.
         resident = {
             path: searcher
-            for (name, path), searcher in self._searchers.items()
+            for (name, path, _kw), searcher in self._searchers.items()
         }
         return TaskContext(
             object_store=self.object_store,

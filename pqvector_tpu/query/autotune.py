@@ -31,9 +31,11 @@ import numpy as np
 from ..errors import ValidationError
 
 #: Modes the tuner considers, and whether nprobe shapes their recall.
-PROBED_MODES = ("gather", "masked", "pallas", "stream", "compact",
-                "bincompact")
-SCAN_MODES = ("scan", "binscan", "xbin")
+#: "gather" is deliberately absent: it targets B=1..16 latency and has no
+#: chained-loop path (search_loop raises on it), so a loop-throughput
+#: ranking would mis-time it — measure it with single dispatches instead.
+PROBED_MODES = ("masked", "pallas", "stream", "compact", "bincompact")
+SCAN_MODES = ("scan", "binscan", "xbin", "xbin8")
 
 
 @dataclass(frozen=True)

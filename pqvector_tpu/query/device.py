@@ -1528,6 +1528,7 @@ class DeviceIvfSearcher:
         self._bincompact_calibrated = None
         if not self._row_cluster_sorted:
             return (0, 0)
+        k = self._spill_k(k)  # spilled searches run the impls at 2k
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -1605,7 +1606,7 @@ class DeviceIvfSearcher:
         """Predicted fraction of rows mode="bincompact" would read (1.0 when
         ineligible). Unlike compact's 3-pass traffic, bincompact reads the
         covered fraction once, so it pays off up to coverage ~1."""
-        ctile, cap = self._compact_bin_params(batch, nprobe, k)
+        ctile, cap = self._compact_bin_params(batch, nprobe, self._spill_k(k))
         if not ctile:
             return 1.0
         return cap / max(int(self.emb.shape[0]) // ctile, 1)
@@ -1615,7 +1616,7 @@ class DeviceIvfSearcher:
         this batch shape (cap/nt). Callers can skip compact when this is
         high — above ~1/3 the gather's read+write+read traffic exceeds the
         full scan's single pass."""
-        ctile, cap, _ = self._compact_params(batch, nprobe, k)
+        ctile, cap, _ = self._compact_params(batch, nprobe, self._spill_k(k))
         nt = self.emb.shape[0] // ctile
         return cap / max(nt, 1)
 
@@ -1710,6 +1711,12 @@ class DeviceIvfSearcher:
             raise ValidationError("k must be > 0")
         if mode == "xbin8":  # nprobe-free int8 scan: dedicated loop
             return self._xbin8_loop_call(q, k, reps)
+        if mode not in ("auto", "stream", "pallas", "masked", "approx",
+                        "scan", "compact", "binscan", "bincompact", "xbin"):
+            # NOT the search() catalogue: "gather" has no chained-loop
+            # path — silently running a different kernel here would
+            # mis-time it (the autotune/gather lesson).
+            raise ValidationError(f"Unknown search_loop mode '{mode}'")
         nprobe = min(max(nprobe, 1), self.index.n_clusters)
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
@@ -1832,12 +1839,16 @@ class DeviceIvfSearcher:
             raise ValidationError("k must be > 0")
         if mode == "xbin8":
             return self._xbin8_loop_call(q, k, reps)
+        if mode not in ("auto", "stream", "pallas", "xla", "approx",
+                        "binscan", "xbin"):
+            raise ValidationError(f"Unknown exact_loop mode '{mode}'")
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
         use_approx = mode == "approx"
         use_binscan = mode == "binscan"
         use_xbin = mode == "xbin"
+        use_xla = mode == "xla"
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
@@ -1845,7 +1856,8 @@ class DeviceIvfSearcher:
             q,
             self.emb,
             self.emb_sq
-            if (use_approx or use_xbin) else self._pallas_emb_sq(),
+            if (use_approx or use_xbin or use_xla)
+            else self._pallas_emb_sq(),
             k=k,
             tile=tile_p,
             reps=reps,
@@ -1871,6 +1883,7 @@ class DeviceIvfSearcher:
             ) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
+            use_xla=use_xla,
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
@@ -2210,19 +2223,22 @@ def _masked_pallas_loop(
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
-                     "use_xbin", "xbin_bins", "xbin_chunk"),
+                     "use_xbin", "xbin_bins", "xbin_chunk", "use_xla"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
-    binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0, xbin_chunk=0,
+    binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
+    xbin_chunk=0, use_xla=False,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
     from ..kernels.stream_topk import pallas_stream_exact_topk
 
     def step(q, _):
-        if use_binscan:
+        if use_xla:
+            d2, ids = _exact_topk_impl(q, emb, emb_sq, k=k, tile=tile)
+        elif use_binscan:
             d2, ids = pallas_binned_scan(
                 q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
                 interpret=interpret,

@@ -15,5 +15,7 @@ grep -q "deep10m_r3k.py exit=0" scripts/tpu_queue2.log 2>/dev/null || \
   Q+=("scripts/deep10m_r3k.py:2400")
 grep -q "chip_session_r3l.py exit=0" scripts/tpu_queue2.log 2>/dev/null || \
   Q+=("scripts/chip_session_r3l.py:1500")
-Q+=("scripts/deep10m_r3m.py:2400")
+grep -q "deep10m_r3m.py exit=0" scripts/tpu_queue2.log 2>/dev/null || \
+  Q+=("scripts/deep10m_r3m.py:2400")
+[ ${#Q[@]} -eq 0 ] && { echo "[qw2] nothing pending"; exit 0; }
 exec bash scripts/tpu_queue2.sh "${Q[@]}"

@@ -132,3 +132,32 @@ def test_autotune_spilled_searcher(setup):
         reps=2, budget_s=0.5, timer=FakeTimer(),
     )
     assert report.best is not None and report.best.recall >= 0.9
+
+
+def test_autotune_xbin8_is_scan_mode(setup):
+    """xbin8 classifies as a full-scan mode: nprobe-free plan, no nprobe
+    grid walk (the review found it mislabeled as probed)."""
+    searcher, q = setup
+    report = autotune(
+        searcher, q, k=5, recall_target=0.5, modes=("xbin8",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert report.best is not None
+    assert report.best.mode == "xbin8"
+    assert report.best.nprobe == 0
+    assert "full scan" in report.best.notes
+
+
+def test_autotune_gather_rejected_not_mistimed(setup):
+    """gather has no chained-loop path; the tuner must reject it (the loop
+    would otherwise silently time a different kernel)."""
+    searcher, q = setup
+    from pqvector_tpu.query.autotune import PROBED_MODES
+
+    assert "gather" not in PROBED_MODES
+    report = autotune(
+        searcher, q, k=5, recall_target=0.5, modes=("gather",),
+        reps=2, budget_s=0.5, timer=FakeTimer(),
+    )
+    assert report.best is None
+    assert "gather" in report.rejected

@@ -632,3 +632,24 @@ def test_xbin8_chunked_matches_unchunked(setup):
         searcher.xbin_chunk_groups = 0
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-6)
+
+
+def test_loop_apis_reject_unknown_modes(setup):
+    """search_loop/exact_loop must raise on modes they cannot serve instead
+    of silently running a different kernel (the autotune/gather lesson)."""
+    _, _, searcher, queries = setup
+    with pytest.raises(ValidationError, match="search_loop mode"):
+        searcher.search_loop(queries, k=4, nprobe=2, reps=2, mode="gather")
+    with pytest.raises(ValidationError, match="search_loop mode"):
+        searcher.search_loop(queries, k=4, nprobe=2, reps=2, mode="bogus")
+    with pytest.raises(ValidationError, match="exact_loop mode"):
+        searcher.exact_loop(queries, k=4, reps=2, mode="bogus")
+
+
+def test_exact_loop_xla_mode_runs_xla_merge(setup):
+    """mode="xla" in exact_loop routes to the XLA merge (was silently
+    running the Pallas kernel) and still matches ground truth."""
+    x, _, searcher, queries = setup
+    _, ie = searcher.exact(queries, k=4, mode="xla")
+    _, il = searcher.exact_loop(queries, k=4, reps=2, mode="xla")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))

@@ -112,3 +112,17 @@ def test_session_device_searcher_unknown_table(path):
     s = session(path)
     with pytest.raises(PlanError, match="not registered"):
         s.device_searcher("missing")
+
+
+def test_session_device_searcher_kwargs_key(path):
+    """The searcher cache keys on kwargs: a spill= request after a plain
+    build must not serve the cached unspilled searcher."""
+    from pqvector_tpu.engine.session import Session
+
+    s = Session()
+    s.register_parquet("t", path)
+    plain = s.device_searcher("t", row_tile=64)
+    spilled = s.device_searcher("t", row_tile=64, spill=0.2)
+    assert spilled is not plain
+    assert spilled._spill_dups and not plain._spill_dups
+    assert s.device_searcher("t", row_tile=64, spill=0.2) is spilled
