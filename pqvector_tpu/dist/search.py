@@ -676,12 +676,65 @@ class DistributedIvfSearcher:
             )
         return self._binscan_body(k, reps)(queries)
 
+    def calibrate_bincompact(
+        self,
+        queries: np.ndarray,
+        nprobe: int,
+        k: int = 10,
+        slack: float = 1.15,
+        bucket: int = 16,
+    ) -> int:
+        """Pin the per-shard bincompact tile budget to the MEASURED
+        probed-union size (the dist analog of
+        DeviceIvfSearcher.calibrate_bincompact — the static formula
+        over-budgets at large cluster counts).
+
+        Computes each shard's actual probed-tile union for the sample on
+        host, takes the MAX across shards (SPMD: every shard runs the
+        same cap), adds ``slack``, rounds up to ``bucket`` (bounding
+        recompiles). Returns the cap (0 if ineligible); subsequent
+        ``search_bincompact(cap=None)`` calls use it. Clear with
+        ``self._bincompact_calibrated = None``."""
+        from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
+
+        self._bincompact_calibrated = None
+        if self.tc is None:
+            return 0
+        if self._spill_dups:
+            k = 2 * k  # spilled searches run the impls at 2k
+        if k > self.tile:
+            return 0
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        nprobe = min(max(1, nprobe), self.index.n_clusters)
+        cent = np.asarray(self.index.centroids, np.float32)
+        d2 = np.einsum("kd,kd->k", cent, cent)[None, :] - 2.0 * (q @ cent.T)
+        kp = min(nprobe, cent.shape[0])
+        probe = (
+            np.argpartition(d2, kp - 1, axis=1)[:, :kp]
+            if kp < cent.shape[0]
+            else np.broadcast_to(np.arange(cent.shape[0]), d2.shape)
+        )
+        probed = np.unique(probe)
+        n_dev = self.mesh.devices.size
+        tc = np.asarray(self.tc).reshape(n_dev, self._nt_local, self._cmax)
+        # Pad slots hold the sentinel cluster (kc), never probed.
+        active_per_dev = np.isin(tc, probed).any(axis=2).sum(axis=1)
+        cap = int(-(-(int(active_per_dev.max()) * slack) // bucket) * bucket)
+        cap = max(1, min(self._nt_local, cap))
+        if provenance_bits(cap, self.tile) > PROVENANCE_BITS_MAX:
+            return 0
+        self._bincompact_calibrated = cap
+        return cap
+
     def _bincompact_cap(self, batch: int, nprobe: int, slack: float = 1.3):
         """Static per-shard selected-tile budget for search_bincompact.
 
         Every shard must run the same cap (SPMD); size it for the expected
         probed-union coverage of the whole batch, divided across shards,
-        with ``slack`` headroom (under-capped tiles are the least-probed)."""
+        with ``slack`` headroom (under-capped tiles are the least-probed).
+        A prior ``calibrate_bincompact`` measurement overrides this."""
         kc = max(self.index.n_clusters, 1)
         tile = self.tile
         nt_local = self._nt_local
@@ -766,7 +819,10 @@ class DistributedIvfSearcher:
         q = np.asarray(queries)
         b = q.shape[0] if q.ndim > 1 else 1
         if cap is None:
-            cap = self._bincompact_cap(b, nprobe)
+            cap = (
+                getattr(self, "_bincompact_calibrated", None)
+                or self._bincompact_cap(b, nprobe)
+            )
         else:
             # The kernel's grid is static over `cap` selected tiles; a cap
             # beyond the shard tile count would read past the

@@ -440,3 +440,27 @@ def test_distributed_xbin8_recall_and_exact_distances(mesh, data):
         ids = [v for v in r.tolist() if v >= 0]
         assert len(set(ids)) == len(ids)
         assert all(v < len(data) for v in ids)
+
+
+def test_distributed_bincompact_calibration(mesh, data):
+    """Measured calibration pins the per-shard tile cap to the sample's
+    actual probed-union max across shards; results match the uncalibrated
+    path and the cap is never larger than the static formula's budget."""
+    index = build_ivf_index(
+        Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    dist = DistributedIvfSearcher(index, data, mesh=mesh, tile=128)
+    queries = data[[5, 50, 111]] + 0.02
+    d0, i0 = dist.search_bincompact(queries, k=4, nprobe=3)
+    cap = dist.calibrate_bincompact(queries, nprobe=3, k=4)
+    assert 1 <= cap <= dist._nt_local
+    d1, i1 = dist.search_bincompact(queries, k=4, nprobe=3)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5)
+    # full probe coverage at nprobe=kc -> calibrated cap covers all
+    # shard-active tiles; search still equals the fused exact path
+    dist.calibrate_bincompact(queries, nprobe=6, k=4)
+    _, ic = dist.search_bincompact(queries, k=4, nprobe=6)
+    _, ie = dist.search_fused(queries, k=4, nprobe=6)
+    np.testing.assert_array_equal(ic, ie)
+    dist._bincompact_calibrated = None
