@@ -103,6 +103,33 @@ def timeit(tag, fn, budget_s=5.0):
 
 
 timeit("floor matmul+min        ", lambda: ladder(q, emb, sq, REPS, "min"))
+
+
+# int8 floor: the ceiling mode="xbin8" chases (int8 MXU = 2x bf16 on
+# v5e; the scan reads 1/4 the f32 bytes). Quantize once on device.
+@functools.partial(jax.jit, static_argnames=("reps",))
+def ladder_i8(q0, e8, sc, s_, reps):
+    qa = jnp.max(jnp.abs(q0), axis=1)
+    tq = jnp.where(qa > 0, qa / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q0 / tq[:, None]), -127, 127).astype(jnp.int8)
+
+    def step(carry, _):
+        dots = jnp.dot(qi, e8.T, preferred_element_type=jnp.int32)
+        part = s_[None, :] - 2.0 * tq[:, None] * (
+            sc[None, :] * dots.astype(jnp.float32)
+        )
+        m = jnp.min(part + 0.0 * carry, axis=1)
+        return 0.0 * m[0], m[:1]
+
+    _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+    return ys[-1]
+
+
+from pqvector_tpu.query.device import _quantize_rows_i8
+
+e8_f, sc_f = _quantize_rows_i8(s.emb)
+timeit("floor int8 matmul+min   ",
+       lambda: ladder_i8(q, e8_f, sc_f, sq, REPS))
 for kf in (10, 32, 64):
     timeit(f"matmul+approx kf={kf:<3} rt=.99",
            lambda kf=kf: ladder(q, emb, sq, REPS, "approx", kf, 0.99))
