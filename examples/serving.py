@@ -44,6 +44,16 @@ df = session.sql(
 )
 print("sql ids:    ", df.collect().column("id").to_pylist())
 
+# Autotuned serving plan: calibrate (mode, nprobe) once against a query
+# sample for a recall target, then serve the measured winner.
+from pqvector_tpu.query import autotune
+
+report = autotune(searcher, queries, k=5, recall_target=0.9,
+                  modes=("masked", "scan"), reps=2, budget_s=1.0)
+if report.best:
+    print(f"autotune: mode={report.best.mode} nprobe={report.best.nprobe} "
+          f"recall={report.best.recall:.3f}")
+
 # Recall knob: a SPILLED resident layout duplicates boundary rows into
 # their runner-up cluster (query/spill.py), lifting probe recall at the
 # same nprobe — the probed modes' residual loss is exactly those rows.
