@@ -1,0 +1,33 @@
+#!/bin/bash
+# Run the round-3 chip sessions sequentially with GENEROUS bounds and no
+# aggressive kills: timeout-killing a TPU process mid-dispatch can hold
+# the relay grant and re-wedge the tunnel for followers (the Aug-18
+# patient-probe experiment). timeout(1) sends SIGTERM (not -9); each
+# session also carries internal watchdogs. Resumable: completed sessions
+# are recorded in the log and skipped on re-run.
+set -u
+cd "$(dirname "$0")/.."
+LOG=scripts/run_sessions_r3.log
+run_one() {
+  local entry=$1 budget=$2
+  grep -q "SESSION_DONE $entry" "$LOG" 2>/dev/null && return 0
+  echo "[runner] starting $entry @ $(date +%H:%M:%S)" >> "$LOG"
+  timeout "$budget" python -u "scripts/$entry.py" >> "scripts/$entry.log" 2>&1
+  local rc=$?
+  echo "[runner] $entry exit=$rc @ $(date +%H:%M:%S)" >> "$LOG"
+  if [ $rc -eq 0 ]; then
+    echo "SESSION_DONE $entry" >> "$LOG"
+  elif [ $rc -eq 3 ]; then
+    # internal watchdog: chip unresponsive — stop cleanly, do not churn
+    echo "[runner] chip unresponsive after $entry; stopping" >> "$LOG"
+    exit 3
+  fi
+  # cool-down between sessions (one process at a time, settle the relay)
+  sleep 30
+}
+run_one verify_xbin 1200
+run_one chip_session_r3j 3600
+run_one deep10m_r3k 4800
+run_one chip_session_r3l 3000
+run_one deep10m_r3m 4800
+echo "[runner] all sessions processed @ $(date +%H:%M:%S)" >> "$LOG"
