@@ -950,8 +950,13 @@ class DistributedClusterIvfSearcher:
         data: int | None = None,
         cluster: int | None = None,
         tile: int = 1024,
+        orig_ids: np.ndarray | None = None,
     ):
         from .mesh import CLUSTER_AXIS, make_mesh_2d
+
+        # orig_ids: spilled layouts (query/spill.py) — see
+        # DistributedIvfSearcher; searches then select 2k and dedup.
+        self._spill_dups = orig_ids is not None
 
         if mesh is None:
             n_dev = len(jax.devices())
@@ -1021,7 +1026,9 @@ class DistributedClusterIvfSearcher:
                 sq_blocks[slot, : rows_p.size] = np.einsum(
                     "nd,nd->n", embeddings[rows_p], embeddings[rows_p]
                 )
-                gid_blocks[slot, : rows_p.size] = rows_p
+                gid_blocks[slot, : rows_p.size] = (
+                    orig_ids[rows_p] if orig_ids is not None else rows_p
+                )
                 rc_blocks[slot, : rows_p.size] = cids_g[part]
 
         # Per-slot tile tables for the stream kernel.
@@ -1093,8 +1100,39 @@ class DistributedClusterIvfSearcher:
             gather_axes=(DATA_AXIS, _CA),
         )
 
+    @classmethod
+    def with_spill(
+        cls,
+        index: IvfIndex,
+        embeddings: np.ndarray,
+        spill: float = 0.2,
+        assign_block: int = 65536,
+        assign_dtype=jnp.float32,
+        **kwargs,
+    ) -> "DistributedClusterIvfSearcher":
+        """2-D-mesh searcher over a spilled layout (query/spill.py); see
+        DistributedIvfSearcher.with_spill for the semantics."""
+        from ..query.spill import build_spilled_layout
+
+        ext_index, ext_emb, gid = build_spilled_layout(
+            index, embeddings, spill,
+            block=assign_block, assign_dtype=assign_dtype,
+        )
+        return cls(ext_index, ext_emb, orig_ids=gid, **kwargs)
+
+    def _spill_dedup(self, fn, queries, k, *args):
+        if not self._spill_dups:
+            return fn(queries, k, *args)
+        from ..query.spill import dedup_topk_np
+
+        d, ids = fn(queries, 2 * k, *args)
+        return dedup_topk_np(d, ids, k)
+
     def search(self, queries: np.ndarray, k: int, nprobe: int):
         """Fused stream-kernel search over the 2-D mesh."""
+        return self._spill_dedup(self._search_impl, queries, k, nprobe)
+
+    def _search_impl(self, queries: np.ndarray, k: int, nprobe: int):
         nprobe = min(max(1, nprobe), self.index.n_clusters)
         return self._body(k, nprobe, None)(queries)
 
@@ -1102,5 +1140,12 @@ class DistributedClusterIvfSearcher:
         self, queries: np.ndarray, k: int, nprobe: int, reps: int = 16
     ):
         """``reps`` chained searches in ONE dispatch (timing API)."""
+        return self._spill_dedup(
+            self._search_loop_impl, queries, k, nprobe, reps
+        )
+
+    def _search_loop_impl(
+        self, queries: np.ndarray, k: int, nprobe: int, reps: int = 16
+    ):
         nprobe = min(max(1, nprobe), self.index.n_clusters)
         return self._body(k, nprobe, reps)(queries)

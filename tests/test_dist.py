@@ -464,3 +464,29 @@ def test_distributed_bincompact_calibration(mesh, data):
     _, ie = dist.search_fused(queries, k=4, nprobe=6)
     np.testing.assert_array_equal(ic, ie)
     dist._bincompact_calibrated = None
+
+
+def test_cluster_axis_spilled(mesh, data):
+    """2-D mesh spilled searcher: full probe coverage reproduces the
+    unspilled result exactly; ids are deduped originals."""
+    from pqvector_tpu.dist import DistributedClusterIvfSearcher, make_mesh_2d
+
+    index = build_ivf_index(
+        Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    mesh2 = make_mesh_2d(4, 2)
+    base = DistributedClusterIvfSearcher(index, data, mesh=mesh2, tile=8)
+    sp = DistributedClusterIvfSearcher.with_spill(
+        index, data, spill=0.3, mesh=mesh2, tile=8
+    )
+    queries = data[[5, 50, 111]] + 0.02
+    d0, i0 = base.search(queries, k=4, nprobe=6)
+    d1, i1 = sp.search(queries, k=4, nprobe=6)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-5)
+    _, il = sp.search_loop(queries, k=4, nprobe=6, reps=2)
+    np.testing.assert_array_equal(il, i0)
+    for r in i1:
+        ids = [v for v in r.tolist() if v >= 0]
+        assert len(set(ids)) == len(ids)
+        assert all(v < len(data) for v in ids)
