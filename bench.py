@@ -229,16 +229,19 @@ def _device_watchdog(
     waited = 0.0
     while not done.wait(timeout_s):
         waited += timeout_s
+        # Do NOT touch jax from this thread while the probe is blocked:
+        # jax.default_backend() takes the same backend-init lock the probe
+        # may be hung on (observed: jax.devices() blocked 20+ min during a
+        # relay outage), which would wedge the watchdog loop itself.
         if waited >= max_wait_s:
             log(
-                f"FATAL: device unresponsive after {waited:.0f}s "
-                f"(backend={jax.default_backend()}); aborting benchmark"
+                f"FATAL: device unresponsive after {waited:.0f}s; "
+                f"aborting benchmark"
             )
             os._exit(3)
         log(
-            f"device unresponsive for {waited:.0f}s "
-            f"(backend={jax.default_backend()}); waiting for a healthy "
-            f"window (up to {max_wait_s:.0f}s)"
+            f"device unresponsive for {waited:.0f}s; waiting for a "
+            f"healthy window (up to {max_wait_s:.0f}s)"
         )
 
 

@@ -30,4 +30,14 @@ run_one chip_session_r3j 3600
 run_one deep10m_r3k 4800
 run_one chip_session_r3l 3000
 run_one deep10m_r3m 4800
+# Exercise the driver's own tool end-to-end while the window is healthy
+# (fast smoke; the driver runs the full bench at round end).
+if ! grep -q "SESSION_DONE bench_smoke" "$LOG" 2>/dev/null; then
+  echo "[runner] starting bench --smoke @ $(date +%H:%M:%S)" >> "$LOG"
+  PQVECTOR_BENCH_MAX_WAIT=600 timeout 1500 python -u bench.py --smoke \
+    > scripts/bench_smoke_r3.log 2>&1
+  rc=$?
+  echo "[runner] bench_smoke exit=$rc @ $(date +%H:%M:%S)" >> "$LOG"
+  [ $rc -eq 0 ] && echo "SESSION_DONE bench_smoke" >> "$LOG"
+fi
 echo "[runner] all sessions processed @ $(date +%H:%M:%S)" >> "$LOG"

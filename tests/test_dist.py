@@ -205,7 +205,9 @@ def test_cluster_axis_matches_single_device(data):
     index = build_ivf_index(Embeddings(data, 8), IvfBuildConfig(n_clusters=6, seed=1))
     queries = data[[10, 99, 230]]
     ref = DistributedIvfSearcher(index, data, mesh=make_mesh(8), tile=8)
-    for shape in ((2, 4), (4, 2), (1, 8), (8, 1)):
+    # (4, 2) is covered by test_cluster_axis_spilled — per-shape compiles
+    # dominate this test's cost, so don't duplicate it here.
+    for shape in ((2, 4), (1, 8), (8, 1)):
         mesh2 = make_mesh_2d(*shape)
         dist2 = DistributedClusterIvfSearcher(index, data, mesh=mesh2, tile=8)
         for nprobe in (1, 3, 6):
