@@ -21,6 +21,8 @@ padding never enters the top-k.
 
 from __future__ import annotations
 
+import functools as _functools
+
 
 import os
 
@@ -821,6 +823,38 @@ def _dedup_topk(d, ids, k: int):
     return -neg, jnp.take_along_axis(jnp.where(dup, -1, ids), idx, axis=1)
 
 
+@_functools.partial(
+    jax.jit, static_argnames=("k", "has_deleted", "spill")
+)
+def _finalize_jit(
+    q, d, ids, deleted, delta_emb, delta_sq, delta_ids, k, has_deleted,
+    spill,
+):
+    """Shared search epilogue for dynamic/spilled searchers: tombstone
+    filter -> exact delta-buffer merge -> spilled id-dedup -> trim."""
+    if has_deleted:
+        hit = (ids >= 0) & deleted[jnp.clip(ids, 0, deleted.shape[0] - 1)]
+        d = jnp.where(hit, jnp.inf, d)
+        ids = jnp.where(hit, -1, ids)
+    scores = jnp.dot(
+        q, delta_emb.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    dd2 = delta_sq[None, :] - 2.0 * scores + jnp.sum(q * q, 1)[:, None]
+    kd = min(k, int(delta_emb.shape[0]))
+    neg, didx = jax.lax.top_k(-dd2, kd)
+    dd = jnp.where(jnp.isinf(-neg), jnp.inf, jnp.sqrt(jnp.maximum(-neg, 0.0)))
+    dgi = jnp.where(jnp.isinf(-neg), -1, delta_ids[didx])
+    d = jnp.concatenate([d, dd], axis=1)
+    ids = jnp.concatenate([ids, dgi], axis=1)
+    order = jnp.argsort(d, axis=1, stable=True)
+    d = jnp.take_along_axis(d, order, axis=1)
+    ids = jnp.take_along_axis(ids, order, axis=1)
+    if spill:
+        return _dedup_topk(d, ids, k)
+    return d[:, :k], ids[:, :k]
+
+
 class DeviceIvfSearcher:
     """Device-resident searcher over one embedding matrix + its IVF index."""
 
@@ -910,6 +944,14 @@ class DeviceIvfSearcher:
         self._emb_sq_pallas = None  # lazy: finite-sentinel copy for kernels
         self._emb_i8 = None  # lazy: (codes, scale) for mode="xbin8"
         self._emb_i8_scale = None
+        # Dynamic updates (main-index + memtable design; the reference's
+        # file-embedded index is rebuild-only): tombstone deletes +
+        # delta-buffer appends, merged/filtered in _finalize.
+        self._id_domain = n  # original-id space; grows with appends
+        self._deleted_host: np.ndarray | None = None  # bool over id domain
+        self._deleted_dev = None
+        self._delta: tuple | None = None  # (emb [m,d], sq [m], ids [m])
+        self._delta_host: list[np.ndarray] = []
         self.emb_sq = jnp.asarray(sq)
         self.centroids = jnp.asarray(index.centroids)
         self.c_sq = jnp.sum(self.centroids * self.centroids, axis=1)
@@ -2037,25 +2079,36 @@ class DeviceIvfSearcher:
         return jnp.where(invalid, -1, ids)
 
     # ------------------------------------------------------------------
-    # Public entry points. On a spilled layout (with_spill) each row may
-    # appear twice, so the impls select 2k and the wrappers dedup by
-    # original id; otherwise they pass straight through.
+    # Public entry points. The impls select over the STATIC layout; the
+    # wrappers finalize: tombstone filtering, delta-buffer merge, spilled
+    # id-dedup (impls select 2k on spilled layouts), trim to k.
     # ------------------------------------------------------------------
 
     def _spill_k(self, k: int) -> int:
         return 2 * k if self._spill_dups and k > 0 else k
 
+    def _plain(self) -> bool:
+        return (
+            not self._spill_dups
+            and self._deleted_dev is None
+            and self._delta is None
+        )
+
     def exact(self, queries: np.ndarray, k: int, mode: str = "auto"):
         """Exact brute-force top-k (see ``_exact_impl`` for modes)."""
         d, ids = self._exact_impl(queries, self._spill_k(k), mode)
-        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+        return (d, ids) if self._plain() else self._finalize(
+            queries, d, ids, k
+        )
 
     def search(
         self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"
     ):
         """IVF top-k (see ``_search_impl`` for the mode catalogue)."""
         d, ids = self._search_impl(queries, self._spill_k(k), nprobe, mode)
-        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+        return (d, ids) if self._plain() else self._finalize(
+            queries, d, ids, k
+        )
 
     def search_loop(
         self, queries, k: int, nprobe: int, reps: int = 16, mode: str = "auto"
@@ -2065,14 +2118,131 @@ class DeviceIvfSearcher:
         d, ids = self._search_loop_impl(
             queries, self._spill_k(k), nprobe, reps=reps, mode=mode
         )
-        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+        return (d, ids) if self._plain() else self._finalize(
+            queries, d, ids, k
+        )
 
     def exact_loop(self, queries, k: int, reps: int = 16, mode: str = "auto"):
         """``reps`` chained exact scans in one dispatch."""
         d, ids = self._exact_loop_impl(
             queries, self._spill_k(k), reps=reps, mode=mode
         )
-        return _dedup_topk(d, ids, k) if self._spill_dups else (d, ids)
+        return (d, ids) if self._plain() else self._finalize(
+            queries, d, ids, k
+        )
+
+    # ------------------------------------------------------------------
+    # Dynamic updates: tombstone deletes + delta-buffer appends. The main
+    # layout stays static (XLA-friendly); deletes exclude rows at both the
+    # selection (sq -> inf) and the output (id filter), appends live in a
+    # side buffer scanned exactly and merged at finalize — the classic
+    # main + memtable design. The reference's file-embedded index
+    # (parquet.rs) supports neither without a rebuild.
+    # ------------------------------------------------------------------
+
+    def delete_rows(self, row_ids) -> None:
+        """Tombstone ``row_ids`` (original or appended ids): they stop
+        appearing in any mode's results. O(#copies) device scatters."""
+        ids = np.unique(np.asarray(row_ids, np.int64).reshape(-1))
+        if ids.size == 0:
+            return
+        if ids.min() < 0 or ids.max() >= self._id_domain:
+            raise ValidationError(
+                f"delete_rows ids must be in [0, {self._id_domain})"
+            )
+        if self._deleted_host is None:
+            self._deleted_host = np.zeros(self._id_domain, bool)
+        elif self._deleted_host.size < self._id_domain:
+            grown = np.zeros(self._id_domain, bool)
+            grown[: self._deleted_host.size] = self._deleted_host
+            self._deleted_host = grown
+        self._deleted_host[ids] = True
+        # Main-layout positions of every copy (spilled rows have two).
+        main_ids = ids[ids < (self._gid.max() + 1 if self._gid is not None
+                              else self.n)]
+        if self._gid is not None:
+            pos = np.flatnonzero(np.isin(self._gid, main_ids))
+        else:
+            pos = main_ids[main_ids < self.n]
+        if pos.size:
+            self.emb_sq = self.emb_sq.at[jnp.asarray(pos)].set(jnp.inf)
+            self._emb_sq_pallas = None  # lazy finite copy rebuilds
+        # Delta-buffer copies.
+        if self._delta is not None:
+            de, se, ge = self._delta
+            ge_h = np.asarray(ge)
+            dpos = np.flatnonzero(np.isin(ge_h, ids))
+            if dpos.size:
+                se = se.at[jnp.asarray(dpos)].set(jnp.inf)
+                self._delta = (de, se, ge)
+        self._deleted_dev = jnp.asarray(self._deleted_host)
+
+    def append_rows(self, embeddings: np.ndarray) -> np.ndarray:
+        """Append new rows to the delta buffer; returns their ids (the id
+        space continues past the original rows). Deltas are scanned
+        EXACTLY (one [B, m] matmul at finalize), so appended rows have
+        recall 1.0; fold them into the main index with a rebuild when the
+        buffer grows large."""
+        x = np.ascontiguousarray(embeddings, np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.ndim != 2 or x.shape[1] != self.dim:
+            raise ValidationError(
+                f"append_rows expects [m, {self.dim}] embeddings"
+            )
+        if self.metric == "cosine":
+            from ..index.metrics import normalize_rows
+
+            x = normalize_rows(x)
+        new_ids = np.arange(
+            self._id_domain, self._id_domain + len(x), dtype=np.int32
+        )
+        self._id_domain += len(x)
+        self._delta_host.append(x)
+        all_x = (
+            np.concatenate(self._delta_host)
+            if len(self._delta_host) > 1
+            else self._delta_host[0]
+        )
+        sq = np.einsum("md,md->m", all_x, all_x).astype(np.float32)
+        first_id = self._id_domain - len(all_x)
+        gids = np.arange(first_id, self._id_domain, dtype=np.int32)
+        # Preserve earlier tombstones on re-materialization.
+        if self._deleted_host is not None:
+            dead = self._deleted_host[
+                gids[gids < self._deleted_host.size]
+            ]
+            sq[: dead.size][dead] = np.inf
+        self._delta = (
+            jnp.asarray(all_x, dtype=self.emb.dtype),
+            jnp.asarray(sq),
+            jnp.asarray(gids),
+        )
+        return new_ids
+
+    def _finalize(self, queries, d, ids, k: int):
+        """Tombstone filter -> delta merge -> spilled dedup -> trim, as ONE
+        jitted dispatch (through the tunnel each un-jitted op is its own
+        ~30-85 ms round trip)."""
+        q = self._check_queries(queries)
+        if self._delta is not None:
+            de, se, ge = self._delta
+        else:
+            # 1-row inf sentinel: participates in the merge but never wins.
+            de = jnp.zeros((1, self.dim), self.emb.dtype)
+            se = jnp.full((1,), jnp.inf)
+            ge = jnp.full((1,), -1, jnp.int32)
+        deleted = (
+            self._deleted_dev
+            if self._deleted_dev is not None
+            else jnp.zeros((1,), bool)
+        )
+        return _finalize_jit(
+            q, d, ids, deleted, de, se, ge,
+            k=k,
+            has_deleted=self._deleted_dev is not None,
+            spill=self._spill_dups,
+        )
 
     @classmethod
     def with_spill(
@@ -2113,10 +2283,11 @@ class DeviceIvfSearcher:
         searcher._gid = gid
         searcher._gid_dev = jnp.asarray(gid)
         searcher._spill_dups = True
+        # The public id space is the ORIGINAL rows, not the extended layout
+        # (appends/deletes address original ids).
+        searcher._id_domain = int(gid.max()) + 1 if gid.size else 0
         return searcher
 
-
-import functools as _functools
 
 
 @_functools.partial(
