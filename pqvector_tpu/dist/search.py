@@ -725,7 +725,9 @@ class DistributedIvfSearcher:
         cap = max(1, min(self._nt_local, cap))
         if provenance_bits(cap, self.tile) > PROVENANCE_BITS_MAX:
             return 0
-        self._bincompact_calibrated = cap
+        # Record the operating point: a later search with a larger batch
+        # or nprobe has a larger probed union than this cap covers.
+        self._bincompact_calibrated = (cap, nprobe, q.shape[0])
         return cap
 
     def _bincompact_cap(self, batch: int, nprobe: int, slack: float = 1.3):
@@ -819,10 +821,11 @@ class DistributedIvfSearcher:
         q = np.asarray(queries)
         b = q.shape[0] if q.ndim > 1 else 1
         if cap is None:
-            cap = (
-                getattr(self, "_bincompact_calibrated", None)
-                or self._bincompact_cap(b, nprobe)
-            )
+            cal = getattr(self, "_bincompact_calibrated", None)
+            if cal and nprobe <= cal[1] and b <= cal[2]:
+                cap = cal[0]
+            else:
+                cap = self._bincompact_cap(b, nprobe)
         else:
             # The kernel's grid is static over `cap` selected tiles; a cap
             # beyond the shard tile count would read past the

@@ -1608,7 +1608,12 @@ class DeviceIvfSearcher:
             cap = max(1, min(nt, cap))
             # Measured caps may use the kernel's full packed-key budget.
             if provenance_bits(cap, ctile) <= PROVENANCE_BITS_MAX:
-                self._bincompact_calibrated = (ctile, cap)
+                # Record the operating point: a later search with a larger
+                # batch or nprobe must NOT reuse this cap (its probed union
+                # would exceed it — silent recall loss).
+                self._bincompact_calibrated = (
+                    ctile, cap, nprobe, q.shape[0]
+                )
                 return (ctile, cap)
         return (0, 0)
 
@@ -1619,8 +1624,10 @@ class DeviceIvfSearcher:
         at 12 to keep selection precision >= 2^-11). A prior
         ``calibrate_bincompact`` measurement overrides the formula."""
         cal = getattr(self, "_bincompact_calibrated", None)
-        if cal and k <= cal[0]:
-            return cal
+        if cal and k <= cal[0] and nprobe <= cal[2] and batch <= cal[3]:
+            # Only within the calibrated operating point: a bigger batch or
+            # probe set has a bigger union than the measured cap covers.
+            return cal[0], cal[1]
         n_pad = int(self.emb.shape[0])
         kc = max(self.index.n_clusters, 1)
         draws = batch * nprobe
@@ -2157,6 +2164,7 @@ class DeviceIvfSearcher:
             grown[: self._deleted_host.size] = self._deleted_host
             self._deleted_host = grown
         self._deleted_host[ids] = True
+        self._ship_deleted()
         # Main-layout positions of every copy (spilled rows have two).
         main_ids = ids[ids < (self._gid.max() + 1 if self._gid is not None
                               else self.n)]
@@ -2175,7 +2183,22 @@ class DeviceIvfSearcher:
             if dpos.size:
                 se = se.at[jnp.asarray(dpos)].set(jnp.inf)
                 self._delta = (de, se, ge)
-        self._deleted_dev = jnp.asarray(self._deleted_host)
+
+    @staticmethod
+    def _bucket(n: int, floor: int = 256) -> int:
+        cap = floor
+        while cap < n:
+            cap *= 2
+        return cap
+
+    def _ship_deleted(self) -> None:
+        """Upload the tombstone bitmap padded to a power-of-two covering
+        the WHOLE id domain: stable shapes bound _finalize_jit retraces,
+        and an appended id must never clip-alias into a smaller bitmap."""
+        cap = self._bucket(self._id_domain)
+        padded = np.zeros(cap, bool)
+        padded[: self._deleted_host.size] = self._deleted_host
+        self._deleted_dev = jnp.asarray(padded)
 
     def append_rows(self, embeddings: np.ndarray) -> np.ndarray:
         """Append new rows to the delta buffer; returns their ids (the id
@@ -2199,20 +2222,33 @@ class DeviceIvfSearcher:
         )
         self._id_domain += len(x)
         self._delta_host.append(x)
-        all_x = (
-            np.concatenate(self._delta_host)
-            if len(self._delta_host) > 1
-            else self._delta_host[0]
+        total = sum(len(a) for a in self._delta_host)
+        # Power-of-two capacity with an inf-sq/-1-id tail: shapes only
+        # change when the bucket grows, so _finalize_jit retraces (a ~6 s
+        # remote compile each through the tunnel) stay O(log appends), and
+        # the device upload below is the only per-append transfer.
+        cap = self._bucket(total)
+        all_x = np.zeros((cap, self.dim), np.float32)
+        np.concatenate(self._delta_host, out=all_x[:total])
+        sq = np.full(cap, np.inf, np.float32)
+        sq[:total] = np.einsum(
+            "md,md->m", all_x[:total], all_x[:total]
         )
-        sq = np.einsum("md,md->m", all_x, all_x).astype(np.float32)
-        first_id = self._id_domain - len(all_x)
-        gids = np.arange(first_id, self._id_domain, dtype=np.int32)
-        # Preserve earlier tombstones on re-materialization.
+        first_id = self._id_domain - total
+        gids = np.full(cap, -1, np.int32)
+        gids[:total] = np.arange(first_id, self._id_domain, dtype=np.int32)
+        # Preserve earlier tombstones on re-materialization, and keep the
+        # device bitmap sized for the grown id domain (a stale small
+        # bitmap would clip-alias appended ids).
         if self._deleted_host is not None:
-            dead = self._deleted_host[
-                gids[gids < self._deleted_host.size]
-            ]
-            sq[: dead.size][dead] = np.inf
+            dead = np.zeros(total, bool)
+            upto = min(self._deleted_host.size - first_id, total)
+            if upto > 0:
+                dead[:upto] = self._deleted_host[
+                    first_id : first_id + upto
+                ]
+            sq[:total][dead] = np.inf
+            self._ship_deleted()
         self._delta = (
             jnp.asarray(all_x, dtype=self.emb.dtype),
             jnp.asarray(sq),

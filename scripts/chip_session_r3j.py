@@ -111,14 +111,20 @@ timeit("floor matmul+min        ", lambda: ladder(q, emb, sq, REPS, "min"))
 def ladder_i8(q0, e8, sc, s_, reps):
     qa = jnp.max(jnp.abs(q0), axis=1)
     tq = jnp.where(qa > 0, qa / 127.0, 1.0)
-    qi = jnp.clip(jnp.round(q0 / tq[:, None]), -127, 127).astype(jnp.int8)
 
     def step(carry, _):
+        # carry feeds the quantized query BEFORE the matmul (same trick as
+        # the bf16 ladder) so XLA cannot hoist the loop's dot as invariant
+        # — a hoisted [B, n] int32 dots block would both invalidate the
+        # timing and OOM at 16 GB.
+        qi = jnp.clip(
+            jnp.round((q0 + carry) / tq[:, None]), -127, 127
+        ).astype(jnp.int8)
         dots = jnp.dot(qi, e8.T, preferred_element_type=jnp.int32)
         part = s_[None, :] - 2.0 * tq[:, None] * (
             sc[None, :] * dots.astype(jnp.float32)
         )
-        m = jnp.min(part + 0.0 * carry, axis=1)
+        m = jnp.min(part, axis=1)
         return 0.0 * m[0], m[:1]
 
     _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)

@@ -16,8 +16,12 @@ for i in $(seq 1 40); do
   if [ $rc -eq 0 ]; then
     echo "[gw] chip responsive; running sessions" >> "$LOG"
     bash scripts/run_sessions_r3.sh
-    echo "[gw] session runner finished @ $(date +%H:%M:%S)" >> "$LOG"
-    exit 0
+    src=$?
+    echo "[gw] session runner exit=$src @ $(date +%H:%M:%S)" >> "$LOG"
+    # rc=3 = chip wedged mid-queue; the runner is resumable (SESSION_DONE
+    # markers), so fall back into the probe loop instead of abandoning
+    # the remaining sessions.
+    [ $src -eq 0 ] && exit 0
   fi
   sleep 600
 done

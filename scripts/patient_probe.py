@@ -46,11 +46,17 @@ def dispatch():
 
 
 threading.Thread(target=dispatch, daemon=True).start()
-deadline = t00 + 3600.0  # wait up to 1 h — but NEVER killed externally
-while not done.wait(30.0):
+# Backend init surfaces a clean UNAVAILABLE on its own (observed ~25-30
+# min into an outage), so prefer waiting it out: exiting here would
+# abandon the in-flight dispatch — the very mid-dispatch kill this
+# script exists to avoid — and confound the experiment. The 2 h bound
+# exists only so a silent hang cannot absorb the whole round.
+deadline = t00 + 7200.0
+while not done.wait(60.0):
     log("still waiting on the dispatch...")
     if time.time() > deadline:
-        log("giving up after 1 h (exiting; dispatch thread abandoned)")
+        log("giving up after 2 h (exiting; dispatch thread abandoned — "
+            "treat any follow-on wedge as possibly self-inflicted)")
         sys.exit(3)
 if "err" in result:
     log(f"dispatch FAILED: {result['err']}")

@@ -375,3 +375,30 @@ def test_binscan_expand_respects_vmem():
     from pqvector_tpu.kernels.binscan import binscan_b_tile
 
     assert binscan_b_tile(t, d, 4, expand=e) >= 256
+
+
+def test_calibration_scoped_to_operating_point():
+    """A calibrated bincompact cap only applies at or below the measured
+    (nprobe, batch): larger probe sets must fall back to the formula (the
+    stale cap would silently drop probed tiles)."""
+    import numpy as np
+
+    from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4096, 16)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, 16), IvfBuildConfig(n_clusters=16, seed=0)
+    )
+    s = DeviceIvfSearcher(index, x, cluster_sorted=True, row_tile=512)
+    q = x[:8] + 0.01
+    ct, cap = s.calibrate_bincompact(q, nprobe=2, k=4)
+    assert ct > 0
+    assert s._compact_bin_params(8, 2, 4) == (ct, cap)
+    # larger nprobe or batch -> formula, not the stale cap
+    assert s._compact_bin_params(8, 16, 4) != (ct, cap) or (
+        s._compact_bin_params(8, 16, 4)[1] >= cap
+    )
+    big = s._compact_bin_params(4096, 16, 4)
+    assert big[1] >= cap or big == (0, 0)

@@ -483,6 +483,12 @@ def test_cluster_axis_spilled(mesh, data):
     )
     queries = data[[5, 50, 111]] + 0.02
     d0, i0 = base.search(queries, k=4, nprobe=6)
+    # Independent oracle for THIS mesh shape (the shape-sweep parity test
+    # no longer includes (4,2)): the 1-D row-sharded fused path.
+    ref = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    d_r, i_r = ref.search_fused(queries, k=4, nprobe=6)
+    np.testing.assert_array_equal(i0, i_r)
+    np.testing.assert_allclose(d0, d_r, rtol=1e-4, atol=1e-4)
     d1, i1 = sp.search(queries, k=4, nprobe=6)
     np.testing.assert_array_equal(i1, i0)
     np.testing.assert_allclose(d1, d0, rtol=1e-5)

@@ -143,3 +143,34 @@ def test_scan_modes_respect_dynamic_state(setup):
         got = np.asarray(got)
         assert victim not in got[0].tolist()
         assert got[0, 0] == new_ids[0]
+
+
+def test_delta_bucket_shapes_stable(setup):
+    """Delta capacity grows in power-of-two buckets (floor 256): repeated
+    small appends keep _finalize_jit's input shapes stable (each distinct
+    shape is a fresh trace — a ~6 s remote compile through the tunnel)."""
+    x, index, q = setup
+    rng = np.random.default_rng(2)
+    s = DeviceIvfSearcher(index, x)
+    shapes = set()
+    for _ in range(5):
+        s.append_rows(rng.standard_normal((3, 12)).astype(np.float32))
+        shapes.add(tuple(s._delta[0].shape))
+    assert shapes == {(256, 12)}
+    # tombstone bitmap sized to cover appended ids (no clip-aliasing)
+    s.delete_rows([int(s._id_domain - 1)])
+    assert int(s._deleted_dev.shape[0]) >= s._id_domain
+    _, got = s.exact(q, 3)
+    assert int(s._id_domain - 1) not in np.asarray(got).tolist()
+
+
+def test_append_then_delete_bitmap_covers_domain(setup):
+    """Deleting BEFORE appending must not leave a small bitmap that
+    appended ids clip-alias into."""
+    x, index, q = setup
+    s = DeviceIvfSearcher(index, x)
+    s.delete_rows([0])
+    new_ids = s.append_rows(q[:1])
+    assert int(s._deleted_dev.shape[0]) >= s._id_domain
+    _, got = s.exact(q, 2)
+    assert np.asarray(got)[0, 0] == new_ids[0]  # not falsely tombstoned
