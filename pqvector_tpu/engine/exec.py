@@ -203,6 +203,15 @@ class VectorTopKExec(ExecutionPlan):
             # built before a re-index/rewrite ranks against stale data.
             if searcher.emb.dtype != _jnp.float32:
                 return None
+            if searcher._delta is not None or (
+                searcher._deleted_dev is not None
+            ):
+                # Dynamic runtime state (append/delete) is not in the file:
+                # appended ids don't exist as file rows (the candidate
+                # fetch would read out of range) and SQL projects columns
+                # appends don't carry. SQL serves FILE contents; the host
+                # path does that correctly.
+                return None
             fkey = file_cache_key(path)
             if fkey == STAT_FAILED or getattr(
                 searcher, "source_key", None

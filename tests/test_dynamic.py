@@ -174,3 +174,39 @@ def test_append_then_delete_bitmap_covers_domain(setup):
     assert int(s._deleted_dev.shape[0]) >= s._id_domain
     _, got = s.exact(q, 2)
     assert np.asarray(got)[0, 0] == new_ids[0]  # not falsely tombstoned
+
+
+def test_sql_resident_steps_aside_for_dynamic_state(tmp_path):
+    """SQL serves FILE contents: a resident searcher holding dynamic
+    state (appends/deletes) is skipped — the host path answers, matching
+    the file (appended ids aren't file rows and carry no SQL columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pqvector_tpu.builder import IndexBuilder
+    from pqvector_tpu.engine.session import Session
+
+    rng = np.random.default_rng(6)
+    n, d = 300, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    flat = pa.array(x.reshape(-1), pa.float32())
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(np.arange(n)),
+                  "vec": pa.ListArray.from_arrays(offsets, flat)}),
+        path, row_group_size=64,
+    )
+    IndexBuilder(path, "vec").n_clusters(6).build_inplace()
+
+    s = Session()
+    s.register_parquet("t", path)
+    searcher = s.device_searcher("t")
+    searcher.append_rows(x[:1] + 0.0001)
+    q = ", ".join(f"{v:.6f}" for v in x[0])
+    df = s.sql(
+        f"SELECT id FROM t ORDER BY array_distance(vec, [{q}]) LIMIT 3"
+    )
+    ids = df.collect().column("id").to_pylist()
+    assert len(ids) == 3 and all(0 <= i < n for i in ids)
+    assert ids[0] == 0  # the file's own row 0, not the appended id
