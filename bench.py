@@ -28,13 +28,17 @@ import numpy as np
 #: as 2*rows*dim FLOP/query. ONE list — membership checks below must not
 #: drift apart when a mode is added (the xbin8 lesson: nine hand-edited
 #: tuples).
-SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8")
+SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8")
 #: Modes the best-of-modes contest considers (chained-loop timing path).
 LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
-              "bincompact", "xbin", "xbin8")
+              "bincompact", "xbin", "xbin8", "binscan8", "bincompact8")
 #: Modes served from the original-row-order bf16 searcher (full scans
 #: collide on cluster-sorted layouts — CLAUDE.md).
-ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8")
+ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
+#: Probed-union (batch-union candidate) IVF modes.
+UNION_MODES = ("compact", "bincompact", "bincompact8")
+#: Modes whose scan traffic is int8 codes (1 byte/element).
+INT8_MODES = ("xbin8", "binscan8")
 
 
 def log(msg: str) -> None:
@@ -467,7 +471,7 @@ def main():
         modes = loop_modes if args.mode == "auto" else (args.mode,)
 
         def _measure_one_mode(mode):
-            if mode in ("compact", "bincompact") + SCAN_MODES:
+            if mode in UNION_MODES + SCAN_MODES:
                 s_m = mode_searcher(mode)
                 if mode != "scan":
                     s_m.scan_overfetch = 0  # recall probe at default width
@@ -510,18 +514,20 @@ def main():
             ) >= 0.6:
                 log("mode=compact skipped (probed union covers most tiles)")
                 continue
-            if mode == "binscan" and not scan_searcher.can_binscan(args.k):
-                log("mode=binscan skipped (bin/provenance limits)")
+            if mode in ("binscan", "binscan8") and not scan_searcher.can_binscan(
+                args.k, esize=1 if mode == "binscan8" else None
+            ):
+                log(f"mode={mode} skipped (bin/provenance limits)")
                 continue
             if mode in ("xbin", "xbin8") and not scan_searcher.can_xbin(
                 args.k
             ):
                 log(f"mode={mode} skipped (no eligible bin count)")
                 continue
-            if mode == "bincompact" and searcher.bincompact_coverage(
+            if mode in ("bincompact", "bincompact8") and searcher.bincompact_coverage(
                 batch, chosen, args.k
             ) >= 0.9:
-                log("mode=bincompact skipped (ineligible or ~full coverage)")
+                log(f"mode={mode} skipped (ineligible or ~full coverage)")
                 continue
             try:
                 _measure_one_mode(mode)
@@ -562,14 +568,14 @@ def main():
                 bq = {}
                 for mode in mode_qps:
                     if big_b > 1024 and mode not in (
-                        ("compact", "bincompact") + SCAN_MODES
+                        UNION_MODES + SCAN_MODES
                     ):
                         continue
                     if mode == "compact" and searcher.compact_coverage(
                         big_b, chosen, args.k
                     ) >= 0.6:
                         continue
-                    if mode == "bincompact" and searcher.bincompact_coverage(
+                    if mode in ("bincompact", "bincompact8") and searcher.bincompact_coverage(
                         big_b, chosen, args.k
                     ) >= 0.9:
                         continue
@@ -643,8 +649,8 @@ def main():
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
     if best_mode.split("@")[0] in SCAN_MODES:
-        # xbin8 streams int8 codes: 1 byte/element of scan traffic.
-        head_eb = 1 if best_mode.startswith("xbin8") else elem_bytes
+        # int8-code modes stream 1 byte/element of scan traffic.
+        head_eb = 1 if best_mode.split("@")[0] in INT8_MODES else elem_bytes
         result.update(
             roofline(qps, head_batch, args.rows, args.dim, head_eb,
                      peak_flops, peak_bw)

@@ -109,7 +109,8 @@ def binscan_b_tile(
 
 
 def _binscan_body(
-    t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits, expand=1
+    t, q, qsq, emb_t, sq_t, out_ref, n_lg, tg_bits, code_bits, expand=1,
+    qt=None, sr_t=None,
 ):
     # q is pre-scaled by -2 on the host, so with the query norm added back
     # part = |q|^2 - 2*q.x + |x|^2 = TRUE squared distance. The query-norm
@@ -123,11 +124,23 @@ def _binscan_body(
     # picks wrong rows BEFORE the exact re-score (measured on-chip:
     # recall@10 0.80 on 32-cluster blobs vs 1.0 in interpret mode). bf16
     # storage is unaffected (bf16 x bf16 -> f32 accumulate is exact-input).
-    scores = jnp.dot(
-        q, emb_t.T, preferred_element_type=jnp.float32,
-        precision=score_precision(q.dtype, emb_t.dtype),
-    )
-    part = (scores + sq_t) + qsq[:, :1]  # [bt,tile] + [1,tile] + [bt,1]
+    if sr_t is not None:
+        # Int8 path (mode="binscan8"/"bincompact8"): codes score on the
+        # int8 MXU (int32 accumulate is exact), then scale by the
+        # per-query x per-row factor qt*sr (qt carries -2*tq, so the sign
+        # and the -2 ride the scale). Selection precision ~1% relative
+        # (the quantization); winners are exactly re-scored afterwards.
+        dots = jnp.dot(q, emb_t.T, preferred_element_type=jnp.int32)
+        scores = dots.astype(jnp.float32) * (qt[:, :1] * sr_t)
+        # Quantization error can push a true-zero distance slightly
+        # negative; clamp so the non-negative bitcast key order holds.
+        part = jnp.maximum((scores + sq_t) + qsq[:, :1], 0.0)
+    else:
+        scores = jnp.dot(
+            q, emb_t.T, preferred_element_type=jnp.float32,
+            precision=score_precision(q.dtype, emb_t.dtype),
+        )
+        part = (scores + sq_t) + qsq[:, :1]  # [bt,tile]+[1,tile]+[bt,1]
     hi_mask = jnp.int32(~((1 << code_bits) - 1))
     tg = t // n_lg
     # Bin expansion: rows additionally spread across `expand` slab blocks by
@@ -168,6 +181,17 @@ def _binscan_kernel(
     )
 
 
+def _binscan8_kernel(
+    q_ref, qt_ref, qsq_ref, emb_ref, sq_ref, sc_ref, out_ref, *, n_lg,
+    tg_bits, code_bits, expand,
+):
+    _binscan_body(
+        pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[:], sq_ref[0],
+        out_ref, n_lg, tg_bits, code_bits, expand,
+        qt=qt_ref[:], sr_t=sc_ref[0],
+    )
+
+
 def _binscan_select_kernel(
     sel_ref, q_ref, qsq_ref, emb_ref, sq_ref, out_ref, *, n_lg, tg_bits,
     code_bits, expand,
@@ -178,6 +202,26 @@ def _binscan_select_kernel(
         pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[0], sq_ref[0],
         out_ref, n_lg, tg_bits, code_bits, expand,
     )
+
+
+def _binscan8_select_kernel(
+    sel_ref, q_ref, qt_ref, qsq_ref, emb_ref, sq_ref, sc_ref, out_ref, *,
+    n_lg, tg_bits, code_bits, expand,
+):
+    _binscan_body(
+        pl.program_id(1), q_ref[:], qsq_ref[:], emb_ref[0], sq_ref[0],
+        out_ref, n_lg, tg_bits, code_bits, expand,
+        qt=qt_ref[:], sr_t=sc_ref[0],
+    )
+
+
+def _quantize_queries_i8(q):
+    """(codes int8 [B,d], qt f32 [B] carrying -2*tq) — symmetric per-query
+    int8 quantization; the -2 of the distance cross term rides the scale."""
+    qa = jnp.max(jnp.abs(q), axis=1)
+    tq = jnp.where(qa > 0, qa / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q / tq[:, None]), -127, 127).astype(jnp.int8)
+    return qi, -2.0 * tq
 
 
 @functools.partial(
@@ -192,6 +236,8 @@ def pallas_binned_scan(
     b_tile: int = 512,
     expand: int = 1,
     interpret: bool = False,
+    scale: jnp.ndarray | None = None,  # [n_pad] f32: emb is int8 codes
+    emb_ref: jnp.ndarray | None = None,  # full-precision rows (re-score)
 ):
     """Exact brute-force top-k via the fused binned-min scan.
 
@@ -229,47 +275,74 @@ def pallas_binned_scan(
         )
     bt = min(b_tile, fit, _round_up(b, 8))
     bp = _round_up(b, bt)
-    qs = (-2.0 * q).astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
+    if scale is not None:
+        qs, qt = _quantize_queries_i8(q)
+    else:
+        qs, qt = (-2.0 * q).astype(emb.dtype), None
     if bp != b:
         qs = jnp.concatenate([qs, jnp.zeros((bp - b, d), qs.dtype)], axis=0)
         qsq = jnp.concatenate([qsq, jnp.zeros((bp - b,), qsq.dtype)])
+        if qt is not None:
+            qt = jnp.concatenate([qt, jnp.zeros((bp - b,), qt.dtype)])
     # Lane-broadcast copy of |q|^2 (one (bt,128) block per query tile; the
     # kernel reads column 0). Tiny: 4096 queries = 2 MB, loaded once per bq.
     qsq2 = jnp.tile(qsq[:, None], (1, 128))
     sq2 = emb_sq.reshape(nt, 1, tile)
 
-    keys = pl.pallas_call(
-        functools.partial(
-            _binscan_kernel, n_lg=n_lg, tg_bits=tg_bits,
-            code_bits=code_bits, expand=expand,
-        ),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((expand * n_lg, bp, 128), jnp.int32),
         grid=(bp // bt, nt),
-        in_specs=[
-            pl.BlockSpec((bt, d), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bt, 128), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((tile, d), lambda bq, t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, tile), lambda bq, t: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
         out_specs=pl.BlockSpec(
             (expand * n_lg, bt, 128),
             lambda bq, t: (0, bq, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(qs, qsq2, emb, sq2)
+    )
+    q_spec = pl.BlockSpec(
+        (bt, d), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM
+    )
+    bcast_spec = pl.BlockSpec(
+        (bt, 128), lambda bq, t: (bq, 0), memory_space=pltpu.VMEM
+    )
+    emb_spec = pl.BlockSpec(
+        (tile, d), lambda bq, t: (t, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, tile), lambda bq, t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    if scale is not None:
+        qt2 = jnp.tile(qt[:, None], (1, 128))
+        sc2 = scale.reshape(nt, 1, tile)
+        keys = pl.pallas_call(
+            functools.partial(
+                _binscan8_kernel, n_lg=n_lg, tg_bits=tg_bits,
+                code_bits=code_bits, expand=expand,
+            ),
+            in_specs=[q_spec, bcast_spec, bcast_spec, emb_spec, row_spec,
+                      row_spec],
+            **common,
+        )(qs, qt2, qsq2, emb, sq2, sc2)
+    else:
+        keys = pl.pallas_call(
+            functools.partial(
+                _binscan_kernel, n_lg=n_lg, tg_bits=tg_bits,
+                code_bits=code_bits, expand=expand,
+            ),
+            in_specs=[q_spec, bcast_spec, emb_spec, row_spec],
+            **common,
+        )(qs, qsq2, emb, sq2)
 
     return _merge_bins(
-        q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel=None
+        q, emb if emb_ref is None else emb_ref, keys, b, k, tile, n_lg,
+        tg_bits, code_bits, sel=None, kf_mult=2 if scale is None else 4,
     )
 
 
-def _merge_bins(q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel):
+def _merge_bins(
+    q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel, kf_mult=2
+):
     """Tiny cross-bin merge + provenance decode + exact re-score.
 
     top_k over the L bin columns of int keys; bitwise_not is a strictly
@@ -278,11 +351,14 @@ def _merge_bins(q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel):
     (None for the full scan). ``keys`` may carry expand*n_lg slabs (bin
     expansion); the block index (slab // n_lg) is redundant with the
     provenance code's tg (it equals tg % expand), so the decode only
-    needs the within-block slab.
+    needs the within-block slab. ``kf_mult`` widens the candidate fetch
+    ahead of the exact re-score (the int8 path uses 4 — quantization
+    perturbs within-bin races on top of collisions, like xbin8's wider
+    default in query/device.py:_exact_xbin8_impl).
     """
     bp = keys.shape[1]
     n_slabs = keys.shape[0]  # expand * n_lg
-    kf = min(2 * k, n_slabs * 128)
+    kf = min(max(kf_mult * k, 32), n_slabs * 128)
     flat = jnp.swapaxes(keys, 0, 1).reshape(bp, n_slabs * 128)
     nk, bins = jax.lax.top_k(jnp.bitwise_not(flat), kf)
     key = jnp.bitwise_not(nk)
@@ -317,6 +393,8 @@ def pallas_binned_scan_select(
     b_tile: int = 512,
     expand: int = 1,
     interpret: bool = False,
+    scale: jnp.ndarray | None = None,  # [n_pad] f32: emb is int8 codes
+    emb_ref: jnp.ndarray | None = None,  # full-precision rows (re-score)
 ):
     """Binned-min scan over SELECTED row tiles (probed-union IVF serving).
 
@@ -361,41 +439,72 @@ def pallas_binned_scan_select(
         )
     bt = min(b_tile, fit, _round_up(b, 8))
     bp = _round_up(b, bt)
-    qs = (-2.0 * q).astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
+    if scale is not None:
+        qs, qt = _quantize_queries_i8(q)
+    else:
+        qs, qt = (-2.0 * q).astype(emb.dtype), None
     if bp != b:
         qs = jnp.concatenate([qs, jnp.zeros((bp - b, d), qs.dtype)], axis=0)
         qsq = jnp.concatenate([qsq, jnp.zeros((bp - b,), qsq.dtype)])
+        if qt is not None:
+            qt = jnp.concatenate([qt, jnp.zeros((bp - b,), qt.dtype)])
     qsq2 = jnp.tile(qsq[:, None], (1, 128))
     emb3 = emb.reshape(nt, tile, d)
     sq2 = emb_sq.reshape(nt, 1, tile)
     sel = sel.astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bp // bt, cap),
-        in_specs=[
-            pl.BlockSpec((bt, d), lambda bq, t, s: (bq, 0)),
-            pl.BlockSpec((bt, 128), lambda bq, t, s: (bq, 0)),
-            pl.BlockSpec((1, tile, d), lambda bq, t, s: (s[t], 0, 0)),
-            pl.BlockSpec((1, 1, tile), lambda bq, t, s: (s[t], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (expand * n_lg, bt, 128), lambda bq, t, s: (0, bq, 0)
-        ),
+    q_spec = pl.BlockSpec((bt, d), lambda bq, t, s: (bq, 0))
+    bcast_spec = pl.BlockSpec((bt, 128), lambda bq, t, s: (bq, 0))
+    emb_spec = pl.BlockSpec((1, tile, d), lambda bq, t, s: (s[t], 0, 0))
+    row_spec = pl.BlockSpec((1, 1, tile), lambda bq, t, s: (s[t], 0, 0))
+    out_spec = pl.BlockSpec(
+        (expand * n_lg, bt, 128), lambda bq, t, s: (0, bq, 0)
     )
-    keys = pl.pallas_call(
-        functools.partial(
-            _binscan_select_kernel,
-            n_lg=n_lg,
-            tg_bits=tg_bits,
-            code_bits=code_bits,
-            expand=expand,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((expand * n_lg, bp, 128), jnp.int32),
-        interpret=interpret,
-    )(sel, qs, qsq2, emb3, sq2)
+    if scale is not None:
+        qt2 = jnp.tile(qt[:, None], (1, 128))
+        sc2 = scale.reshape(nt, 1, tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // bt, cap),
+            in_specs=[q_spec, bcast_spec, bcast_spec, emb_spec, row_spec,
+                      row_spec],
+            out_specs=out_spec,
+        )
+        keys = pl.pallas_call(
+            functools.partial(
+                _binscan8_select_kernel,
+                n_lg=n_lg, tg_bits=tg_bits,
+                code_bits=code_bits, expand=expand,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (expand * n_lg, bp, 128), jnp.int32
+            ),
+            interpret=interpret,
+        )(sel, qs, qt2, qsq2, emb3, sq2, sc2)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // bt, cap),
+            in_specs=[q_spec, bcast_spec, emb_spec, row_spec],
+            out_specs=out_spec,
+        )
+        keys = pl.pallas_call(
+            functools.partial(
+                _binscan_select_kernel,
+                n_lg=n_lg,
+                tg_bits=tg_bits,
+                code_bits=code_bits,
+                expand=expand,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (expand * n_lg, bp, 128), jnp.int32
+            ),
+            interpret=interpret,
+        )(sel, qs, qsq2, emb3, sq2)
     return _merge_bins(
-        q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel=sel
+        q, emb if emb_ref is None else emb_ref, keys, b, k, tile, n_lg,
+        tg_bits, code_bits, sel=sel, kf_mult=2 if scale is None else 4,
     )

@@ -645,6 +645,8 @@ def _ivf_compact_bin_impl(
     tile_hi: jnp.ndarray | None = None,
     max_cluster_tiles: int = 0,
     expand: int = 1,
+    scale: jnp.ndarray | None = None,
+    emb_ref: jnp.ndarray | None = None,
 ):
     """IVF via probed-union selection + fused binned-min scan IN PLACE.
 
@@ -655,6 +657,11 @@ def _ivf_compact_bin_impl(
     fraction crosses HBM exactly once and the extraction overlaps the
     scoring matmul. Candidate semantics are identical to compact (the
     batch's probed-tile union, popularity-capped); distances exact.
+
+    mode="bincompact8" passes ``emb`` as int8 codes with per-row ``scale``
+    and the full-precision rows as ``emb_ref`` (exact re-score) — the
+    covered fraction then crosses HBM at 1/4 the f32 bytes and scores on
+    the int8 MXU.
     """
     from ..kernels.binscan import pallas_binned_scan_select
 
@@ -664,7 +671,7 @@ def _ivf_compact_bin_impl(
     )
     return pallas_binned_scan_select(
         q, emb, emb_sq, sel, k, tile=ctile, cap=cap_tiles, expand=expand,
-        interpret=interpret,
+        interpret=interpret, scale=scale, emb_ref=emb_ref,
     )
 
 
@@ -1153,6 +1160,26 @@ class DeviceIvfSearcher:
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
             )
+        elif mode == "binscan8":
+            # Int8 fused binned-min scan: quantized scoring on the int8 MXU
+            # at 1/4 the f32 HBM bytes AND the in-kernel extraction — both
+            # measured scan limiters at once (see _exact_xbin8_impl and
+            # kernels/binscan.py). Winners re-scored exactly.
+            from ..kernels.binscan import pallas_binned_scan
+
+            e8, sc = self._xbin8_arrays()
+            bt_ = self._binscan_tile(esize=1)
+            d2, ids = pallas_binned_scan(
+                q,
+                e8,
+                self._pallas_emb_sq(),
+                k,
+                tile=bt_,
+                expand=self._binscan_expand(bt_, esize=1),
+                interpret=jax.default_backend() != "tpu",
+                scale=sc,
+                emb_ref=self.emb,
+            )
         elif mode == "xbin":
             d2, ids = _exact_xbin(
                 q, self.emb, self.emb_sq, k,
@@ -1368,24 +1395,30 @@ class DeviceIvfSearcher:
                 tile_hi=thi,
                 max_cluster_tiles=span,
             )
-        elif mode == "bincompact":
+        elif mode in ("bincompact", "bincompact8"):
             # Probed-union selection + fused binned-min scan IN PLACE: the
             # covered fraction crosses HBM once and extraction overlaps the
-            # matmul (see _ivf_compact_bin_impl).
+            # matmul (see _ivf_compact_bin_impl). The "8" variant streams
+            # int8 codes (1/4 the bytes, int8 MXU) with exact re-score.
+            i8 = mode == "bincompact8"
+            esz = 1 if i8 else None
             max_probe = self._compact_probe_bucket(nprobe)
-            ctile_b, cap_b = self._compact_bin_params(q.shape[0], nprobe, k)
+            ctile_b, cap_b = self._compact_bin_params(
+                q.shape[0], nprobe, k, esize=esz
+            )
             if not ctile_b:
                 raise ValidationError(
-                    "bincompact ineligible for this shape (provenance bits "
+                    f"{mode} ineligible for this shape (provenance bits "
                     "or tile alignment); use compact or scan"
                 )
             tlo, thi, span = self._compact_tile_ranges(ctile_b)
+            e8, sc = self._xbin8_arrays() if i8 else (None, None)
             d2, ids = _ivf_compact_bin(
                 q,
                 self.centroids,
                 self.c_sq,
                 self.row_cluster,
-                self.emb,
+                e8 if i8 else self.emb,
                 self._pallas_emb_sq(),
                 jnp.int32(nprobe),
                 k=k,
@@ -1396,7 +1429,9 @@ class DeviceIvfSearcher:
                 tile_lo=tlo,
                 tile_hi=thi,
                 max_cluster_tiles=span,
-                expand=self._binscan_expand(ctile_b, cap=cap_b),
+                expand=self._binscan_expand(ctile_b, cap=cap_b, esize=esz),
+                scale=sc,
+                emb_ref=self.emb if i8 else None,
             )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
@@ -1427,6 +1462,25 @@ class DeviceIvfSearcher:
                 tile=bt_,
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
+            )
+        elif mode == "binscan8":
+            # Serving mode: int8 fused binned-min scan, nprobe ignored —
+            # int8 MXU scoring at 1/4 the f32 bytes + in-kernel extraction
+            # (both measured scan limiters), exact re-score of winners.
+            from ..kernels.binscan import pallas_binned_scan
+
+            e8, sc = self._xbin8_arrays()
+            bt_ = self._binscan_tile(esize=1)
+            d2, ids = pallas_binned_scan(
+                q,
+                e8,
+                self._pallas_emb_sq(),
+                k,
+                tile=bt_,
+                expand=self._binscan_expand(bt_, esize=1),
+                interpret=jax.default_backend() != "tpu",
+                scale=sc,
+                emb_ref=self.emb,
             )
         elif mode == "xbin":
             # Serving mode: XLA binned-min full scan (fused-epilogue
@@ -1617,12 +1671,17 @@ class DeviceIvfSearcher:
                 return (ctile, cap)
         return (0, 0)
 
-    def _compact_bin_params(self, batch: int, nprobe: int, k: int):
+    def _compact_bin_params(
+        self, batch: int, nprobe: int, k: int, esize: int | None = None
+    ):
         """(ctile, cap_tiles) for mode="bincompact", or (0, 0) if the
         provenance bit budget can't cover the predicted active-tile count
         (kernels/binscan.py caps packed keys at 13 provenance bits; we gate
         at 12 to keep selection precision >= 2^-11). A prior
-        ``calibrate_bincompact`` measurement overrides the formula."""
+        ``calibrate_bincompact`` measurement overrides the formula.
+        ``esize=1`` gates the int8 mode="bincompact8" variant (an
+        f32-calibrated point stays valid — the int8 working set is a
+        strict subset at the same ctile)."""
         cal = getattr(self, "_bincompact_calibrated", None)
         if cal and k <= cal[0] and nprobe <= cal[2] and batch <= cal[3]:
             # Only within the calibrated operating point: a bigger batch or
@@ -1639,7 +1698,7 @@ class DeviceIvfSearcher:
         for ctile in (2048, 1024, 512):
             if n_pad % ctile or k > ctile:
                 continue
-            if not self._binscan_vmem_ok(ctile):
+            if not self._binscan_vmem_ok(ctile, esize=esize):
                 continue
             nt = n_pad // ctile
             tiles_per = (self.n / kc) / ctile + 1.0
@@ -1761,7 +1820,8 @@ class DeviceIvfSearcher:
         if mode == "xbin8":  # nprobe-free int8 scan: dedicated loop
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "masked", "approx",
-                        "scan", "compact", "binscan", "bincompact", "xbin"):
+                        "scan", "compact", "binscan", "bincompact", "xbin",
+                        "binscan8", "bincompact8"):
             # NOT the search() catalogue: "gather" has no chained-loop
             # path — silently running a different kernel here would
             # mis-time it (the autotune/gather lesson).
@@ -1784,9 +1844,11 @@ class DeviceIvfSearcher:
         use_scan = mode == "scan"
         use_xla = mode == "masked"
         use_compact = mode == "compact"
-        use_binscan = mode == "binscan"
-        use_bincompact = mode == "bincompact"
+        use_binscan = mode in ("binscan", "binscan8")
+        use_bincompact = mode in ("bincompact", "bincompact8")
         use_xbin = mode == "xbin"
+        use_i8 = mode in ("binscan8", "bincompact8")
+        esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
@@ -1807,10 +1869,12 @@ class DeviceIvfSearcher:
             tlo, thi, span = self._compact_tile_ranges(ctile)
         elif use_bincompact:
             max_probe = self._compact_probe_bucket(nprobe)
-            ctile, cap_tiles = self._compact_bin_params(q.shape[0], nprobe, k)
+            ctile, cap_tiles = self._compact_bin_params(
+                q.shape[0], nprobe, k, esize=esz
+            )
             if not ctile:
                 raise ValidationError(
-                    "bincompact ineligible for this shape (provenance bits "
+                    f"{mode} ineligible for this shape (provenance bits "
                     "or tile alignment); use compact or scan"
                 )
             chunk = 1
@@ -1846,11 +1910,11 @@ class DeviceIvfSearcher:
             use_compact=use_compact,
             use_binscan=use_binscan,
             use_bincompact=use_bincompact,
-            binscan_tile=self._binscan_tile() if use_binscan else 0,
+            binscan_tile=self._binscan_tile(esize=esz) if use_binscan else 0,
             bin_expand=(
-                self._binscan_expand(self._binscan_tile())
+                self._binscan_expand(self._binscan_tile(esize=esz), esize=esz)
                 if use_binscan
-                else self._binscan_expand(ctile, cap=cap_tiles)
+                else self._binscan_expand(ctile, cap=cap_tiles, esize=esz)
                 if use_bincompact
                 else 1
             ),
@@ -1876,6 +1940,8 @@ class DeviceIvfSearcher:
             ) if use_xbin else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
+            emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
+            i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
@@ -1889,15 +1955,17 @@ class DeviceIvfSearcher:
         if mode == "xbin8":
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "xla", "approx",
-                        "binscan", "xbin"):
+                        "binscan", "xbin", "binscan8"):
             raise ValidationError(f"Unknown exact_loop mode '{mode}'")
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
         use_approx = mode == "approx"
-        use_binscan = mode == "binscan"
+        use_binscan = mode in ("binscan", "binscan8")
         use_xbin = mode == "xbin"
         use_xla = mode == "xla"
+        use_i8 = mode == "binscan8"
+        esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
@@ -1913,9 +1981,9 @@ class DeviceIvfSearcher:
             use_stream=use_stream,
             use_approx=use_approx,
             use_binscan=use_binscan,
-            binscan_tile=self._binscan_tile() if use_binscan else 0,
+            binscan_tile=self._binscan_tile(esize=esz) if use_binscan else 0,
             bin_expand=(
-                self._binscan_expand(self._binscan_tile())
+                self._binscan_expand(self._binscan_tile(esize=esz), esize=esz)
                 if use_binscan else 1
             ),
             chunk=self._approx_chunk(k=k),
@@ -1933,6 +2001,8 @@ class DeviceIvfSearcher:
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
             use_xla=use_xla,
+            emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
+            i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
@@ -1965,20 +2035,26 @@ class DeviceIvfSearcher:
             return min(self.emb.shape[0], 65536)
         return self.emb.shape[0]
 
-    def _binscan_vmem_ok(self, tile: int, expand: int = 1) -> bool:
+    def _binscan_vmem_ok(
+        self, tile: int, expand: int = 1, esize: int | None = None
+    ) -> bool:
         """Whether the binscan kernel's VMEM working set fits scoped vmem
         at this row tile with a query block of at least 256 (the kernel
         re-streams the full array once per query block, so smaller blocks
         multiply HBM traffic — kernels/binscan.py binscan_b_tile models
         the double-buffered emb + bin-accumulator blocks, the charge that
-        OOMed expand=2/tile=2048/bt=512 on-chip at 17.02M)."""
+        OOMed expand=2/tile=2048/bt=512 on-chip at 17.02M). ``esize``
+        overrides the element size (1 for the int8-code modes)."""
         from ..kernels.binscan import binscan_b_tile
 
         d = int(self.emb.shape[1])
-        esize = jnp.dtype(self.emb.dtype).itemsize
+        if esize is None:
+            esize = jnp.dtype(self.emb.dtype).itemsize
         return binscan_b_tile(tile, d, esize, expand) >= 256
 
-    def _binscan_expand(self, tile: int, cap: int | None = None) -> int:
+    def _binscan_expand(
+        self, tile: int, cap: int | None = None, esize: int | None = None
+    ) -> int:
         """Largest bin-expansion factor (kernels/binscan.py ``expand``):
         bins = expand*tile at unchanged per-element op count, so cross-tile
         bin collisions — the mode's only recall loss — drop ~1/expand.
@@ -1987,32 +2063,37 @@ class DeviceIvfSearcher:
         n_lg = tile // 128
         nt = int(self.emb.shape[0]) // tile if cap is None else int(cap)
         for e in (4, 2):
-            if nt >= e * n_lg and self._binscan_vmem_ok(tile, expand=e):
+            if nt >= e * n_lg and self._binscan_vmem_ok(
+                tile, expand=e, esize=esize
+            ):
                 return e
         return 1
 
-    def _binscan_tile(self) -> int:
+    def _binscan_tile(self, esize: int | None = None) -> int:
         """Largest lane-aligned row tile dividing the padded rows whose
         working set fits scoped VMEM (dim-scaled — see _binscan_vmem_ok).
 
         The binscan kernel's bin count equals the tile, so bigger is better
         for recall (cross-tile bin collisions are the only selection loss);
         provenance-bit eligibility is checked separately in can_binscan.
+        Int8-code modes pass ``esize=1`` (smaller streamed blocks — a dim
+        that forces f32 down a tile can keep the larger one in int8).
         """
         n_pad = int(self.emb.shape[0])
         for t in (2048, 1024, 512, 256, 128):
-            if n_pad % t == 0 and self._binscan_vmem_ok(t):
+            if n_pad % t == 0 and self._binscan_vmem_ok(t, esize=esize):
                 return t
         raise ValidationError(
             f"padded row count {n_pad} is not lane-aligned for binscan"
         )
 
-    def can_binscan(self, k: int = 10) -> bool:
+    def can_binscan(self, k: int = 10, esize: int | None = None) -> bool:
         """Whether the fused binned-min scan supports this array/k (bin and
-        provenance-precision limits — kernels/binscan.py)."""
+        provenance-precision limits — kernels/binscan.py). Pass ``esize=1``
+        to gate the int8 mode="binscan8" variant."""
         k = self._spill_k(k)  # spilled searches select 2k for the dedup
         try:
-            t = self._binscan_tile()
+            t = self._binscan_tile(esize=esize)
         except ValidationError:
             return False
         nt = int(self.emb.shape[0]) // t
@@ -2344,7 +2425,7 @@ def _masked_pallas_loop(
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
-    xbin_bins=0, xbin_chunk=0,
+    xbin_bins=0, xbin_chunk=0, emb_i8=None, i8_scale=None,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -2353,16 +2434,22 @@ def _masked_pallas_loop(
         if use_binscan:
             from ..kernels.binscan import pallas_binned_scan
 
+            # emb_i8 set -> mode="binscan8" (int8 codes + exact re-score).
             return pallas_binned_scan(
-                q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
-                interpret=interpret,
+                q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
+                tile=binscan_tile, expand=bin_expand, interpret=interpret,
+                scale=i8_scale,
+                emb_ref=None if emb_i8 is None else emb,
             )
         if use_bincompact:
             return _ivf_compact_bin_impl(
-                q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
+                q, centroids, c_sq, row_cluster,
+                emb if emb_i8 is None else emb_i8, emb_sq, nprobe,
                 k=k, max_probe=max_probe, ctile=ctile, cap_tiles=cap_tiles,
                 interpret=interpret, tile_lo=tile_lo, tile_hi=tile_hi,
                 max_cluster_tiles=max_cluster_tiles, expand=bin_expand,
+                scale=i8_scale,
+                emb_ref=None if emb_i8 is None else emb,
             )
         if use_compact:
             return _ivf_compact_approx_impl(
@@ -2436,7 +2523,7 @@ def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
-    xbin_chunk=0, use_xla=False,
+    xbin_chunk=0, use_xla=False, emb_i8=None, i8_scale=None,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -2446,9 +2533,13 @@ def _exact_pallas_loop(
         if use_xla:
             d2, ids = _exact_topk_impl(q, emb, emb_sq, k=k, tile=tile)
         elif use_binscan:
+            # emb_i8 set -> mode="binscan8": codes stream through the
+            # kernel, full-precision emb is only the exact re-score input.
             d2, ids = pallas_binned_scan(
-                q, emb, emb_sq, k=k, tile=binscan_tile, expand=bin_expand,
-                interpret=interpret,
+                q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
+                tile=binscan_tile, expand=bin_expand, interpret=interpret,
+                scale=i8_scale,
+                emb_ref=None if emb_i8 is None else emb,
             )
         elif use_xbin:
             d2, ids = _exact_xbin_impl(

@@ -402,3 +402,147 @@ def test_calibration_scoped_to_operating_point():
     )
     big = s._compact_bin_params(4096, 16, 4)
     assert big[1] >= cap or big == (0, 0)
+
+
+def _quantize_rows(emb_pad):
+    from pqvector_tpu.query.device import _quantize_rows_i8
+
+    e8, sc = _quantize_rows_i8(emb_pad)
+    return np.asarray(e8), np.asarray(sc)
+
+
+def test_binscan8_recall_and_exact_distances():
+    # Int8-code path: selection on the quantized cross term (int8 MXU),
+    # returned distances exact (re-scored against the f32 rows).
+    rng = np.random.default_rng(20)
+    n, d, b, k = 5000, 128, 64, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e, sq = _pad(emb, 1024)
+    e8, sc = _quantize_rows(e)
+    d2, ids = pallas_binned_scan(
+        q, e8, sq, k, interpret=INTERPRET, scale=sc, emb_ref=e
+    )
+    d2, ids = np.asarray(d2), np.asarray(ids)
+    _, tids = _true_topk(q, emb, k)
+    hits = sum(
+        len(set(a.tolist()) & set(bb.tolist())) for a, bb in zip(ids, tids)
+    )
+    assert hits / (b * k) >= 0.9  # bin collisions + ~1% quantization
+    want = ((q[:, None, :] - emb[ids]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, want, rtol=1e-5, atol=1e-4)
+    assert np.all(np.diff(d2, axis=1) >= -1e-6)
+
+
+def test_binscan8_planted_duplicates_with_rescore():
+    # A query equal to a stored row has true distance 0; quantization can
+    # perturb its bin key, but the widened fetch + exact re-score must
+    # still surface it as top-1 on well-separated data.
+    rng = np.random.default_rng(21)
+    n, d = 4000, 64
+    emb = 10.0 * rng.standard_normal((n, d)).astype(np.float32)
+    rows = np.arange(7, n, 41)[:64]
+    q = emb[rows].copy()
+    e, sq = _pad(emb, 1024)
+    e8, sc = _quantize_rows(e)
+    d2, ids = pallas_binned_scan(
+        q, e8, sq, 1, interpret=INTERPRET, scale=sc, emb_ref=e
+    )
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], rows)
+    assert np.all(np.asarray(d2)[:, 0] < 1e-3)
+
+
+def test_binscan8_select_subset():
+    from pqvector_tpu.kernels.binscan import pallas_binned_scan_select
+
+    rng = np.random.default_rng(22)
+    n, d, b, k, tile = 6000, 64, 24, 5, 512
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e, sq = _pad(emb, tile)
+    e8, sc = _quantize_rows(e)
+    sel = np.array([9, 2, 5, 0, 11], np.int32)
+    d2, ids = pallas_binned_scan_select(
+        q, e8, sq, sel, k, tile=tile, interpret=INTERPRET,
+        scale=sc, emb_ref=e,
+    )
+    d2, ids = np.asarray(d2), np.asarray(ids)
+    rows = np.concatenate([np.arange(t * tile, (t + 1) * tile) for t in sel])
+    rows = rows[rows < n]
+    sub = emb[rows]
+    td2 = ((q[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    tids = rows[np.argsort(td2, axis=1)[:, :k]]
+    hits = sum(
+        len(set(a.tolist()) & set(bb.tolist())) for a, bb in zip(ids, tids)
+    )
+    assert hits / (b * k) >= 0.9
+    assert set(np.unique(ids)).issubset(set(rows.tolist()))
+    want = ((q[:, None, :] - emb[ids]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, want, rtol=1e-5, atol=1e-4)
+
+
+def test_binscan8_searcher_modes():
+    # mode="binscan8"/"bincompact8" through the searcher: single dispatch
+    # and loop forms, distances exact, ids mapped to original rows.
+    from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    rng = np.random.default_rng(23)
+    n, d, b, k = 3000, 32, 16, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(emb, d), IvfBuildConfig(n_clusters=8, seed=0)
+    )
+    s = DeviceIvfSearcher(index, emb, row_tile=128, cluster_sorted=True)
+    assert s.can_binscan(k, esize=1)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    dist, ids = s.exact(q, k, mode="binscan8")
+    dist, ids = np.asarray(dist), np.asarray(ids)
+    _, want_ids = _true_topk(q, emb, k)
+    hits = sum(
+        len(set(a.tolist()) & set(bb.tolist()))
+        for a, bb in zip(ids, want_ids)
+    )
+    assert hits / (b * k) >= 0.9
+    want = np.sqrt(((q[:, None, :] - emb[ids]) ** 2).sum(-1))
+    np.testing.assert_allclose(dist, want, rtol=1e-4, atol=1e-4)
+    # Serving path (nprobe ignored) and both loop forms agree.
+    sd, si = s.search(q, k, nprobe=4, mode="binscan8")
+    np.testing.assert_array_equal(np.asarray(si), ids)
+    ld, li = s.search_loop(q, k, nprobe=4, reps=2, mode="binscan8")
+    np.testing.assert_array_equal(np.asarray(li), ids)
+    ed, ei = s.exact_loop(q, k, reps=2, mode="binscan8")
+    np.testing.assert_array_equal(np.asarray(ei), ids)
+
+
+def test_bincompact8_mode_matches_bincompact():
+    from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+    from pqvector_tpu.query.device import DeviceIvfSearcher
+
+    rng = np.random.default_rng(24)
+    n, d, b, k = 4000, 32, 32, 5
+    modes_c = rng.uniform(-1, 1, (16, d)).astype(np.float32)
+    emb = (modes_c[rng.integers(0, 16, n)]
+           + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(emb, d), IvfBuildConfig(n_clusters=16, seed=0)
+    )
+    s = DeviceIvfSearcher(index, emb, row_tile=512, cluster_sorted=True)
+    assert s._compact_bin_params(b, 4, k, esize=1)[0] > 0
+    qrows = rng.integers(0, n, b)
+    q = (emb[qrows] + 0.03 * rng.standard_normal((b, d))).astype(np.float32)
+    dist, ids = s.search(q, k, nprobe=4, mode="bincompact8")
+    dist, ids = np.asarray(dist), np.asarray(ids)
+    db, ib = s.search(q, k, nprobe=4, mode="bincompact")
+    ib = np.asarray(ib)
+    hits = sum(
+        len(set(a.tolist()) & set(bb.tolist())) for a, bb in zip(ids, ib)
+    )
+    assert hits / (b * k) >= 0.85  # quantization on clustered data
+    assert float((ids[:, 0] == qrows).mean()) >= 0.85
+    # Distances exact for returned ids.
+    want = np.sqrt(((q[:, None, :] - emb[ids]) ** 2).sum(-1))
+    np.testing.assert_allclose(dist, want, rtol=1e-4, atol=1e-4)
+    # Loop form agrees with the single dispatch.
+    ld, li = s.search_loop(q, k, nprobe=4, reps=2, mode="bincompact8")
+    np.testing.assert_array_equal(np.asarray(li), ids)
