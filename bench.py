@@ -30,8 +30,17 @@ import numpy as np
 #: tuples).
 SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8")
 #: Modes the best-of-modes contest considers (chained-loop timing path).
+#: The int8 Pallas modes stay OUT of the auto contest until they are
+#: Mosaic-validated on hardware (scripts/chip_session_r3n.py) — an
+#: unvalidated Pallas kernel can wedge the chip for every later process
+#: (round-1 lesson), which must never happen inside the driver's bench.
+#: Flip PQVECTOR_BENCH_INT8_PALLAS=1 (or ask for the mode explicitly)
+#: once the session log shows them clean.
+_INT8_PALLAS = ("binscan8", "bincompact8") if os.environ.get(
+    "PQVECTOR_BENCH_INT8_PALLAS"
+) else ()
 LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
-              "bincompact", "xbin", "xbin8", "binscan8", "bincompact8")
+              "bincompact", "xbin", "xbin8") + _INT8_PALLAS
 #: Modes served from the original-row-order bf16 searcher (full scans
 #: collide on cluster-sorted layouts — CLAUDE.md).
 ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
@@ -261,7 +270,10 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
         "--mode", default="auto",
-        choices=("auto", "masked", "gather") + LOOP_MODES,
+        choices=tuple(dict.fromkeys(
+            ("auto", "masked", "gather") + LOOP_MODES
+            + ("binscan8", "bincompact8")  # explicit request bypasses gate
+        )),
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode); 'binscan' is the fused "
@@ -460,7 +472,7 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto",) + LOOP_MODES:
+    if args.mode in ("auto",) + LOOP_MODES + ("binscan8", "bincompact8"):
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe

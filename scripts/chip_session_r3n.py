@@ -1,0 +1,171 @@
+"""Chip session N: validate the int8 Pallas binscan modes on hardware.
+
+New Mosaic kernels (binscan8 / bincompact8 — kernels/binscan.py int8
+path) must be validated in a dedicated solo process (CLAUDE.md). Order:
+1. Tiny shape (64k rows) first — catches Mosaic lowering errors in a
+   ~seconds compile before committing to the 1M executables.
+2. 1M x 128 recall gates: binscan8 vs exact truth, bincompact8 vs
+   bincompact (same probed union).
+3. QPS ladder at B in {1024, 4096}: int8 matmul+min floor (the int8
+   ceiling: 2x bf16 MXU rate, 1/4 scan bytes), binscan8 vs binscan vs
+   xbin8, bincompact8 vs bincompact at B=256.
+
+Run SOLO: bash scripts/tpu_run.sh scripts/chip_session_r3n.py 2400
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+t00 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-t00:7.1f}s] == {m}", flush=True)
+
+
+import numpy as np
+import jax
+
+
+def watchdog(timeout_s=240.0):
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones((8, 128)) + 1.0)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        log(f"FATAL: device unresponsive after {timeout_s:.0f}s")
+        os._exit(3)
+
+
+watchdog()
+log(f"device alive ({jax.devices()})")
+
+import jax.numpy as jnp
+from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
+from pqvector_tpu.query.device import DeviceIvfSearcher
+
+REPS = 25
+
+
+def recall(ids, tids):
+    b, k = tids.shape
+    return sum(
+        len(set(a.tolist()) & set(t.tolist())) for a, t in zip(ids, tids)
+    ) / (b * k)
+
+
+# ---- 1. tiny-shape Mosaic validation --------------------------------
+rng = np.random.default_rng(5)
+n0, d0 = 1 << 16, 128
+x0 = rng.standard_normal((n0, d0)).astype(np.float32)
+idx0 = build_ivf_index(Embeddings(x0, d0), IvfBuildConfig(n_clusters=64, seed=0))
+s0 = DeviceIvfSearcher(idx0, x0, row_tile=2048, dtype=jnp.bfloat16,
+                       cluster_sorted=True)
+q0 = (x0[rng.integers(0, n0, 64)]
+      + 0.05 * rng.standard_normal((64, d0))).astype(np.float32)
+_, tid0 = s0.exact(q0, 10, mode="xla")
+tid0 = np.asarray(tid0)
+for m in ("binscan8", "bincompact8"):
+    try:
+        _, ids = s0.search(q0, 10, nprobe=8, mode=m)
+        log(f"tiny {m}: recall@10={recall(np.asarray(ids), tid0):.4f}")
+    except Exception as e:  # noqa: BLE001
+        log(f"tiny {m} FAILED: {type(e).__name__}: {e}")
+        sys.exit(1)
+del s0, x0
+
+# ---- 2. 1M x 128 ----------------------------------------------------
+from pqvector_tpu.io.embed import read_index_from_parquet
+from pqvector_tpu.io.reader import read_embedding_column
+
+path = "/root/repo/data/bench_1000000x128.parquet"
+index, col = read_index_from_parquet(path)
+emb_np = read_embedding_column(path, col).data
+qb = (emb_np[rng.integers(0, len(emb_np), 4096)]
+      + 0.05 * rng.standard_normal((4096, 128))).astype(np.float32)
+# Orig-order searcher for the full-scan modes; sorted for the union modes.
+s = DeviceIvfSearcher(index, emb_np, row_tile=4096, dtype=jnp.bfloat16)
+emb, sq = s.emb, s._pallas_emb_sq()
+log("resident (bf16, orig order)")
+
+q256 = jnp.asarray(qb[:256])
+_, tid = s.exact(np.asarray(q256), 10, mode="xla")
+tid = np.asarray(tid)
+watchdog()
+for m in ("binscan", "binscan8", "xbin8"):
+    _, ids = s.search(np.asarray(q256), 10, nprobe=8, mode=m)
+    log(f"1M {m}: recall@10={recall(np.asarray(ids), tid):.4f}")
+
+# int8 floor: quantized matmul + min (the binscan8 ceiling).
+e8, sc = s._xbin8_arrays()
+
+
+@functools.partial(jax.jit, static_argnames=("reps",))
+def floor_i8(q0, e, scl, s_, reps):
+    qa = jnp.max(jnp.abs(q0), axis=1)
+    tq = jnp.where(qa > 0, qa / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q0 / tq[:, None]), -127, 127).astype(jnp.int8)
+
+    def step(carry, _):
+        dots = jnp.dot(qi, e.T, preferred_element_type=jnp.int32)
+        m = jnp.min(
+            s_[None, :] - 2.0 * tq[:, None] * scl[None, :]
+            * dots.astype(jnp.float32) + carry,
+            axis=1,
+        )
+        return 0.0 * m[0], m[:1]
+
+    _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+    return ys[-1]
+
+
+def timeit(tag, fn, b, budget_s=5.0):
+    np.asarray(fn())
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_s and n < 8 * REPS:
+        np.asarray(fn())
+        n += REPS
+    dt = (time.perf_counter() - t0) / n
+    mfu = 2.0 * 1e6 * 128 * b / dt / 197e12
+    log(f"{tag}: {dt*1e3:.2f} ms/batch  {b/dt:.0f} QPS  ({mfu:.1%} bf16 peak)")
+    return dt
+
+
+for b in (1024, 4096):
+    q = jnp.asarray(qb[:b])
+    watchdog()
+    timeit(f"floor int8 matmul+min B={b}",
+           lambda: floor_i8(q, e8, sc, s.emb_sq, REPS), b)
+    for m in ("binscan8", "binscan", "xbin8"):
+        try:
+            timeit(f"{m} B={b}",
+                   lambda: s.search_loop(q, 10, 4, reps=REPS, mode=m)[1], b)
+        except Exception as e:  # noqa: BLE001
+            log(f"{m} B={b} FAILED: {type(e).__name__}: {e}")
+
+# ---- 3. probed-union int8 at B=256 (sorted layout) ------------------
+del emb, sq, e8, sc, s
+ss = DeviceIvfSearcher(index, emb_np, row_tile=4096, dtype=jnp.bfloat16,
+                       cluster_sorted=True)
+del emb_np
+log("resident (bf16, cluster sorted)")
+watchdog()
+for m in ("bincompact", "bincompact8"):
+    try:
+        _, ids = ss.search(np.asarray(q256), 10, nprobe=8, mode=m)
+        log(f"1M {m}: recall@10={recall(np.asarray(ids), tid):.4f}")
+        timeit(f"{m} B=256",
+               lambda: ss.search_loop(q256, 10, 8, reps=REPS, mode=m)[1], 256)
+    except Exception as e:  # noqa: BLE001
+        log(f"{m} FAILED: {type(e).__name__}: {e}")
+log("session complete")

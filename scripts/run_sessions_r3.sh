@@ -26,6 +26,7 @@ run_one() {
   sleep 30
 }
 run_one verify_xbin 1200
+run_one chip_session_r3n 2400
 run_one chip_session_r3j 3600
 run_one deep10m_r3k 4800
 run_one chip_session_r3l 3000
