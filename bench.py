@@ -29,18 +29,21 @@ import numpy as np
 #: drift apart when a mode is added (the xbin8 lesson: nine hand-edited
 #: tuples).
 SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8")
-#: Modes the best-of-modes contest considers (chained-loop timing path).
-#: The int8 Pallas modes stay OUT of the auto contest until they are
-#: Mosaic-validated on hardware (scripts/chip_session_r3n.py) — an
-#: unvalidated Pallas kernel can wedge the chip for every later process
-#: (round-1 lesson), which must never happen inside the driver's bench.
-#: Flip PQVECTOR_BENCH_INT8_PALLAS=1 (or ask for the mode explicitly)
-#: once the session log shows them clean.
-_INT8_PALLAS = ("binscan8", "bincompact8") if os.environ.get(
-    "PQVECTOR_BENCH_INT8_PALLAS"
-) else ()
+#: Modes the chained-loop timing path can serve.
 LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
-              "bincompact", "xbin", "xbin8") + _INT8_PALLAS
+              "bincompact", "xbin", "xbin8", "binscan8", "bincompact8")
+#: Modes mode="auto" actually contests. The int8 Pallas modes stay OUT
+#: until they are Mosaic-validated on hardware
+#: (scripts/chip_session_r3n.py) — an unvalidated Pallas kernel can
+#: wedge the chip for every later process (round-1 lesson), which must
+#: never happen inside the driver's bench. Flip
+#: PQVECTOR_BENCH_INT8_PALLAS=1 (or ask for the mode explicitly) once
+#: the session log shows them clean.
+AUTO_CONTEST_MODES = LOOP_MODES if os.environ.get(
+    "PQVECTOR_BENCH_INT8_PALLAS"
+) else tuple(
+    m for m in LOOP_MODES if m not in ("binscan8", "bincompact8")
+)
 #: Modes served from the original-row-order bf16 searcher (full scans
 #: collide on cluster-sorted layouts — CLAUDE.md).
 ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
@@ -270,10 +273,7 @@ def main():
     parser.add_argument("--smoke", action="store_true", help="tiny fast run")
     parser.add_argument(
         "--mode", default="auto",
-        choices=tuple(dict.fromkeys(
-            ("auto", "masked", "gather") + LOOP_MODES
-            + ("binscan8", "bincompact8")  # explicit request bypasses gate
-        )),
+        choices=("auto", "masked", "gather") + LOOP_MODES,
         help="device search mode (see DeviceIvfSearcher.search); 'approx' "
         "uses the hardware ApproxTopK extraction; 'scan' is the ApproxTopK "
         "full scan (nprobe-free serving mode); 'binscan' is the fused "
@@ -441,7 +441,7 @@ def main():
             q = q0 + 0.0 * link  # chain: depends on last call
         return d, ids
 
-    loop_modes = LOOP_MODES
+    loop_modes = AUTO_CONTEST_MODES
 
     # mode="scan" fetch width tuned by _measure_one_mode (None until then).
     # The knob lives on the shared searcher and is honored by scan, approx
@@ -472,7 +472,7 @@ def main():
             reps += 25
         return reps * b / (time.perf_counter() - t0)
 
-    if args.mode in ("auto",) + LOOP_MODES + ("binscan8", "bincompact8"):
+    if args.mode in ("auto",) + LOOP_MODES:
         # Best-of-modes over BOTH operating batches (B=256 headline and
         # B=1024 large-batch): every candidate mode must keep recall@k >=
         # target. approx re-checks selection recall; scan ignores nprobe

@@ -61,3 +61,19 @@ def test_device_peaks_env_override(bench, monkeypatch):
     monkeypatch.setenv("PQVECTOR_TPU_PEAKS", "100,500")
     flops, bw = bench.device_peaks(jax=None)
     assert flops == 100e12 and bw == 500e9
+
+
+def test_int8_pallas_modes_gated_from_auto(bench):
+    # binscan8/bincompact8 must not enter the auto contest until chip-
+    # validated (unvalidated Mosaic kernels can wedge the chip), but
+    # remain explicitly requestable through the loop path.
+    import os
+
+    if os.environ.get("PQVECTOR_BENCH_INT8_PALLAS"):
+        assert "binscan8" in bench.AUTO_CONTEST_MODES
+    else:
+        assert "binscan8" not in bench.AUTO_CONTEST_MODES
+        assert "bincompact8" not in bench.AUTO_CONTEST_MODES
+    for m in ("binscan8", "bincompact8"):
+        assert m in bench.LOOP_MODES
+    assert set(bench.AUTO_CONTEST_MODES) <= set(bench.LOOP_MODES)
