@@ -615,16 +615,18 @@ class DistributedIvfSearcher:
     # packs LOCAL tile ids).
     # ------------------------------------------------------------------
 
-    def _binscan_tile(self) -> int:
+    def _binscan_tile(self, esize: int | None = None) -> int:
         """Largest lane-aligned tile dividing the per-shard rows whose
         working set also fits scoped VMEM (binscan_b_tile >= 256, the same
         gate as DeviceIvfSearcher._binscan_vmem_ok — without it a large-dim
-        shard would pass eligibility and then crash in the kernel)."""
+        shard would pass eligibility and then crash in the kernel).
+        ``esize=1`` sizes for the int8-code variant."""
         from ..kernels.binscan import binscan_b_tile
 
         rows_per_dev = self._rows_per_dev
         d = int(self.emb.shape[1])
-        esize = jnp.dtype(self.emb.dtype).itemsize
+        if esize is None:
+            esize = jnp.dtype(self.emb.dtype).itemsize
         for t in (1024, 512, 256, 128):
             if rows_per_dev % t == 0 and binscan_b_tile(t, d, esize) >= 256:
                 return t
@@ -633,11 +635,11 @@ class DistributedIvfSearcher:
             f"tile that fits scoped VMEM at d={d}"
         )
 
-    def can_binscan(self, k: int = 10) -> bool:
+    def can_binscan(self, k: int = 10, esize: int | None = None) -> bool:
         """Bin-count / provenance-bit eligibility (kernels/binscan.py),
-        evaluated on the PER-SHARD row count."""
+        evaluated on the PER-SHARD row count (``esize=1`` for binscan8)."""
         try:
-            t = self._binscan_tile()
+            t = self._binscan_tile(esize=esize)
         except ValidationError:
             return False
         from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
@@ -675,6 +677,38 @@ class DistributedIvfSearcher:
                 "provenance limits — kernels/binscan.py)"
             )
         return self._binscan_body(k, reps)(queries)
+
+    def _search_binscan8_impl(
+        self, queries: np.ndarray, k: int, reps: int | None = None
+    ):
+        """Distributed int8 fused binned-min scan (mode="binscan8"
+        analog): each shard streams its int8 codes through the Pallas
+        kernel (int8 MXU, 1/4 the f32 bytes) and re-scores winners
+        exactly against its full-precision rows before the all-gather
+        merge."""
+        from ..kernels.binscan import pallas_binned_scan
+
+        if not self.can_binscan(k, esize=1):
+            raise ValidationError(
+                "binscan8 ineligible for this shard shape/k (bin and "
+                "provenance limits — kernels/binscan.py)"
+            )
+        tile = self._binscan_tile(esize=1)
+        interpret = jax.default_backend() != "tpu"
+        e8, sc = self._xbin8_arrays()
+
+        def shard_fn(q, e8_local, sc_local, sq_local, emb_local):
+            return pallas_binned_scan(
+                q, e8_local, sq_local, k, tile=tile, interpret=interpret,
+                scale=sc_local, emb_ref=emb_local,
+            )
+
+        return _shard_search_body(
+            self, shard_fn,
+            operands=(self.gids, e8, sc, self.emb_sq_pallas, self.emb),
+            specs=(P(DATA_AXIS),) * 5,
+            rows_local=self._rows_per_dev, reps=reps,
+        )(queries)
 
     def calibrate_bincompact(
         self,
@@ -907,6 +941,15 @@ class DistributedIvfSearcher:
     ):
         """Distributed fused binned-min full scan (``reps`` chains)."""
         return self._spill_dedup(self._search_binscan_impl, queries, k, reps)
+
+    def search_binscan8(
+        self, queries: np.ndarray, k: int, reps: int | None = None
+    ):
+        """Distributed int8 fused binned-min scan (see
+        _search_binscan8_impl)."""
+        return self._spill_dedup(
+            self._search_binscan8_impl, queries, k, reps
+        )
 
     def search_bincompact(
         self,

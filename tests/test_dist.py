@@ -498,3 +498,29 @@ def test_cluster_axis_spilled(mesh, data):
         ids = [v for v in r.tolist() if v >= 0]
         assert len(set(ids)) == len(ids)
         assert all(v < len(data) for v in ids)
+
+
+def test_distributed_binscan8_recall_and_exact_distances():
+    """Distributed int8 binned-min scan: quantized selection, exact
+    re-score per shard — recall high, returned distances exact."""
+    rng = np.random.default_rng(31)
+    n, d, k = 2048, 8, 5
+    data2 = rng.standard_normal((n, d)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(data2, d), IvfBuildConfig(n_clusters=8, seed=0)
+    )
+    dist = DistributedIvfSearcher(index, data2, mesh=make_mesh(2), tile=128)
+    assert dist.can_binscan(k, esize=1)
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    db, ib = dist.search_binscan8(queries, k=k)
+    d2 = ((queries[:, None, :] - data2[None, :, :]) ** 2).sum(-1)
+    tids = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ib, tids)
+    )
+    assert hits / (len(queries) * k) >= 0.85
+    want = np.sqrt(((queries[:, None, :] - data2[ib]) ** 2).sum(-1))
+    np.testing.assert_allclose(db, want, rtol=1e-4, atol=1e-4)
+    # Chained form agrees.
+    dl, il = dist.search_binscan8(queries, k=k, reps=2)
+    np.testing.assert_array_equal(il, ib)
