@@ -34,8 +34,9 @@ from ..errors import ValidationError
 #: "gather" is deliberately absent: it targets B=1..16 latency and has no
 #: chained-loop path (search_loop raises on it), so a loop-throughput
 #: ranking would mis-time it — measure it with single dispatches instead.
-PROBED_MODES = ("masked", "pallas", "stream", "compact", "bincompact")
-SCAN_MODES = ("scan", "binscan", "xbin", "xbin8")
+PROBED_MODES = ("masked", "pallas", "stream", "compact", "bincompact",
+                "bincompact8")
+SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
 
 
 @dataclass(frozen=True)
@@ -133,12 +134,12 @@ def _tune_mode(
     chosen = None
     recall = 0.0
     for nprobe in grid:
-        if mode == "bincompact" and hasattr(
+        if mode in ("bincompact", "bincompact8") and hasattr(
             searcher, "calibrate_bincompact"
         ):
             ct, _ = searcher.calibrate_bincompact(q, nprobe, k)
             if not ct:
-                raise ValidationError("bincompact ineligible for this shape")
+                raise ValidationError(f"{mode} ineligible for this shape")
         _, ids = searcher.search(q, k, max(nprobe, 1), mode=mode)
         recall = _recall_at_k(ids, truth_ids)
         if recall >= recall_target:
