@@ -40,8 +40,8 @@ LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
 #: PQVECTOR_BENCH_INT8_PALLAS=1 (or ask for the mode explicitly) once
 #: the session log shows them clean.
 AUTO_CONTEST_MODES = LOOP_MODES if os.environ.get(
-    "PQVECTOR_BENCH_INT8_PALLAS"
-) else tuple(
+    "PQVECTOR_BENCH_INT8_PALLAS", ""
+).lower() not in ("", "0", "false") else tuple(
     m for m in LOOP_MODES if m not in ("binscan8", "bincompact8")
 )
 #: Modes served from the original-row-order bf16 searcher (full scans
@@ -537,7 +537,8 @@ def main():
                 log(f"mode={mode} skipped (no eligible bin count)")
                 continue
             if mode in ("bincompact", "bincompact8") and searcher.bincompact_coverage(
-                batch, chosen, args.k
+                batch, chosen, args.k,
+                esize=1 if mode == "bincompact8" else None,
             ) >= 0.9:
                 log(f"mode={mode} skipped (ineligible or ~full coverage)")
                 continue
@@ -588,7 +589,8 @@ def main():
                     ) >= 0.6:
                         continue
                     if mode in ("bincompact", "bincompact8") and searcher.bincompact_coverage(
-                        big_b, chosen, args.k
+                        big_b, chosen, args.k,
+                        esize=1 if mode == "bincompact8" else None,
                     ) >= 0.9:
                         continue
                     if mode == "stream" and not searcher._can_stream_masked(

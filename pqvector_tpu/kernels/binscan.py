@@ -97,13 +97,19 @@ def binscan_b_tile(
     accumulator output block, so each is charged twice (measured on-chip:
     expand=2 tile=2048 bt=512 OOMs at 17.02M — exactly 2x the 8.39 MB
     accumulator — while the single-buffered model predicted 9.8 MB).
+    ``esize == 1`` means the int8-code kernel variant, which streams two
+    extra f32 blocks (the qt lane-broadcast [bt,128] and the per-row
+    scale [1,1,tile]) — charged double-buffered like the other inputs.
     Returns 0 if even bt=8 does not fit (tile too large for this dim).
     """
     emb_block = 2 * tile * d * esize
+    row_extra = 2 * tile * 4 if esize == 1 else 0  # scale block (int8)
     for bt in (512, 256, 128, 64, 32, 16, 8):
         acc = 2 * expand * (tile // 128) * bt * 128 * 4
         q_block = bt * d * esize + bt * 128 * 4
-        if emb_block + acc + q_block <= budget:
+        if esize == 1:  # qt lane-broadcast block (double-buffered)
+            q_block += 2 * bt * 128 * 4
+        if emb_block + row_extra + acc + q_block <= budget:
             return bt
     return 0
 
@@ -215,13 +221,19 @@ def _binscan8_select_kernel(
     )
 
 
-def _quantize_queries_i8(q):
-    """(codes int8 [B,d], qt f32 [B] carrying -2*tq) — symmetric per-query
-    int8 quantization; the -2 of the distance cross term rides the scale."""
+def quantize_queries_i8(q):
+    """Symmetric per-query int8 quantization: (codes int8 [B,d], scale
+    f32 [B]) with q ~= scale[b] * codes[b]; zero queries get scale 1.
+
+    The SINGLE definition shared by every int8 scoring path (this
+    kernel, query/device.py:_exact_xbin8_impl, measurement scripts) —
+    the modes' selection behavior only matches while the quantizer is
+    numerically identical.
+    """
     qa = jnp.max(jnp.abs(q), axis=1)
     tq = jnp.where(qa > 0, qa / 127.0, 1.0)
     qi = jnp.clip(jnp.round(q / tq[:, None]), -127, 127).astype(jnp.int8)
-    return qi, -2.0 * tq
+    return qi, tq
 
 
 @functools.partial(
@@ -277,7 +289,8 @@ def pallas_binned_scan(
     bp = _round_up(b, bt)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
     if scale is not None:
-        qs, qt = _quantize_queries_i8(q)
+        qs, tq = quantize_queries_i8(q)
+        qt = -2.0 * tq  # the -2 of the cross term rides the query scale
     else:
         qs, qt = (-2.0 * q).astype(emb.dtype), None
     if bp != b:
@@ -337,11 +350,13 @@ def pallas_binned_scan(
     return _merge_bins(
         q, emb if emb_ref is None else emb_ref, keys, b, k, tile, n_lg,
         tg_bits, code_bits, sel=None, kf_mult=2 if scale is None else 4,
+        kf_floor=0 if scale is None else 32,
     )
 
 
 def _merge_bins(
-    q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel, kf_mult=2
+    q, emb, keys, b, k, tile, n_lg, tg_bits, code_bits, sel, kf_mult=2,
+    kf_floor=0,
 ):
     """Tiny cross-bin merge + provenance decode + exact re-score.
 
@@ -351,14 +366,16 @@ def _merge_bins(
     (None for the full scan). ``keys`` may carry expand*n_lg slabs (bin
     expansion); the block index (slab // n_lg) is redundant with the
     provenance code's tg (it equals tg % expand), so the decode only
-    needs the within-block slab. ``kf_mult`` widens the candidate fetch
-    ahead of the exact re-score (the int8 path uses 4 — quantization
-    perturbs within-bin races on top of collisions, like xbin8's wider
-    default in query/device.py:_exact_xbin8_impl).
+    needs the within-block slab. ``kf_mult``/``kf_floor`` widen the
+    candidate fetch ahead of the exact re-score — the int8 path uses
+    (4, 32): quantization perturbs within-bin races on top of
+    collisions, like xbin8's wider default in
+    query/device.py:_exact_xbin8_impl. The f32 path keeps exactly 2k
+    (its measured baselines predate the knob).
     """
     bp = keys.shape[1]
     n_slabs = keys.shape[0]  # expand * n_lg
-    kf = min(max(kf_mult * k, 32), n_slabs * 128)
+    kf = min(max(kf_mult * k, kf_floor), n_slabs * 128)
     flat = jnp.swapaxes(keys, 0, 1).reshape(bp, n_slabs * 128)
     nk, bins = jax.lax.top_k(jnp.bitwise_not(flat), kf)
     key = jnp.bitwise_not(nk)
@@ -441,7 +458,8 @@ def pallas_binned_scan_select(
     bp = _round_up(b, bt)
     qsq = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1)
     if scale is not None:
-        qs, qt = _quantize_queries_i8(q)
+        qs, tq = quantize_queries_i8(q)
+        qt = -2.0 * tq  # the -2 of the cross term rides the query scale
     else:
         qs, qt = (-2.0 * q).astype(emb.dtype), None
     if bp != b:
@@ -507,4 +525,5 @@ def pallas_binned_scan_select(
     return _merge_bins(
         q, emb if emb_ref is None else emb_ref, keys, b, k, tile, n_lg,
         tg_bits, code_bits, sel=sel, kf_mult=2 if scale is None else 4,
+        kf_floor=0 if scale is None else 32,
     )

@@ -37,6 +37,28 @@ from ..errors import ValidationError
 PROBED_MODES = ("masked", "pallas", "stream", "compact", "bincompact",
                 "bincompact8")
 SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
+#: Modes excluded from the DEFAULT candidate set on real TPU hardware
+#: until their Mosaic kernels are chip-validated (an invalid Pallas
+#: kernel can wedge the chip for every later process — the round-1
+#: lesson; same gate as bench.py's AUTO_CONTEST_MODES). Explicit
+#: ``modes=(...)`` requests bypass this, as does interpret mode (CPU).
+#: Flip PQVECTOR_INT8_PALLAS_VALIDATED=1 once
+#: scripts/chip_session_r3n.py shows them clean on hardware.
+UNVALIDATED_ON_TPU = ("binscan8", "bincompact8")
+
+
+def _default_candidates():
+    import os
+
+    import jax
+
+    if jax.default_backend() != "tpu" or os.environ.get(
+        "PQVECTOR_INT8_PALLAS_VALIDATED", ""
+    ).lower() not in ("", "0", "false"):
+        return PROBED_MODES + SCAN_MODES
+    return tuple(
+        m for m in PROBED_MODES + SCAN_MODES if m not in UNVALIDATED_ON_TPU
+    )
 
 
 @dataclass(frozen=True)
@@ -98,7 +120,7 @@ def autotune(
     truth_ids = np.asarray(searcher.exact(q, k)[1])
     report = AutotuneReport()
 
-    candidates = modes if modes is not None else PROBED_MODES + SCAN_MODES
+    candidates = modes if modes is not None else _default_candidates()
     for mode in candidates:
         try:
             plan = _tune_mode(
@@ -137,7 +159,9 @@ def _tune_mode(
         if mode in ("bincompact", "bincompact8") and hasattr(
             searcher, "calibrate_bincompact"
         ):
-            ct, _ = searcher.calibrate_bincompact(q, nprobe, k)
+            ct, _ = searcher.calibrate_bincompact(
+                q, nprobe, k, esize=1 if mode == "bincompact8" else None
+            )
             if not ct:
                 raise ValidationError(f"{mode} ineligible for this shape")
         _, ids = searcher.search(q, k, max(nprobe, 1), mode=mode)

@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import ValidationError
-from ..kernels.binscan import PROVENANCE_BITS_MAX, provenance_bits
+from ..kernels.binscan import (
+    PROVENANCE_BITS_MAX,
+    provenance_bits,
+    quantize_queries_i8,
+)
 from ..kernels.scan_topk import score_precision
 from ..index.ivf import IvfIndex
 from ..io.embed import read_index_from_parquet
@@ -464,9 +468,7 @@ def _exact_xbin8_impl(
     nt = n_pad // l_bins
     bits = max(1, (nt - 1).bit_length())
     mask = jnp.int32(~((1 << bits) - 1))
-    qa = jnp.max(jnp.abs(q), axis=1)
-    tq = jnp.where(qa > 0, qa / 127.0, 1.0)  # [B]
-    qi = jnp.clip(jnp.round(q / tq[:, None]), -127, 127).astype(jnp.int8)
+    qi, tq = quantize_queries_i8(q)  # the ONE shared quantizer
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
     code = jnp.arange(n_pad, dtype=jnp.int32) // l_bins
 
@@ -1607,6 +1609,7 @@ class DeviceIvfSearcher:
         k: int = 10,
         slack: float = 1.15,
         bucket: int = 128,
+        esize: int | None = None,
     ):
         """Pin the bincompact tile budget to the MEASURED probed-union size.
 
@@ -1646,7 +1649,7 @@ class DeviceIvfSearcher:
         for ctile in (2048, 1024, 512):
             if n_pad % ctile or k > ctile:
                 continue
-            if not self._binscan_vmem_ok(ctile):
+            if not self._binscan_vmem_ok(ctile, esize=esize):
                 continue
             nt = n_pad // ctile
             lo_j, hi_j, _ = self._compact_tile_ranges(ctile)
@@ -1683,9 +1686,13 @@ class DeviceIvfSearcher:
         f32-calibrated point stays valid — the int8 working set is a
         strict subset at the same ctile)."""
         cal = getattr(self, "_bincompact_calibrated", None)
-        if cal and k <= cal[0] and nprobe <= cal[2] and batch <= cal[3]:
+        if cal and k <= cal[0] and nprobe <= cal[2] and batch <= cal[3] \
+                and self._binscan_vmem_ok(cal[0], esize=esize):
             # Only within the calibrated operating point: a bigger batch or
             # probe set has a bigger union than the measured cap covers.
+            # The vmem re-check matters when the calibration ran at a
+            # different element size (an int8-calibrated ctile can exceed
+            # the f32 working set).
             return cal[0], cal[1]
         n_pad = int(self.emb.shape[0])
         kc = max(self.index.n_clusters, 1)
@@ -1710,11 +1717,17 @@ class DeviceIvfSearcher:
                 return ctile, cap
         return 0, 0
 
-    def bincompact_coverage(self, batch: int, nprobe: int, k: int = 10) -> float:
+    def bincompact_coverage(
+        self, batch: int, nprobe: int, k: int = 10, esize: int | None = None
+    ) -> float:
         """Predicted fraction of rows mode="bincompact" would read (1.0 when
         ineligible). Unlike compact's 3-pass traffic, bincompact reads the
-        covered fraction once, so it pays off up to coverage ~1."""
-        ctile, cap = self._compact_bin_params(batch, nprobe, self._spill_k(k))
+        covered fraction once, so it pays off up to coverage ~1. Pass
+        ``esize=1`` to gate mode="bincompact8" (the int8 working set can
+        be eligible at dims where f32 is not)."""
+        ctile, cap = self._compact_bin_params(
+            batch, nprobe, self._spill_k(k), esize=esize
+        )
         if not ctile:
             return 1.0
         return cap / max(int(self.emb.shape[0]) // ctile, 1)

@@ -56,6 +56,9 @@ from pqvector_tpu.query.device import DeviceIvfSearcher
 REPS = 25
 
 
+FAILURES = []
+
+
 def recall(ids, tids):
     b, k = tids.shape
     return sum(
@@ -111,9 +114,9 @@ e8, sc = s._xbin8_arrays()
 
 @functools.partial(jax.jit, static_argnames=("reps",))
 def floor_i8(q0, e, scl, s_, reps):
-    qa = jnp.max(jnp.abs(q0), axis=1)
-    tq = jnp.where(qa > 0, qa / 127.0, 1.0)
-    qi = jnp.clip(jnp.round(q0 / tq[:, None]), -127, 127).astype(jnp.int8)
+    from pqvector_tpu.kernels.binscan import quantize_queries_i8
+
+    qi, tq = quantize_queries_i8(q0)
 
     def step(carry, _):
         dots = jnp.dot(qi, e.T, preferred_element_type=jnp.int32)
@@ -152,6 +155,7 @@ for b in (1024, 4096):
                    lambda: s.search_loop(q, 10, 4, reps=REPS, mode=m)[1], b)
         except Exception as e:  # noqa: BLE001
             log(f"{m} B={b} FAILED: {type(e).__name__}: {e}")
+            FAILURES.append(f"{m}@B={b}")
 
 # ---- 3. probed-union int8 at B=256 (sorted layout) ------------------
 del emb, sq, e8, sc, s
@@ -168,4 +172,9 @@ for m in ("bincompact", "bincompact8"):
                lambda: ss.search_loop(q256, 10, 8, reps=REPS, mode=m)[1], 256)
     except Exception as e:  # noqa: BLE001
         log(f"{m} FAILED: {type(e).__name__}: {e}")
+        FAILURES.append(m)
+if FAILURES:
+    log(f"session complete WITH FAILURES: {FAILURES}")
+    sys.exit(2)  # SESSION_DONE must mean fully clean (gates the int8
+    # modes into the bench contest)
 log("session complete")

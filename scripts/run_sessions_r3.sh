@@ -35,6 +35,11 @@ run_one deep10m_r3m 4800
 # (fast smoke; the driver runs the full bench at round end).
 if ! grep -q "SESSION_DONE bench_smoke" "$LOG" 2>/dev/null; then
   echo "[runner] starting bench --smoke @ $(date +%H:%M:%S)" >> "$LOG"
+  # int8 Pallas modes join the contest only once session N validated
+  # them clean on this hardware (SESSION_DONE = exit 0 = no failures).
+  INT8=0
+  grep -q "SESSION_DONE chip_session_r3n" "$LOG" 2>/dev/null && INT8=1
+  PQVECTOR_BENCH_INT8_PALLAS=$INT8 \
   PQVECTOR_BENCH_MAX_WAIT=600 timeout 1500 python -u bench.py --smoke \
     > scripts/bench_smoke_r3.log 2>&1
   rc=$?

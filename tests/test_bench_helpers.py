@@ -69,7 +69,9 @@ def test_int8_pallas_modes_gated_from_auto(bench):
     # remain explicitly requestable through the loop path.
     import os
 
-    if os.environ.get("PQVECTOR_BENCH_INT8_PALLAS"):
+    if os.environ.get(
+        "PQVECTOR_BENCH_INT8_PALLAS", ""
+    ).lower() not in ("", "0", "false"):
         assert "binscan8" in bench.AUTO_CONTEST_MODES
     else:
         assert "binscan8" not in bench.AUTO_CONTEST_MODES
