@@ -210,3 +210,21 @@ def test_sql_resident_steps_aside_for_dynamic_state(tmp_path):
     ids = df.collect().column("id").to_pylist()
     assert len(ids) == 3 and all(0 <= i < n for i in ids)
     assert ids[0] == 0  # the file's own row 0, not the appended id
+
+
+def test_int8_scan_modes_respect_dynamic_state(setup):
+    """binscan8 (int8 Pallas scan) must honor tombstones + deltas like the
+    other scan families: the int8 codes of the STATIC layout are stale by
+    design (quantized at residency), so deletes must drop rows at finalize
+    and appended rows must surface from the delta buffer."""
+    x, index, q = setup
+    s = DeviceIvfSearcher(index, x, cluster_sorted=True, row_tile=128)
+    truth_before = np.asarray(s.search(q, 3, 1, mode="binscan8")[1])
+    victim = int(truth_before[0, 0])
+    s.delete_rows([victim])
+    _, got = s.search(q, 3, 1, mode="binscan8")
+    assert victim not in np.asarray(got)[0].tolist()
+    new_row = q[0:1] * 1.0001
+    s.append_rows(new_row)
+    d2, got2 = s.search(q, 3, 1, mode="binscan8")
+    assert np.asarray(got2)[0, 0] == s._id_domain - 1  # appended row wins

@@ -228,3 +228,24 @@ def test_spill_needs_two_clusters():
     )
     with pytest.raises(ValidationError, match="at least 2 clusters"):
         build_spilled_layout(index, x, spill=0.2)
+
+
+def test_spilled_binscan8_dedup_and_exact_distances(setup):
+    """Int8 fused scan on a spilled layout: the impl selects 2k (spill
+    dedup) with the int8 widened fetch on top; returned ids must be
+    distinct originals with exact distances."""
+    x, index, q = setup
+    s = DeviceIvfSearcher.with_spill(index, x, spill=0.3)
+    k = 6
+    if not s.can_binscan(k, esize=1):
+        import pytest
+
+        pytest.skip("shape ineligible for binscan8")
+    d, ids = s.search(q, k, nprobe=4, mode="binscan8")
+    d, ids = np.asarray(d), np.asarray(ids)
+    for r in ids:
+        vals = [v for v in r.tolist() if v >= 0]
+        assert len(set(vals)) == len(vals)  # dedup by original id
+    want = np.sqrt(((q[:, None, :] - x[ids]) ** 2).sum(-1))
+    ok = ids >= 0
+    np.testing.assert_allclose(d[ok], want[ok], rtol=1e-4, atol=1e-4)
