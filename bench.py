@@ -663,14 +663,21 @@ def main():
     elem_bytes = 2 if args.bf16 else 4
     head_batch = int(best_mode.split("@b")[1]) if "@b" in best_mode else batch
     if best_mode.split("@")[0] in SCAN_MODES:
-        # int8-code modes stream 1 byte/element of scan traffic.
-        head_eb = 1 if best_mode.split("@")[0] in INT8_MODES else elem_bytes
+        # int8-code modes stream 1 byte/element of scan traffic and score
+        # on the int8 MXU, whose peak is 2x the bf16 rate on v5e — MFU is
+        # reported against the op-appropriate peak (result carries
+        # peak_kind so rounds stay comparable).
+        head_int8 = best_mode.split("@")[0] in INT8_MODES
+        head_eb = 1 if head_int8 else elem_bytes
+        head_peak = peak_flops * (2 if head_int8 else 1)
         result.update(
             roofline(qps, head_batch, args.rows, args.dim, head_eb,
-                     peak_flops, peak_bw)
+                     head_peak, peak_bw)
         )
+        result["peak_kind"] = "int8" if head_int8 else "bf16"
         log(
-            f"roofline: {result['tflops']} TFLOP/s (MFU {result['mfu']:.1%}),"
+            f"roofline: {result['tflops']} TFLOP/s (MFU {result['mfu']:.1%}"
+            f" of {result['peak_kind']} peak),"
             f" HBM {result['hbm_gbps']} GB/s ({result['hbm_frac']:.1%})"
         )
     try:
