@@ -185,6 +185,9 @@ def pallas_exact_topk(
     k: int,
     tile: int = 2048,
     interpret: bool = False,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
+    # (selection stays at storage precision in-kernel; returned
+    # distances are re-scored against emb_ref when given)
 ):
     n_pad, d = emb.shape
     b = q.shape[0]
@@ -215,7 +218,7 @@ def pallas_exact_topk(
         interpret=interpret,
     )(qf, emb, sq2)
     best_d, best_i = _final_merge(tile_d, tile_i, k)
-    return _refine(q, emb, best_d, best_i)
+    return _refine(q, emb if emb_ref is None else emb_ref, best_d, best_i)
 
 
 @functools.partial(
@@ -235,6 +238,7 @@ def pallas_masked_local_topk(
     tile: int = 2048,
     cmax: int = 8,
     interpret: bool = False,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """Masked IVF scan for cluster_sorted layouts (see _masked_local_scan_kernel)."""
     n_pad, d = emb.shape
@@ -276,7 +280,7 @@ def pallas_masked_local_topk(
         interpret=interpret,
     )(qf, emb, sq2, lcl2, lmask)
     best_d, best_i = _final_merge(tile_d, tile_i, k)
-    return _refine(q, emb, best_d, best_i)
+    return _refine(q, emb if emb_ref is None else emb_ref, best_d, best_i)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_probe", "tile", "interpret"))
@@ -292,6 +296,7 @@ def pallas_masked_topk(
     max_probe: int,
     tile: int = 2048,
     interpret: bool = False,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     n_pad, d = emb.shape
     b = q.shape[0]
@@ -330,4 +335,4 @@ def pallas_masked_topk(
         interpret=interpret,
     )(qf, emb, sq2, cl2, mask)
     best_d, best_i = _final_merge(tile_d, tile_i, k)
-    return _refine(q, emb, best_d, best_i)
+    return _refine(q, emb if emb_ref is None else emb_ref, best_d, best_i)

@@ -244,6 +244,7 @@ def pallas_stream_exact_topk(
     tile: int = 2048,
     subtiles: int = 1,
     interpret: bool = False,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """Exact brute-force top-k with streaming threshold extraction."""
     assert k <= _LANES, f"stream kernel supports k <= {_LANES}"
@@ -283,7 +284,9 @@ def pallas_stream_exact_topk(
         ],
         interpret=interpret,
     )(qf, emb4, sq2)
-    return _refine(q, emb, out_d[:, :k], out_i[:, :k])
+    return _refine(
+        q, emb if emb_ref is None else emb_ref, out_d[:, :k], out_i[:, :k]
+    )
 
 
 def _probe_mask(q, centroids, c_sq, nprobe, max_probe, kc_pad):
@@ -334,6 +337,7 @@ def pallas_stream_masked_topk(
     cmax: int = 128,
     subtiles: int = 1,
     interpret: bool = False,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """IVF top-k: masked streaming scan over ACTIVE super-tiles only.
 
@@ -398,4 +402,6 @@ def pallas_stream_masked_topk(
         ),
         interpret=interpret,
     )(sched, qf, emb4, sq2, lcl2, tc_f, mask)
-    return _refine(q, emb, out_d[:, :k], out_i[:, :k])
+    return _refine(
+        q, emb if emb_ref is None else emb_ref, out_d[:, :k], out_i[:, :k]
+    )

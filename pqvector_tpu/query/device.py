@@ -72,11 +72,21 @@ def _exact_topk_impl(
     emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf for pad rows)
     k: int,
     tile: int,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
-    """Streaming exact top-k: scan row tiles, merge into a running [B, k]."""
+    """Streaming exact top-k: scan row tiles, merge into a running [B, k].
+
+    ``emb_ref``: on reduced-precision storage, selection scores carry the
+    storage rounding (measured on DEEP-10M: bf16-rounded exact selection
+    = 0.9527 recall@10 vs f32 truth — real-data neighbor margins sit
+    below 2^-8). The widened 2k merge + exact re-score against the f32
+    reference recovers 1.0000 (docs/PERFORMANCE.md round-3 item); f32
+    storage keeps the original exact-k path.
+    """
     b, d = q.shape
     n_pad = emb.shape[0]
     nt = n_pad // tile
+    kf = k if emb_ref is None else min(2 * k, n_pad)
     emb_t = emb.reshape(nt, tile, d)
     sq_t = emb_sq.reshape(nt, tile)
     qf = q.astype(emb.dtype)
@@ -92,17 +102,20 @@ def _exact_topk_impl(
         ids = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         all_d = jnp.concatenate([best_d, partial], axis=1)
         all_i = jnp.concatenate([best_i, ids], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, k)
+        neg, pos = jax.lax.top_k(-all_d, kf)
         return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
 
     init = (
-        jnp.full((b, k), jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
+        jnp.full((b, kf), jnp.inf, jnp.float32),
+        jnp.full((b, kf), -1, jnp.int32),
     )
     (best_d, best_i), _ = jax.lax.scan(
         step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t))
     )
-    return _refine_and_sort(q, emb, best_d, best_i)
+    d2, ids = _refine_and_sort(
+        q, emb if emb_ref is None else emb_ref, best_d, best_i
+    )
+    return d2[:, :k], ids[:, :k]
 
 
 def _ivf_topk_impl(
@@ -115,9 +128,15 @@ def _ivf_topk_impl(
     k: int,
     nprobe: int,
     tile: int,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
-    """Fused IVF probe: nprobe clusters -> tiled gather -> running top-k."""
+    """Fused IVF probe: nprobe clusters -> tiled gather -> running top-k.
+
+    ``emb_ref``: widened 2k merge + f32 re-score on reduced-precision
+    storage (see _exact_topk_impl).
+    """
     b, d = q.shape
+    kf = k if emb_ref is None else 2 * k
     lmax = clusters.shape[1]
 
     # Probe: same ordering as IvfIndex.find_closest_centroids (stable in the
@@ -144,15 +163,18 @@ def _ivf_topk_impl(
         partial = emb_sq[ids_t] - 2.0 * scores
         all_d = jnp.concatenate([best_d, partial], axis=1)
         all_i = jnp.concatenate([best_i, ids_t], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, k)
+        neg, pos = jax.lax.top_k(-all_d, kf)
         return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
 
     init = (
-        jnp.full((b, k), jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
+        jnp.full((b, kf), jnp.inf, jnp.float32),
+        jnp.full((b, kf), -1, jnp.int32),
     )
     (best_d, best_i), _ = jax.lax.scan(step, init, cand_t)
-    return _refine_and_sort(q, emb, best_d, best_i)
+    d2, ids = _refine_and_sort(
+        q, emb if emb_ref is None else emb_ref, best_d, best_i
+    )
+    return d2[:, :k], ids[:, :k]
 
 
 def _approx_min_k_clamped(partial, k, recall_target):
@@ -217,6 +239,7 @@ def _exact_approx_topk_impl(
     recall_target: float,
     score_dtype=jnp.float32,
     overfetch: int = 0,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """Exact scan with hardware ApproxTopK extraction.
 
@@ -258,7 +281,10 @@ def _exact_approx_topk_impl(
         vals, idx = _approx_min_k_clamped(partial, k_fetch, recall_target)
         return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
-    d2, ids = _approx_scan(q, emb, chunk_topk, (emb, emb_sq), k_fetch, chunk)
+    d2, ids = _approx_scan(
+        q, emb if emb_ref is None else emb_ref, chunk_topk, (emb, emb_sq),
+        k_fetch, chunk,
+    )
     return d2[:, :k], ids[:, :k]
 
 
@@ -329,6 +355,7 @@ def _exact_xbin_impl(
     score_dtype=jnp.float32,
     overfetch: int = 0,
     chunk_groups: int = 0,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """Full scan with XLA binned-min extraction (fused-epilogue selection).
 
@@ -420,7 +447,9 @@ def _exact_xbin_impl(
     # Value part of the key: +inf exactly for pad-only bins (code bits are
     # below the cleared mantissa range), so refine marks them missing.
     val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
-    d2, ids = _refine_and_sort(q, emb, val, rows)
+    d2, ids = _refine_and_sort(
+        q, emb if emb_ref is None else emb_ref, val, rows
+    )
     return d2[:, :k], ids[:, :k]
 
 
@@ -536,6 +565,7 @@ def _ivf_approx_masked_impl(
     recall_target: float,
     score_dtype=jnp.float32,
     overfetch: int = 0,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """Masked IVF scan with ApproxTopK extraction (see _exact_approx_topk)."""
     b = q.shape[0]
@@ -567,7 +597,8 @@ def _ivf_approx_masked_impl(
         return vals.astype(jnp.float32), base + idx.astype(jnp.int32)
 
     d2, ids = _approx_scan(
-        q, emb, chunk_topk, (emb, emb_sq, row_cluster), k_fetch, chunk
+        q, emb if emb_ref is None else emb_ref, chunk_topk,
+        (emb, emb_sq, row_cluster), k_fetch, chunk,
     )
     return d2[:, :k], ids[:, :k]
 
@@ -696,6 +727,7 @@ def _ivf_compact_approx_impl(
     tile_lo: jnp.ndarray | None = None,  # [kc] first tile of cluster c
     tile_hi: jnp.ndarray | None = None,  # [kc] last tile of cluster c
     max_cluster_tiles: int = 0,  # static bound on tiles per cluster
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """IVF via probed-union tile compaction + hardware ApproxTopK.
 
@@ -729,12 +761,21 @@ def _ivf_compact_approx_impl(
     emb_c, sq_c = pallas_tile_gather(
         emb, emb_sq, sel, ctile=ctile, cap=cap_tiles, interpret=interpret
     )
+    # On reduced-precision storage fetch 2k from the compacted block (its
+    # local re-score sees only the gathered low-precision tiles), then
+    # exact-re-score the widened set against the GLOBAL f32 reference —
+    # same recovery as _exact_topk_impl's emb_ref path.
+    kf = k if emb_ref is None else 2 * k
     d2, lids = _exact_approx_topk_impl(
-        q, emb_c, sq_c, k, chunk=chunk, recall_target=recall_target,
+        q, emb_c, sq_c, kf, chunk=chunk, recall_target=recall_target,
         score_dtype=score_dtype,
     )
     gids = sel[lids // ctile] * ctile + lids % ctile
-    return d2, jnp.where(lids >= 0, gids.astype(jnp.int32), -1)
+    ids = jnp.where(lids >= 0, gids.astype(jnp.int32), -1)
+    if emb_ref is None:
+        return d2, ids
+    d2, ids = _refine_and_sort(q, emb_ref, d2, ids)
+    return d2[:, :k], ids[:, :k]
 
 
 def _ivf_masked_scan_impl(
@@ -749,6 +790,7 @@ def _ivf_masked_scan_impl(
     k: int,
     max_probe: int,
     tile: int,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
 ):
     """IVF top-k as a masked full scan: one HBM pass for the whole batch.
 
@@ -756,12 +798,15 @@ def _ivf_masked_scan_impl(
     ``B * nprobe * Lmax * d`` bytes; a full scan reads ``n * d`` once and
     masks rows whose cluster the query did not probe. The scan wins whenever
     ``B * nprobe * Lmax > n`` — i.e. any sizable batch. Results match the
-    gather path (same probed clusters, same distances).
+    gather path (same probed clusters, same distances). ``emb_ref``:
+    widened 2k merge + f32 re-score on reduced-precision storage (see
+    _exact_topk_impl).
     """
     b, d = q.shape
     kc = centroids.shape[0]
     n_pad = emb.shape[0]
     nt = n_pad // tile
+    kf = k if emb_ref is None else min(2 * k, n_pad)
 
     c_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(-(c_sq[None, :] - 2.0 * c_scores), max_probe)  # [B, P]
@@ -789,17 +834,20 @@ def _ivf_masked_scan_impl(
         ids = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
         all_d = jnp.concatenate([best_d, partial], axis=1)
         all_i = jnp.concatenate([best_i, ids], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, k)
+        neg, pos = jax.lax.top_k(-all_d, kf)
         return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
 
     init = (
-        jnp.full((b, k), jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
+        jnp.full((b, kf), jnp.inf, jnp.float32),
+        jnp.full((b, kf), -1, jnp.int32),
     )
     (best_d, best_i), _ = jax.lax.scan(
         step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t, cl_t))
     )
-    return _refine_and_sort(q, emb, best_d, best_i)
+    d2, ids = _refine_and_sort(
+        q, emb if emb_ref is None else emb_ref, best_d, best_i
+    )
+    return d2[:, :k], ids[:, :k]
 
 
 def _dedup_topk(d, ids, k: int):
@@ -875,7 +923,18 @@ class DeviceIvfSearcher:
         row_tile: int = 2048,
         metric: str = "l2",
         cluster_sorted: bool = False,
+        rescore_dtype="auto",
     ):
+        """``rescore_dtype``: precision of the winner re-score rows.
+        "auto" (default) keeps a full f32 copy next to reduced-precision
+        storage — selection runs at storage precision but candidates are
+        re-scored (and re-ranked, via each mode's widened fetch) against
+        f32, which recovers f32-truth recall (measured on DEEP-10M: bf16
+        storage alone caps exact selection at 0.9527 recall@10 because
+        real-data neighbor margins sit below 2^-8; a 2k bf16 shortlist +
+        f32 re-score is 1.0000 — docs/PERFORMANCE.md). Pass ``None`` to
+        opt out (halves HBM residency; recall is then storage-bounded).
+        f32 storage never keeps a copy."""
         if metric not in ("l2", "cosine"):
             raise ValidationError(f"Unsupported metric '{metric}'")
         self.metric = metric
@@ -949,6 +1008,11 @@ class DeviceIvfSearcher:
         self._sentinel = n  # any padded id points here (inf norm)
 
         self.emb = jnp.asarray(emb, dtype=dtype)
+        # Full-precision re-score reference (see __init__ docstring). None
+        # when storage is already f32 (emb IS the reference).
+        self._emb_ref = None
+        if rescore_dtype is not None and jnp.dtype(dtype) != jnp.float32:
+            self._emb_ref = jnp.asarray(emb)  # f32 padded copy
         self._gid_dev = None if self._gid is None else jnp.asarray(self._gid)
         self._emb_sq_pallas = None  # lazy: finite-sentinel copy for kernels
         self._emb_i8 = None  # lazy: (codes, scale) for mode="xbin8"
@@ -997,6 +1061,7 @@ class DeviceIvfSearcher:
         row_tile: int = 2048,
         spill: float = 0.0,
         assign_dtype=jnp.float32,
+        rescore_dtype="auto",
     ) -> "DeviceIvfSearcher":
         """Resident searcher from an indexed Parquet file. ``spill`` > 0
         builds the spilled multi-assignment layout (see with_spill) — the
@@ -1015,6 +1080,7 @@ class DeviceIvfSearcher:
                 dtype=dtype,
                 row_tile=row_tile,
                 metric=metric,
+                rescore_dtype=rescore_dtype,
             )
         else:
             searcher = cls(
@@ -1023,6 +1089,7 @@ class DeviceIvfSearcher:
                 dtype=dtype,
                 row_tile=row_tile,
                 metric=metric,
+                rescore_dtype=rescore_dtype,
             )
         # Provenance for the SQL engine's resident fast path (column-match
         # enforcement mirrors index_exec.rs:123-129; the (size, mtime) key
@@ -1124,6 +1191,7 @@ class DeviceIvfSearcher:
                 tile=tile_p,
                 subtiles=self._stream_subtiles(tile_p),
                 interpret=jax.default_backend() != "tpu",
+                emb_ref=self._ref(),
             )
         elif mode == "pallas":
             from ..kernels.scan_topk import pallas_exact_topk
@@ -1135,9 +1203,13 @@ class DeviceIvfSearcher:
                 k,
                 tile=self._pallas_tile(self.row_tile, q.shape[0], k=k),
                 interpret=jax.default_backend() != "tpu",
+                emb_ref=self._ref(),
             )
         elif mode == "xla":
-            d2, ids = _exact_topk(q, self.emb, self.emb_sq, k, self.row_tile)
+            d2, ids = _exact_topk(
+                q, self.emb, self.emb_sq, k, self.row_tile,
+                emb_ref=self._ref(),
+            )
         elif mode == "approx":
             d2, ids = _exact_approx_topk(
                 q,
@@ -1148,6 +1220,7 @@ class DeviceIvfSearcher:
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
             )
         elif mode == "binscan":
             from ..kernels.binscan import pallas_binned_scan
@@ -1161,6 +1234,7 @@ class DeviceIvfSearcher:
                 tile=bt_,
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
+                emb_ref=self._ref(),
             )
         elif mode == "binscan8":
             # Int8 fused binned-min scan: quantized scoring on the int8 MXU
@@ -1180,7 +1254,7 @@ class DeviceIvfSearcher:
                 expand=self._binscan_expand(bt_, esize=1),
                 interpret=jax.default_backend() != "tpu",
                 scale=sc,
-                emb_ref=self.emb,
+                emb_ref=self._ref_or_emb(),
             )
         elif mode == "xbin":
             d2, ids = _exact_xbin(
@@ -1192,11 +1266,12 @@ class DeviceIvfSearcher:
                     q.shape[0], int(self.emb.shape[0]),
                     self._xbin_bins_checked(k), self.xbin_chunk_groups,
                 ),
+                emb_ref=self._ref(),
             )
         elif mode == "xbin8":
             e8, sc = self._xbin8_arrays()
             d2, ids = _exact_xbin8(
-                q, e8, sc, self.emb_sq, self.emb, k,
+                q, e8, sc, self.emb_sq, self._ref_or_emb(), k,
                 l_bins=self._xbin_bins_checked(k),
                 overfetch=self.scan_overfetch,
                 chunk_groups=_xbin_auto_chunk(
@@ -1290,6 +1365,7 @@ class DeviceIvfSearcher:
                 cmax=cmax,
                 subtiles=self._stream_subtiles(tile_p),
                 interpret=jax.default_backend() != "tpu",
+                emb_ref=self._ref(),
             )
         elif mode == "pallas":
             # Fused Pallas kernel: per-tile top-k extracted in VMEM instead
@@ -1320,6 +1396,7 @@ class DeviceIvfSearcher:
                     tile=tile_p,
                     cmax=cmax,
                     interpret=interpret,
+                    emb_ref=self._ref(),
                 )
             else:
                 d2, ids = pallas_masked_topk(
@@ -1334,6 +1411,7 @@ class DeviceIvfSearcher:
                     max_probe=max_probe,
                     tile=tile_p,
                     interpret=interpret,
+                    emb_ref=self._ref(),
                 )
         elif mode == "masked":
             # max_probe buckets (powers of two) so an nprobe sweep shares one
@@ -1350,6 +1428,7 @@ class DeviceIvfSearcher:
                 k=k,
                 max_probe=max_probe,
                 tile=self.row_tile,
+                emb_ref=self._ref(),
             )
         elif mode == "approx":
             max_probe = self._max_probe_bucket(nprobe)
@@ -1367,6 +1446,7 @@ class DeviceIvfSearcher:
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
             )
         elif mode == "compact":
             # Probed-union tile compaction + hardware extraction: reads only
@@ -1396,6 +1476,7 @@ class DeviceIvfSearcher:
                 tile_lo=tlo,
                 tile_hi=thi,
                 max_cluster_tiles=span,
+                emb_ref=self._ref(),
             )
         elif mode in ("bincompact", "bincompact8"):
             # Probed-union selection + fused binned-min scan IN PLACE: the
@@ -1433,7 +1514,7 @@ class DeviceIvfSearcher:
                 max_cluster_tiles=span,
                 expand=self._binscan_expand(ctile_b, cap=cap_b, esize=esz),
                 scale=sc,
-                emb_ref=self.emb if i8 else None,
+                emb_ref=self._ref_or_emb() if i8 else self._ref(),
             )
         elif mode == "scan":
             # Serving mode: ApproxTopK full scan, nprobe ignored — recall
@@ -1447,6 +1528,7 @@ class DeviceIvfSearcher:
                 recall_target=self.approx_recall_target,
                 score_dtype=self.approx_score_dtype,
                 overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
             )
         elif mode == "binscan":
             # Serving mode: fused binned-min full scan (kernels/binscan.py),
@@ -1464,6 +1546,7 @@ class DeviceIvfSearcher:
                 tile=bt_,
                 expand=self._binscan_expand(bt_),
                 interpret=jax.default_backend() != "tpu",
+                emb_ref=self._ref(),
             )
         elif mode == "binscan8":
             # Serving mode: int8 fused binned-min scan, nprobe ignored —
@@ -1482,7 +1565,7 @@ class DeviceIvfSearcher:
                 expand=self._binscan_expand(bt_, esize=1),
                 interpret=jax.default_backend() != "tpu",
                 scale=sc,
-                emb_ref=self.emb,
+                emb_ref=self._ref_or_emb(),
             )
         elif mode == "xbin":
             # Serving mode: XLA binned-min full scan (fused-epilogue
@@ -1496,6 +1579,7 @@ class DeviceIvfSearcher:
                     q.shape[0], int(self.emb.shape[0]),
                     self._xbin_bins_checked(k), self.xbin_chunk_groups,
                 ),
+                emb_ref=self._ref(),
             )
         elif mode == "xbin8":
             # Serving mode: int8 xbin — quantized scoring on the int8 MXU,
@@ -1503,7 +1587,7 @@ class DeviceIvfSearcher:
             # ignored (see _exact_xbin8_impl).
             e8, sc = self._xbin8_arrays()
             d2, ids = _exact_xbin8(
-                q, e8, sc, self.emb_sq, self.emb, k,
+                q, e8, sc, self.emb_sq, self._ref_or_emb(), k,
                 l_bins=self._xbin_bins_checked(k),
                 overfetch=self.scan_overfetch,
                 chunk_groups=_xbin_auto_chunk(
@@ -1522,6 +1606,7 @@ class DeviceIvfSearcher:
                 k,
                 nprobe,
                 tile,
+                emb_ref=self._ref(),
             )
         else:
             raise ValidationError(f"Unknown search mode '{mode}'")
@@ -1955,6 +2040,7 @@ class DeviceIvfSearcher:
             interpret=interpret,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
             i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
+            emb_ref=self._ref(),
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
@@ -2016,6 +2102,7 @@ class DeviceIvfSearcher:
             use_xla=use_xla,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
             i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
+            emb_ref=self._ref(),
         )
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
@@ -2150,11 +2237,20 @@ class DeviceIvfSearcher:
             )
         return self._emb_sq_pallas
 
+    def _ref(self):
+        """Full-precision re-score rows, or None when ``self.emb`` already
+        is the reference (f32 storage / rescore opt-out)."""
+        return self._emb_ref
+
+    def _ref_or_emb(self):
+        """The array exact re-scores must run against."""
+        return self._emb_ref if self._emb_ref is not None else self.emb
+
     def _xbin8_loop_call(self, q, k: int, reps: int):
         """reps-chained mode="xbin8" dispatch (shared by both loop APIs)."""
         e8, sc = self._xbin8_arrays()
         d2, ids = _xbin8_loop(
-            q, e8, sc, self.emb_sq, self.emb, k,
+            q, e8, sc, self.emb_sq, self._ref_or_emb(), k,
             l_bins=self._xbin_bins_checked(k),
             overfetch=self.scan_overfetch,
             chunk_groups=_xbin_auto_chunk(
@@ -2166,11 +2262,15 @@ class DeviceIvfSearcher:
         return jnp.sqrt(d2), self._map_ids(d2, ids)
 
     def _xbin8_arrays(self):
-        """Lazy per-row int8 quantization of the resident array for
-        mode="xbin8" (+25% of the f32 residency; the scan then crosses
-        HBM at 1/4 the f32 bytes and the matmul runs on the int8 MXU)."""
+        """Lazy per-row int8 quantization of the resident array for the
+        int8 modes (+25% of the f32 residency; the scan then crosses
+        HBM at 1/4 the f32 bytes and the matmul runs on the int8 MXU).
+        Codes quantize from the f32 reference when one is held — int8
+        from bf16-rounded rows would stack both errors."""
         if self._emb_i8 is None:
-            self._emb_i8, self._emb_i8_scale = _quantize_rows_i8(self.emb)
+            self._emb_i8, self._emb_i8_scale = _quantize_rows_i8(
+                self._ref_or_emb()
+            )
         return self._emb_i8, self._emb_i8_scale
 
     def _map_ids(self, d2, ids):
@@ -2438,10 +2538,14 @@ def _masked_pallas_loop(
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
-    xbin_bins=0, xbin_chunk=0, emb_i8=None, i8_scale=None,
+    xbin_bins=0, xbin_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
+
+    # The exact re-score reference for the int8 paths must be the f32
+    # copy when one is held; else the storage array.
+    i8_ref = emb_ref if emb_ref is not None else emb
 
     def body(q):
         if use_binscan:
@@ -2452,7 +2556,7 @@ def _masked_pallas_loop(
                 q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
                 tile=binscan_tile, expand=bin_expand, interpret=interpret,
                 scale=i8_scale,
-                emb_ref=None if emb_i8 is None else emb,
+                emb_ref=emb_ref if emb_i8 is None else i8_ref,
             )
         if use_bincompact:
             return _ivf_compact_bin_impl(
@@ -2462,7 +2566,7 @@ def _masked_pallas_loop(
                 interpret=interpret, tile_lo=tile_lo, tile_hi=tile_hi,
                 max_cluster_tiles=max_cluster_tiles, expand=bin_expand,
                 scale=i8_scale,
-                emb_ref=None if emb_i8 is None else emb,
+                emb_ref=emb_ref if emb_i8 is None else i8_ref,
             )
         if use_compact:
             return _ivf_compact_approx_impl(
@@ -2472,45 +2576,48 @@ def _masked_pallas_loop(
                 score_dtype=score_dtype, interpret=interpret,
                 tile_lo=tile_lo, tile_hi=tile_hi,
                 max_cluster_tiles=max_cluster_tiles,
+                emb_ref=emb_ref,
             )
         if use_xla:
             return _ivf_masked_scan_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
-                k=k, max_probe=max_probe, tile=tile,
+                k=k, max_probe=max_probe, tile=tile, emb_ref=emb_ref,
             )
         if use_xbin:
             return _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
-                chunk_groups=xbin_chunk,
+                chunk_groups=xbin_chunk, emb_ref=emb_ref,
             )
         if use_scan:
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch,
+                overfetch=overfetch, emb_ref=emb_ref,
             )
         if use_approx:
             return _ivf_approx_masked_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch,
+                overfetch=overfetch, emb_ref=emb_ref,
             )
         if use_stream:
             return pallas_stream_masked_topk(
                 q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
                 max_probe=max_probe, tile=tile, cmax=cmax, subtiles=subtiles,
-                interpret=interpret,
+                interpret=interpret, emb_ref=emb_ref,
             )
         if use_local:
             return pallas_masked_local_topk(
                 q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
                 max_probe=max_probe, tile=tile, cmax=cmax, interpret=interpret,
+                emb_ref=emb_ref,
             )
         return pallas_masked_topk(
             q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe, k,
             max_probe=max_probe, tile=tile, interpret=interpret,
+            emb_ref=emb_ref,
         )
 
     def step(q, _):
@@ -2536,43 +2643,50 @@ def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
-    xbin_chunk=0, use_xla=False, emb_i8=None, i8_scale=None,
+    xbin_chunk=0, use_xla=False, emb_i8=None, i8_scale=None, emb_ref=None,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
     from ..kernels.stream_topk import pallas_stream_exact_topk
 
+    i8_ref = emb_ref if emb_ref is not None else emb
+
     def step(q, _):
         if use_xla:
-            d2, ids = _exact_topk_impl(q, emb, emb_sq, k=k, tile=tile)
+            d2, ids = _exact_topk_impl(
+                q, emb, emb_sq, k=k, tile=tile, emb_ref=emb_ref
+            )
         elif use_binscan:
             # emb_i8 set -> mode="binscan8": codes stream through the
-            # kernel, full-precision emb is only the exact re-score input.
+            # kernel; re-score runs against the f32 reference when held.
             d2, ids = pallas_binned_scan(
                 q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
                 tile=binscan_tile, expand=bin_expand, interpret=interpret,
                 scale=i8_scale,
-                emb_ref=None if emb_i8 is None else emb,
+                emb_ref=emb_ref if emb_i8 is None else i8_ref,
             )
         elif use_xbin:
             d2, ids = _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
-                chunk_groups=xbin_chunk,
+                chunk_groups=xbin_chunk, emb_ref=emb_ref,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch,
+                overfetch=overfetch, emb_ref=emb_ref,
             )
         elif use_stream:
             d2, ids = pallas_stream_exact_topk(
                 q, emb, emb_sq, k, tile=tile, subtiles=subtiles,
-                interpret=interpret,
+                interpret=interpret, emb_ref=emb_ref,
             )
         else:
-            d2, ids = pallas_exact_topk(q, emb, emb_sq, k, tile=tile, interpret=interpret)
+            d2, ids = pallas_exact_topk(
+                q, emb, emb_sq, k, tile=tile, interpret=interpret,
+                emb_ref=emb_ref,
+            )
         link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
         return q0 + 0.0 * link, (d2, ids)
 
