@@ -199,9 +199,17 @@ class VectorTopKExec(ExecutionPlan):
             if searcher.dim != self.query.size:
                 return None  # host path skips the file (dim-mismatch)
             # Parity guards: the device must rank exactly what the host
-            # would. bf16 storage perturbs selection (~2^-8); a searcher
-            # built before a re-index/rewrite ranks against stale data.
-            if searcher.emb.dtype != _jnp.float32:
+            # would. Reduced-precision storage perturbs selection (~2^-8)
+            # UNLESS the searcher holds an f32 re-score reference (the
+            # default, rescore_dtype="auto"): the gather mode then widens
+            # its merge to 2k and re-scores against f32, so returned ids
+            # and distances are f32-exact over the probed set — host
+            # parity at half the residency. A searcher built before a
+            # re-index/rewrite ranks against stale data (source_key
+            # check below).
+            if searcher.emb.dtype != _jnp.float32 and (
+                getattr(searcher, "_emb_ref", None) is None
+            ):
                 return None
             if searcher._delta is not None or (
                 searcher._deleted_dev is not None

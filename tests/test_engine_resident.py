@@ -251,3 +251,60 @@ def test_resident_spilled_lifts_recall(indexed):
         assert len(set(ids_res)) == len(ids_res) == 5
         assert all((i >= 200) for i in ids_res) or where == ""
         assert len(set(ids_res) & truth) >= len(set(ids_host) & truth)
+
+
+@pytest.mark.parametrize("where", ["", "WHERE id >= 200"])
+def test_bf16_resident_with_reference_matches_host(indexed, where):
+    """bf16 storage + the f32 re-score reference is f32-exact over the
+    probed set, so the parity guard admits it (half the residency);
+    results must equal the host path exactly."""
+    import jax.numpy as jnp
+
+    path, x = indexed
+    host = Session(VectorTopKOptions(nprobe=3))
+    host.register_parquet("t", path)
+    res = Session(VectorTopKOptions(nprobe=3))
+    res.register_parquet("t", path)
+    s = res.device_searcher("t", dtype=jnp.bfloat16)
+    assert s._emb_ref is not None  # default rescore_dtype="auto"
+
+    sql = _query_sql(x, 17, k=5, where=where)
+    ids_host, _ = _run(host, sql)
+    ids_res, df = _run(res, sql)
+    assert ids_res == ids_host
+    plan = df.physical_plan()
+    found = []
+
+    def visit(node):
+        found.append(node)
+        for c in node.children():
+            visit(c)
+
+    visit(plan)
+    topk = [n for n in found if n.name == "VectorTopKExec"]
+    assert topk and topk[0]._resident_candidates.value > 0  # really resident
+
+
+def test_bf16_resident_without_reference_falls_back(indexed):
+    """Opt-out control: a bf16 searcher with rescore_dtype=None stays
+    storage-bounded and the parity guard must reject it (host path)."""
+    import jax.numpy as jnp
+
+    path, x = indexed
+    s = Session(VectorTopKOptions(nprobe=3))
+    s.register_parquet("t", path)
+    s.device_searcher("t", dtype=jnp.bfloat16, rescore_dtype=None)
+    df = s.sql(_query_sql(x, 3, k=4))
+    df.collect()
+    plan = df.physical_plan()
+    found = []
+
+    def visit(node):
+        found.append(node)
+        for c in node.children():
+            visit(c)
+
+    visit(plan)
+    topk = [n for n in found if n.name == "VectorTopKExec"]
+    assert topk
+    assert topk[0]._resident_candidates.value == 0  # fell back to host
