@@ -118,7 +118,12 @@ class DistributedExactSearcher:
         mesh=None,
         row_tile: int = 1024,
         dtype=None,
+        rescore_dtype="auto",
     ):
+        """``rescore_dtype="auto"`` keeps a sharded f32 re-score copy next
+        to reduced-precision storage (same recovery as
+        DeviceIvfSearcher — real-data neighbor margins sit below bf16's
+        2^-8, tests/test_rescore.py); ``None`` opts out."""
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
         embeddings = np.asarray(embeddings, dtype=np.float32)
@@ -134,10 +139,14 @@ class DistributedExactSearcher:
         sq = np.full(n_pad, np.inf, dtype=np.float32)
         sq[:n] = np.einsum("nd,nd->n", embeddings, embeddings)
 
-        if dtype is not None:
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._emb_ref = None
+        if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+            if rescore_dtype is not None:
+                self._emb_ref = jax.device_put(emb, sh)
             emb = jnp.asarray(emb, dtype=dtype)
-        self.emb = jax.device_put(emb, NamedSharding(self.mesh, P(DATA_AXIS)))
-        self.emb_sq = jax.device_put(sq, NamedSharding(self.mesh, P(DATA_AXIS)))
+        self.emb = jax.device_put(emb, sh)
+        self.emb_sq = jax.device_put(sq, sh)
         self._per_dev = per_dev
 
     def search(self, queries: np.ndarray, k: int):
@@ -151,23 +160,31 @@ class DistributedExactSearcher:
         qs = jax.device_put(q, NamedSharding(self.mesh, P()))
         per_dev = self._per_dev
         tile = self.row_tile
+        has_ref = self._emb_ref is not None
 
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS))
+            + ((P(DATA_AXIS),) if has_ref else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(q, emb_local, sq_local):
+        def run(q, emb_local, sq_local, *ref_local):
             my = jax.lax.axis_index(DATA_AXIS)
-            d2, ids = _exact_topk_impl(q, emb_local, sq_local, k, tile)
+            d2, ids = _exact_topk_impl(
+                q, emb_local, sq_local, k, tile,
+                emb_ref=ref_local[0] if ref_local else None,
+            )
             ids = jnp.where(ids >= 0, ids + my * per_dev, ids)
             d2_all = jax.lax.all_gather(d2, DATA_AXIS)  # [n_dev, B, k]
             ids_all = jax.lax.all_gather(ids, DATA_AXIS)
             return _merge_gathered(d2_all, ids_all)
 
-        d2, ids = jax.jit(run, static_argnums=())(qs, self.emb, self.emb_sq)
+        args = (qs, self.emb, self.emb_sq) + (
+            (self._emb_ref,) if has_ref else ()
+        )
+        d2, ids = jax.jit(run, static_argnums=())(*args)
         ids = jnp.where(ids >= self.n, -1, jnp.where(ids < 0, -1, ids))
         return np.sqrt(np.asarray(d2)), np.asarray(ids)
 

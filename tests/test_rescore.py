@@ -138,3 +138,26 @@ def test_int8_codes_quantize_from_reference(near_tie):
     e8_ref, sc_ref = _quantize_rows_i8(s._emb_ref)
     np.testing.assert_array_equal(np.asarray(e8), np.asarray(e8_ref))
     np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_ref))
+
+
+def test_distributed_exact_bf16_with_reference(near_tie):
+    """Row-sharded bf16 exact search with the sharded f32 reference must
+    rank the sub-bf16-spacing groups exactly like an f32 mesh search."""
+    from pqvector_tpu.dist import DistributedExactSearcher, make_mesh
+
+    x, index, q, truth = near_tie
+    mesh = make_mesh(2)
+    s32 = DistributedExactSearcher(x, mesh=mesh, row_tile=128)
+    sb = DistributedExactSearcher(
+        x, mesh=mesh, row_tile=128, dtype=jnp.bfloat16
+    )
+    assert sb._emb_ref is not None
+    d32, i32 = s32.search(q, 4)
+    db, ib = sb.search(q, 4)
+    np.testing.assert_array_equal(ib, i32)
+    np.testing.assert_allclose(db, d32, rtol=1e-5, atol=1e-6)
+    # Opt-out stays storage-bounded (ties collapse under bf16).
+    s_off = DistributedExactSearcher(
+        x, mesh=mesh, row_tile=128, dtype=jnp.bfloat16, rescore_dtype=None
+    )
+    assert s_off._emb_ref is None
