@@ -104,7 +104,9 @@ q256 = jnp.asarray(qb[:256])
 _, tid = s.exact(np.asarray(q256), 10, mode="xla")
 tid = np.asarray(tid)
 watchdog()
-for m in ("binscan", "binscan8", "xbin8"):
+# "scan" included to confirm the f32 re-score reference on-chip (bf16
+# storage capped selection before the rescore_dtype fix).
+for m in ("scan", "binscan", "binscan8", "xbin8"):
     _, ids = s.search(np.asarray(q256), 10, nprobe=8, mode=m)
     log(f"1M {m}: recall@10={recall(np.asarray(ids), tid):.4f}")
 
