@@ -304,6 +304,12 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
+    if os.environ.get("PQVECTOR_BENCH_FORCE_CPU"):
+        # Offline integration runs (CI, chip outages). The axon
+        # sitecustomize pins JAX_PLATFORMS=axon, so the env var alone is
+        # ignored — only the config update switches backends (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
+
     _device_watchdog(jax)
 
     from pqvector_tpu.builder import IndexBuilder, has_pq_vector_index
