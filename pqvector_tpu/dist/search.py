@@ -143,7 +143,13 @@ class DistributedExactSearcher:
         self._emb_ref = None
         if dtype is not None and jnp.dtype(dtype) != jnp.float32:
             if rescore_dtype is not None:
+                # Ship f32 once; storage is a device-side downcast that
+                # keeps the sharding (saves the separate bf16 transfer).
                 self._emb_ref = jax.device_put(emb, sh)
+                self.emb = self._emb_ref.astype(dtype)
+                self.emb_sq = jax.device_put(sq, sh)
+                self._per_dev = per_dev
+                return
             emb = jnp.asarray(emb, dtype=dtype)
         self.emb = jax.device_put(emb, sh)
         self.emb_sq = jax.device_put(sq, sh)

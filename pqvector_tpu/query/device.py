@@ -1007,12 +1007,17 @@ class DeviceIvfSearcher:
         sq[:n] = np.einsum("nd,nd->n", embeddings, embeddings)
         self._sentinel = n  # any padded id points here (inf norm)
 
-        self.emb = jnp.asarray(emb, dtype=dtype)
         # Full-precision re-score reference (see __init__ docstring). None
-        # when storage is already f32 (emb IS the reference).
+        # when storage is already f32 (emb IS the reference). When a
+        # reference is kept, the f32 array ships ONCE and the storage
+        # array is a device-side downcast — through the ~90 MB/s tunnel
+        # that's f32 bytes total instead of f32 + bf16.
         self._emb_ref = None
         if rescore_dtype is not None and jnp.dtype(dtype) != jnp.float32:
             self._emb_ref = jnp.asarray(emb)  # f32 padded copy
+            self.emb = self._emb_ref.astype(dtype)
+        else:
+            self.emb = jnp.asarray(emb, dtype=dtype)
         self._gid_dev = None if self._gid is None else jnp.asarray(self._gid)
         self._emb_sq_pallas = None  # lazy: finite-sentinel copy for kernels
         self._emb_i8 = None  # lazy: (codes, scale) for mode="xbin8"
