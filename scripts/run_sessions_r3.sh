@@ -25,15 +25,11 @@ run_one() {
   # cool-down between sessions (one process at a time, settle the relay)
   sleep 30
 }
-run_one verify_xbin 1200
-run_one chip_session_r3n 2400
-run_one chip_session_r3j 3600
-run_one deep10m_r3k 4800
-run_one chip_session_r3l 3000
-run_one deep10m_r3m 4800
-# Exercise the driver's own tool end-to-end while the window is healthy
-# (fast smoke; the driver runs the full bench at round end).
-if ! grep -q "SESSION_DONE bench_smoke" "$LOG" 2>/dev/null; then
+bench_smoke() {
+  # Exercise the driver's own tool end-to-end while the window is healthy
+  # (fast smoke; the driver runs the full bench at round end). Runs right
+  # after session N so even a short window covers it.
+  grep -q "SESSION_DONE bench_smoke" "$LOG" 2>/dev/null && return 0
   echo "[runner] starting bench --smoke @ $(date +%H:%M:%S)" >> "$LOG"
   # int8 Pallas modes join the contest only once session N validated
   # them clean on this hardware (SESSION_DONE = exit 0 = no failures).
@@ -42,8 +38,20 @@ if ! grep -q "SESSION_DONE bench_smoke" "$LOG" 2>/dev/null; then
   PQVECTOR_BENCH_INT8_PALLAS=$INT8 \
   PQVECTOR_BENCH_MAX_WAIT=600 timeout 1500 python -u bench.py --smoke \
     > scripts/bench_smoke_r3.log 2>&1
-  rc=$?
+  local rc=$?
   echo "[runner] bench_smoke exit=$rc @ $(date +%H:%M:%S)" >> "$LOG"
   [ $rc -eq 0 ] && echo "SESSION_DONE bench_smoke" >> "$LOG"
-fi
+  sleep 30
+}
+run_one verify_xbin 1200
+run_one chip_session_r3n 2400
+bench_smoke
+run_one chip_session_r3j 3600
+run_one deep10m_r3k 4800
+run_one chip_session_r3l 3000
+# Session M (spill A/B) is LOW PRIORITY now: the recall residual it
+# targeted was root-caused to bf16 storage rounding and fixed by the
+# f32 re-score reference (docs/PERFORMANCE.md) — keep it last as a
+# confirmation run only.
+run_one deep10m_r3m 4800
 echo "[runner] all sessions processed @ $(date +%H:%M:%S)" >> "$LOG"
