@@ -32,8 +32,15 @@ def iter_embedding_batches(
     when its layout allows (io/pages.decode_rg_matrix_native; batches are
     then row-group sized), with a per-row-group pyarrow fallback — so
     mixed layouts stream correctly with no duplicated rows."""
+    import contextlib
+
     from ..io.native import load as _native_load
-    from ..io.pages import decode_rg_matrix_native, embedding_leaf_meta
+    from ..io.pages import (
+        decode_rg_matrix_from_buf,
+        embedding_leaf_meta,
+        rg_chunk_span,
+    )
+    from ..io.prefetch import iter_prefetched
     from ..io.reader import extract_embeddings
 
     pf = pq.ParquetFile(path)
@@ -49,9 +56,17 @@ def iter_embedding_batches(
             lm = None
     if lm is not None:
         leaf_idx, leaf, row_groups = lm
-        with open(os.fspath(path), "rb") as f:
-            for g, rg in enumerate(row_groups):
-                mat = decode_rg_matrix_native(f, rg, leaf_idx, leaf)
+        # Background thread reads the next chunk while this one decodes
+        # and the device consumes the batch (read + native decode both
+        # release the GIL).
+        chunks = iter_prefetched(
+            path,
+            list(enumerate(row_groups)),
+            lambda it: rg_chunk_span(it[1], leaf_idx),
+        )
+        with contextlib.closing(chunks):
+            for (g, rg), buf in chunks:
+                mat = decode_rg_matrix_from_buf(buf, rg, leaf_idx, leaf)
                 if mat is None:
                     tbl = pf.read_row_group(g, columns=[column])
                     mat = extract_embeddings(tbl, embedding_column).data

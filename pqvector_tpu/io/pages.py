@@ -22,6 +22,7 @@ reader in query/selective.py.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import struct
@@ -1037,6 +1038,17 @@ def embedding_leaf_meta(path: str | os.PathLike, column: EmbeddingColumn):
     return leaf_idx, leaf, row_groups
 
 
+def rg_chunk_span(rg: RowGroupInfo, leaf_idx: int) -> tuple[int, int]:
+    """(offset, length) of one row group's whole column chunk, including a
+    leading dictionary page when present (the native decoder consumes it
+    and serves RLE_DICTIONARY data pages against it)."""
+    ch = rg.chunks[leaf_idx]
+    start = ch.data_page_offset
+    if ch.dictionary_page_offset is not None:
+        start = min(start, ch.dictionary_page_offset)
+    return start, ch.total_compressed_size
+
+
 def decode_rg_matrix_native(
     f, rg: RowGroupInfo, leaf_idx: int, leaf: SchemaLeaf, out=None
 ) -> np.ndarray | None:
@@ -1044,16 +1056,19 @@ def decode_rg_matrix_native(
     sequential chunk decoder, or None to fall back (unsupported layout /
     library unavailable / ragged rows). ``out`` may be a preallocated
     [rows, dim] slice to decode into."""
+    start, length = rg_chunk_span(rg, leaf_idx)
+    f.seek(start)
+    return decode_rg_matrix_from_buf(f.read(length), rg, leaf_idx, leaf, out)
+
+
+def decode_rg_matrix_from_buf(
+    buf, rg: RowGroupInfo, leaf_idx: int, leaf: SchemaLeaf, out=None
+) -> np.ndarray | None:
+    """Decode a row group's column chunk from pre-read bytes (the prefetch
+    pipeline reads the next chunk while this one decodes)."""
     from .native import decode_chunk_native
 
     ch = rg.chunks[leaf_idx]
-    start = ch.data_page_offset
-    if ch.dictionary_page_offset is not None:
-        # Dict page precedes the data pages; the native decoder consumes it
-        # and serves RLE_DICTIONARY data pages against it.
-        start = min(start, ch.dictionary_page_offset)
-    f.seek(start)
-    buf = f.read(ch.total_compressed_size)
     try:
         res = decode_chunk_native(
             buf, ch.codec, leaf.ptype, leaf.max_def, leaf.max_rep,
@@ -1084,12 +1099,16 @@ def read_embedding_matrix_native(
     sequential chunk decoder, decoding each row group's pages straight into
     a preallocated output (no per-batch Arrow assembly — pyarrow's
     list<float> path measured 89 MB/s single-core on the 1M x 1024 build).
+    A background thread prefetches the next row group's chunk bytes while
+    the current one decodes (read and decode both release the GIL), so the
+    load runs at max(disk, decode) instead of their sum.
 
     Returns None to fall back to the pyarrow reader (library unavailable,
     dictionary-encoded chunks, non-float leaves, or ragged rows — the
     fallback raises the canonical validation errors).
     """
     from .native import load
+    from .prefetch import iter_prefetched
 
     if load() is None:
         return None
@@ -1103,10 +1122,13 @@ def read_embedding_matrix_native(
     out = None
     dim = None
     row0 = 0
-    with open(os.fspath(path), "rb") as f:
-        for rg in row_groups:
+    chunks = iter_prefetched(
+        path, row_groups, lambda rg: rg_chunk_span(rg, leaf_idx)
+    )
+    with contextlib.closing(chunks):
+        for rg, buf in chunks:
             if out is None:
-                first = decode_rg_matrix_native(f, rg, leaf_idx, leaf)
+                first = decode_rg_matrix_from_buf(buf, rg, leaf_idx, leaf)
                 if first is None:
                     return None
                 dim = first.shape[1]
@@ -1115,7 +1137,7 @@ def read_embedding_matrix_native(
                 row0 = first.shape[0]
                 continue
             dst = out[row0 : row0 + rg.num_rows]
-            got = decode_rg_matrix_native(f, rg, leaf_idx, leaf, out=dst)
+            got = decode_rg_matrix_from_buf(buf, rg, leaf_idx, leaf, out=dst)
             if got is None:
                 return None
             row0 += rg.num_rows

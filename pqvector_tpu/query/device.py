@@ -41,7 +41,9 @@ from ..index.ivf import IvfIndex
 from ..io.embed import read_index_from_parquet
 from ..io.reader import read_embedding_column
 
-_SENTINEL_NORM = jnp.float32(3.0e38)
+# NOTE: no module-level jnp constants here — they initialize the jax
+# backend at import time, which blocks the whole library (host-only I/O
+# paths included) for minutes when the TPU tunnel is down.
 
 
 def _round_up(x: int, m: int) -> int:
