@@ -42,7 +42,7 @@ def watchdog(timeout_s=240.0):
         os._exit(3)
 
 
-watchdog()
+watchdog(600.0)  # backend init alone takes ~140 s on a fresh VM
 log(f"device alive ({jax.devices()})")
 
 import jax.numpy as jnp

@@ -39,19 +39,19 @@ def watchdog(timeout_s=240.0):
         os._exit(3)
 
 
-watchdog()
+watchdog(600.0)  # backend init alone takes ~140 s on a fresh VM
 import jax
 
 log(f"device alive ({jax.devices()})")
 
-from pqvector_tpu import IvfBuildConfig, build_ivf_index
+from pqvector_tpu import Embeddings, IvfBuildConfig, build_ivf_index
 from pqvector_tpu.query import device as dev
 from pqvector_tpu.query.device import DeviceIvfSearcher
 
 rng = np.random.default_rng(7)
 n, d = 20_000, 64
 x = rng.standard_normal((n, d)).astype(np.float32)
-index = build_ivf_index(x, IvfBuildConfig(n_clusters=64, seed=0))
+index = build_ivf_index(Embeddings(x, d), IvfBuildConfig(n_clusters=64, seed=0))
 s = DeviceIvfSearcher(index, x, row_tile=2048)
 q = (x[rng.integers(0, n, 64)]
      + 0.05 * rng.standard_normal((64, d))).astype(np.float32)
