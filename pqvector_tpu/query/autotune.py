@@ -42,22 +42,137 @@ SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
 #: kernel can wedge the chip for every later process — the round-1
 #: lesson; same gate as bench.py's AUTO_CONTEST_MODES). Explicit
 #: ``modes=(...)`` requests bypass this, as does interpret mode (CPU).
-#: Flip PQVECTOR_INT8_PALLAS_VALIDATED=1 once
-#: scripts/chip_session_r3n.py shows them clean on hardware.
+#: Flip PQVECTOR_INT8_PALLAS_VALIDATED=1 — or let a clean
+#: scripts/chip_session_r3n.py run persist scripts/.int8_pallas_validated
+#: — once the kernels are shown clean on hardware.
 UNVALIDATED_ON_TPU = ("binscan8", "bincompact8")
 
 
-def _default_candidates():
+def _int8_validated_on_hw() -> bool:
     import os
 
-    import jax
-
-    if jax.default_backend() != "tpu" or os.environ.get(
+    if os.environ.get(
         "PQVECTOR_INT8_PALLAS_VALIDATED", ""
     ).lower() not in ("", "0", "false"):
+        return True
+    marker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.pardir, os.pardir, "scripts", ".int8_pallas_validated",
+    )
+    return os.path.exists(marker)
+
+
+def _default_candidates():
+    import jax
+
+    if jax.default_backend() != "tpu" or _int8_validated_on_hw():
         return PROBED_MODES + SCAN_MODES
     return tuple(
         m for m in PROBED_MODES + SCAN_MODES if m not in UNVALIDATED_ON_TPU
+    )
+
+
+@dataclass(frozen=True)
+class WeatherReport:
+    """Result of :func:`probe_weather` — a cheap device-window health check.
+
+    Round-3 on-chip finding (docs/PERFORMANCE.md §Round-3-continuation 1):
+    degraded tunnel windows slow the ApproxTopK (PartialReduce) extraction
+    ~5× while the raw matmul+min floor holds ~75% MFU, so a plan calibrated
+    by :func:`autotune` in a healthy window (typically ``mode="scan"``) can
+    silently lose to the fused binned-min family when the weather turns.
+    ``extract_frac`` is the extraction loop's throughput as a fraction of
+    the floor loop's on the SAME array in the SAME window: ~0.5 healthy,
+    ~0.17 degraded (measured at B=4096, 1M×128). ``degraded`` compares it
+    against the caller's threshold.
+    """
+
+    floor_qps: float  #: matmul+min chained-loop QPS (the hardware floor)
+    extract_qps: float  #: matmul+ApproxTopK chained-loop QPS
+    extract_frac: float  #: extract_qps / floor_qps
+    degraded: bool  #: extract_frac < degraded_below
+    batch: int
+    k: int
+
+
+def probe_weather(
+    searcher,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    reps: int = 25,
+    budget_s: float = 2.0,
+    degraded_below: float = 0.25,
+    timer=time.perf_counter,
+) -> WeatherReport:
+    """Time the matmul+min floor vs the ApproxTopK extraction on the
+    searcher's resident array and classify the window.
+
+    Serving deployments run this between :func:`autotune` calibrations: if
+    ``degraded`` flips while the floor holds, the window (not the code or
+    the data) changed, and plans built on PartialReduce extraction
+    (``mode="scan"``) should yield to the fused binned-min family
+    (``binscan``/``xbin``) until the next probe clears. Costs two small
+    jits + ~2×``budget_s`` of device time; both loops chain ``reps``
+    data-dependent iterations per dispatch so per-dispatch tunnel overhead
+    cannot masquerade as compute (CLAUDE.md timing discipline).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    q = np.asarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    if q.ndim != 2 or not len(q):
+        raise ValidationError("probe_weather needs a [B, d] query sample")
+    if k < 1:
+        raise ValidationError("k must be >= 1")
+
+    @functools.partial(jax.jit, static_argnames=("reps", "k", "extract"))
+    def loop(q0, e, s, reps, k, extract):
+        def step(carry, _):
+            qf = (q0 + carry).astype(e.dtype)
+            scores = s[None, :] - 2.0 * jnp.dot(
+                qf, e.T, preferred_element_type=jnp.float32
+            )
+            if extract:
+                vals, _ = jax.lax.approx_min_k(scores, k=k)
+                out = vals[:, 0]
+            else:
+                out = jnp.min(scores, axis=1)
+            return 0.0 * out[0], out[:1]
+
+        _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+        return ys[-1]
+
+    qd = jnp.asarray(q)
+    sq = searcher._pallas_emb_sq()  # finite pad (inf poisons min/ApproxTopK)
+
+    def timed(extract: bool) -> float:
+        # Warm with the SAME static reps as the timed calls: a different
+        # warm value leaves the timed executable uncompiled (CLAUDE.md).
+        np.asarray(loop(qd, searcher.emb, sq, reps, k, extract))
+        n = 0
+        t0 = timer()
+        while True:
+            np.asarray(loop(qd, searcher.emb, sq, reps, k, extract))
+            n += reps
+            if timer() - t0 >= budget_s or n >= 16 * reps:
+                break
+        return n * len(q) / max(timer() - t0, 1e-9)
+
+    floor = timed(False)
+    extract = timed(True)
+    frac = extract / max(floor, 1e-9)
+    return WeatherReport(
+        floor_qps=floor,
+        extract_qps=extract,
+        extract_frac=frac,
+        degraded=frac < degraded_below,
+        batch=len(q),
+        k=k,
     )
 
 

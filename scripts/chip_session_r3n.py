@@ -91,6 +91,19 @@ from pqvector_tpu.io.embed import read_index_from_parquet
 from pqvector_tpu.io.reader import read_embedding_column
 
 path = "/root/repo/data/bench_1000000x128.parquet"
+if not os.path.exists(path):
+    # Fresh VM: regenerate bench.py's cached dataset (same generator and
+    # params, so this file IS the bench cache) and index it in place.
+    log("bench 1M cache absent; regenerating")
+    sys.path.insert(0, "/root/repo")
+    from bench import generate_dataset
+    from pqvector_tpu.builder import IndexBuilder
+
+    os.makedirs("/root/repo/data", exist_ok=True)
+    generate_dataset(path, 1_000_000, 128)
+    t0 = time.time()
+    IndexBuilder(path, "embedding").n_clusters(1024).build_inplace()
+    log(f"index build: {time.time()-t0:.1f}s")
 index, col = read_index_from_parquet(path)
 emb_np = read_embedding_column(path, col).data
 qb = (emb_np[rng.integers(0, len(emb_np), 4096)]
@@ -179,4 +192,14 @@ if FAILURES:
     log(f"session complete WITH FAILURES: {FAILURES}")
     sys.exit(2)  # SESSION_DONE must mean fully clean (gates the int8
     # modes into the bench contest)
+# Persist the hardware validation: bench.py's auto contest and
+# autotune's default TPU candidates read this marker, so the driver's
+# round-end bench (which has no special env) contests the int8 Pallas
+# modes once they are proven clean on this hardware generation.
+marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".int8_pallas_validated")
+with open(marker, "w") as f:
+    f.write(f"validated {time.strftime('%Y-%m-%d %H:%M:%S')} on "
+            f"{jax.devices()}\n")
+log(f"wrote {marker}")
 log("session complete")

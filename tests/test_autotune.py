@@ -161,3 +161,43 @@ def test_autotune_gather_rejected_not_mistimed(setup):
     )
     assert report.best is None
     assert "gather" in report.rejected
+
+
+def test_probe_weather_reports(setup):
+    from pqvector_tpu.query.autotune import WeatherReport, probe_weather
+
+    searcher, q = setup
+    rep = probe_weather(
+        searcher, q, k=5, reps=2, budget_s=0.5, timer=FakeTimer()
+    )
+    assert isinstance(rep, WeatherReport)
+    assert rep.floor_qps > 0 and rep.extract_qps > 0
+    assert rep.extract_frac == pytest.approx(
+        rep.extract_qps / rep.floor_qps
+    )
+    assert rep.batch == len(q) and rep.k == 5
+    # with the fake clock both loops time identically -> frac ~ 1.0
+    assert not rep.degraded
+
+
+def test_probe_weather_degraded_threshold(setup):
+    from pqvector_tpu.query.autotune import probe_weather
+
+    searcher, q = setup
+    # any frac is < 2.0: forcing the threshold proves the classification
+    rep = probe_weather(
+        searcher, q, k=5, reps=2, budget_s=0.5, degraded_below=2.0,
+        timer=FakeTimer(),
+    )
+    assert rep.degraded
+
+
+def test_probe_weather_validates_input(setup):
+    from pqvector_tpu.errors import ValidationError as VE
+    from pqvector_tpu.query.autotune import probe_weather
+
+    searcher, _ = setup
+    with pytest.raises(VE):
+        probe_weather(searcher, np.zeros((0, 16), np.float32))
+    with pytest.raises(VE):
+        probe_weather(searcher, np.zeros((4, 16), np.float32), k=0)
