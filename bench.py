@@ -44,9 +44,40 @@ _INT8_MARKER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "scripts", ".int8_pallas_validated",
 )
-_INT8_OK = os.environ.get(
-    "PQVECTOR_BENCH_INT8_PALLAS", ""
-).lower() not in ("", "0", "false") or os.path.exists(_INT8_MARKER)
+
+
+def _int8_gate_open() -> bool:
+    """Three-state gate: an EXPLICIT '0'/'false' env always closes it
+    (overrides the committed marker — the operator is saying "treat this
+    hardware as unvalidated"); an explicit truthy env opens it; unset
+    falls through to the marker-file check."""
+    env = os.environ.get("PQVECTOR_BENCH_INT8_PALLAS")
+    if env is not None and env != "":
+        return env.lower() not in ("0", "false")
+    return os.path.exists(_INT8_MARKER)
+
+
+def _int8_marker_device_ok(jax_module) -> bool:
+    """The marker records the device it was validated on; a different
+    hardware generation must re-validate (an invalid Mosaic kernel can
+    wedge the chip). Called lazily — only once jax is already live."""
+    try:
+        with open(_INT8_MARKER) as f:
+            text = f.read()
+    except OSError:
+        return True  # gate opened by env, not marker
+    try:
+        dev = str(jax_module.devices())
+    except Exception:
+        return True
+    if dev in text:
+        return True
+    log(f"int8 Pallas marker validated on different hardware "
+        f"({text.strip()!r} vs {dev}); re-validate before auto contest")
+    return False
+
+
+_INT8_OK = _int8_gate_open()
 AUTO_CONTEST_MODES = LOOP_MODES if _INT8_OK else tuple(
     m for m in LOOP_MODES if m not in ("binscan8", "bincompact8")
 )
@@ -454,6 +485,12 @@ def main():
         return d, ids
 
     loop_modes = AUTO_CONTEST_MODES
+    env = os.environ.get("PQVECTOR_BENCH_INT8_PALLAS")
+    env_forced = env is not None and env != "" and env.lower() not in ("0", "false")
+    if (any(m in loop_modes for m in ("binscan8", "bincompact8"))
+            and not env_forced and not _int8_marker_device_ok(jax)):
+        loop_modes = tuple(
+            m for m in loop_modes if m not in ("binscan8", "bincompact8"))
 
     # mode="scan" fetch width tuned by _measure_one_mode (None until then).
     # The knob lives on the shared searcher and is honored by scan, approx

@@ -51,15 +51,28 @@ UNVALIDATED_ON_TPU = ("binscan8", "bincompact8")
 def _int8_validated_on_hw() -> bool:
     import os
 
-    if os.environ.get(
-        "PQVECTOR_INT8_PALLAS_VALIDATED", ""
-    ).lower() not in ("", "0", "false"):
-        return True
+    # Three-state: an EXPLICIT '0'/'false' closes the gate even when the
+    # committed marker exists (the operator is declaring this hardware
+    # unvalidated); explicit truthy opens it; unset → marker check.
+    env = os.environ.get("PQVECTOR_INT8_PALLAS_VALIDATED")
+    if env is not None and env != "":
+        return env.lower() not in ("0", "false")
     marker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         os.pardir, os.pardir, "scripts", ".int8_pallas_validated",
     )
-    return os.path.exists(marker)
+    if not os.path.exists(marker):
+        return False
+    # The marker records the validated device; a different hardware
+    # generation re-validates (mismatched Mosaic kernels can wedge it).
+    try:
+        with open(marker) as f:
+            text = f.read()
+        import jax
+
+        return str(jax.devices()) in text
+    except Exception:
+        return True
 
 
 def _default_candidates():
@@ -129,6 +142,11 @@ def probe_weather(
         raise ValidationError("probe_weather needs a [B, d] query sample")
     if k < 1:
         raise ValidationError("k must be >= 1")
+    emb_dim = int(searcher.emb.shape[1])
+    if q.shape[1] != emb_dim:
+        raise ValidationError(
+            f"query dim {q.shape[1]} != index dim {emb_dim}"
+        )
 
     @functools.partial(jax.jit, static_argnames=("reps", "k", "extract"))
     def loop(q0, e, s, reps, k, extract):

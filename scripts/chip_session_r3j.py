@@ -51,17 +51,9 @@ from pqvector_tpu.io.reader import read_embedding_column
 from pqvector_tpu.query.device import DeviceIvfSearcher
 
 path = "/root/repo/data/bench_1000000x128.parquet"
-if not os.path.exists(path):
-    log("bench 1M cache absent; regenerating (bench.py generator)")
-    sys.path.insert(0, "/root/repo")
-    from bench import generate_dataset
-    from pqvector_tpu.builder import IndexBuilder
+from _common import ensure_bench_dataset
 
-    os.makedirs("/root/repo/data", exist_ok=True)
-    generate_dataset(path, 1_000_000, 128)
-    t0 = time.time()
-    IndexBuilder(path, "embedding").n_clusters(1024).build_inplace()
-    log(f"index build: {time.time()-t0:.1f}s")
+ensure_bench_dataset(path)
 index, col = read_index_from_parquet(path)
 emb_np = read_embedding_column(path, col).data
 rng = np.random.default_rng(3)

@@ -91,19 +91,11 @@ from pqvector_tpu.io.embed import read_index_from_parquet
 from pqvector_tpu.io.reader import read_embedding_column
 
 path = "/root/repo/data/bench_1000000x128.parquet"
-if not os.path.exists(path):
-    # Fresh VM: regenerate bench.py's cached dataset (same generator and
-    # params, so this file IS the bench cache) and index it in place.
-    log("bench 1M cache absent; regenerating")
-    sys.path.insert(0, "/root/repo")
-    from bench import generate_dataset
-    from pqvector_tpu.builder import IndexBuilder
+# Fresh VM: regenerate bench.py's cached dataset (same generator and
+# params, so this file IS the bench cache) and index it in place.
+from _common import ensure_bench_dataset
 
-    os.makedirs("/root/repo/data", exist_ok=True)
-    generate_dataset(path, 1_000_000, 128)
-    t0 = time.time()
-    IndexBuilder(path, "embedding").n_clusters(1024).build_inplace()
-    log(f"index build: {time.time()-t0:.1f}s")
+ensure_bench_dataset(path)
 index, col = read_index_from_parquet(path)
 emb_np = read_embedding_column(path, col).data
 qb = (emb_np[rng.integers(0, len(emb_np), 4096)]

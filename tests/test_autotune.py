@@ -201,3 +201,18 @@ def test_probe_weather_validates_input(setup):
         probe_weather(searcher, np.zeros((0, 16), np.float32))
     with pytest.raises(VE):
         probe_weather(searcher, np.zeros((4, 16), np.float32), k=0)
+    with pytest.raises(VE):  # dim mismatch vs the searcher's embeddings
+        probe_weather(searcher, np.zeros((4, 17), np.float32))
+
+
+def test_int8_gate_env_three_state(monkeypatch):
+    from pqvector_tpu.query.autotune import _int8_validated_on_hw
+
+    # Explicit '0'/'false' closes the gate even with the committed marker.
+    monkeypatch.setenv("PQVECTOR_INT8_PALLAS_VALIDATED", "0")
+    assert _int8_validated_on_hw() is False
+    monkeypatch.setenv("PQVECTOR_INT8_PALLAS_VALIDATED", "false")
+    assert _int8_validated_on_hw() is False
+    # Explicit truthy opens it regardless of marker/device.
+    monkeypatch.setenv("PQVECTOR_INT8_PALLAS_VALIDATED", "1")
+    assert _int8_validated_on_hw() is True
