@@ -65,10 +65,30 @@ class VectorIndexScanExec(ExecutionPlan):
         paths: list[str] = []
         row_ids: list[np.ndarray] = []
         with self.metrics.elapsed_compute.timer():
-            for file in self.files:
-                candidates = self._scan_file(
-                    store, file, context.index_cache
-                )
+            if len(self.files) > 1 and not store.is_local():
+                # Remote stores: footer/payload reads of different files
+                # are independent round trips — overlap them (the
+                # reference's async object_store does the same implicitly,
+                # index_exec.rs:96-143).
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(self.files))
+                ) as pool:
+                    per_file = list(
+                        pool.map(
+                            lambda f: self._scan_file(
+                                store, f, context.index_cache
+                            ),
+                            self.files,
+                        )
+                    )
+            else:
+                per_file = [
+                    self._scan_file(store, f, context.index_cache)
+                    for f in self.files
+                ]
+            for file, candidates in zip(self.files, per_file):
                 paths.extend([file.object_path] * candidates.size)
                 row_ids.append(candidates)
 

@@ -23,17 +23,37 @@ class ObjectStore:
         """Bytes [start, end)."""
         raise NotImplementedError
 
+    def get_ranges(
+        self, path: str, ranges: list[tuple[int, int]]
+    ) -> list[bytes]:
+        """Fetch several byte ranges of one object.
+
+        The base implementation is sequential; remote stores override it
+        with concurrent requests (the reference's object_store clients
+        issue coalesced ranges as parallel GETs — the selective-read path
+        hands all its page spans to ONE call so a high-latency store pays
+        ~one round trip, not one per span)."""
+        return [self.get_range(path, a, b) for a, b in ranges]
+
     def get_tail(self, path: str, length: int) -> bytes:
         size = self.head(path)
         return self.get_range(path, max(0, size - length), size)
 
     def open_input(self, path: str):
         """Something ``pyarrow.parquet.ParquetFile`` accepts for this path:
-        a file-like whose reads go through :meth:`get_range` (so remote
-        stores keep range-read semantics, like the reference's
+        a random-access file whose reads go through :meth:`get_range` (so
+        remote stores keep range-read semantics, like the reference's
         store-integrated parquet source, index_exec.rs:96-143). LocalStore
-        returns the plain path so pyarrow keeps its fast local I/O."""
-        return StoreFile(self, path)
+        returns the plain path so pyarrow keeps its fast local I/O.
+
+        The raw :class:`StoreFile` is wrapped in ``pyarrow.PythonFile``:
+        handed a plain Python file-like, pyarrow's reader buffers the
+        ENTIRE object up front (measured: a footer-only schema read issued
+        one full-file GET), while a NativeFile wrapper keeps its reads
+        seek-driven — footer + requested pages only."""
+        import pyarrow as pa
+
+        return pa.PythonFile(StoreFile(self, path), mode="r")
 
     def is_local(self) -> bool:
         """True when ``path`` names a real local file (enables fd-based
@@ -138,6 +158,190 @@ class LocalStore(ObjectStore):
                 return f.read(end - start)
         except OSError as exc:
             raise ExecutionError(f"Failed to read '{path}': {exc}") from exc
+
+
+class HttpStore(ObjectStore):
+    """HTTP(S) range-request store (stdlib only; no boto/gcs clients in
+    this environment). Paths are URLs, or keys joined onto ``base_url``.
+
+    The reference serves indexed files from any ``object_store`` backend
+    via ranged GETs (/root/reference/src/df_vector/index_exec.rs:96-143);
+    this is the plain-HTTP equivalent: ``head`` = HEAD Content-Length,
+    ``get_range`` = ``Range: bytes=a-b`` GET, and :meth:`get_ranges`
+    fans the spans out over a small connection pool so latency overlaps.
+    """
+
+    def __init__(self, base_url: str = "", max_connections: int = 8):
+        self.base_url = base_url.rstrip("/")
+        self.max_connections = max(1, int(max_connections))
+        self._head_cache: dict[str, int] = {}
+
+    def _url(self, path: str) -> str:
+        if path.startswith(("http://", "https://")):
+            return path
+        return f"{self.base_url}/{path.lstrip('/')}"
+
+    def _request(self, url: str, method: str, headers: dict) -> tuple:
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(url)
+        conn_cls = (
+            http.client.HTTPSConnection
+            if u.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = conn_cls(u.netloc, timeout=30)
+        try:
+            target = u.path or "/"
+            if u.query:
+                target += "?" + u.query
+            conn.request(method, target, headers=headers)
+            resp = conn.getresponse()
+            body = resp.read() if method != "HEAD" else b""
+            return resp.status, dict(resp.getheaders()), body
+        finally:
+            conn.close()
+
+    def head(self, path: str) -> int:
+        url = self._url(path)
+        if url in self._head_cache:
+            return self._head_cache[url]
+        status, headers, _ = self._request(url, "HEAD", {})
+        if status != 200:
+            raise ExecutionError(f"Failed to stat '{url}': HTTP {status}")
+        length = headers.get("Content-Length") or headers.get(
+            "content-length"
+        )
+        if length is None:
+            raise ExecutionError(f"'{url}': no Content-Length in HEAD")
+        self._head_cache[url] = int(length)
+        return int(length)
+
+    def get_range(self, path: str, start: int, end: int) -> bytes:
+        if end <= start:
+            return b""
+        url = self._url(path)
+        status, _, body = self._request(
+            url, "GET", {"Range": f"bytes={start}-{end - 1}"}
+        )
+        if status == 200:
+            # Server ignored Range (no partial support): slice locally so
+            # correctness survives, at full-object transfer cost.
+            body = body[start:end]
+        elif status != 206:
+            raise ExecutionError(f"Failed to read '{url}': HTTP {status}")
+        if len(body) != end - start:
+            raise ExecutionError(
+                f"'{url}': range [{start},{end}) returned {len(body)} bytes"
+            )
+        return body
+
+    def get_ranges(
+        self, path: str, ranges: list[tuple[int, int]]
+    ) -> list[bytes]:
+        if len(ranges) <= 1:
+            return [self.get_range(path, a, b) for a, b in ranges]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_connections, len(ranges))
+        ) as pool:
+            return list(
+                pool.map(lambda r: self.get_range(path, r[0], r[1]), ranges)
+            )
+
+
+class SimulatedRemoteStore(ObjectStore):
+    """A latency-injecting, request-counting wrapper around another store.
+
+    Stands in for remote storage in tests and latency studies: every
+    request pays ``latency_s`` before being served from ``inner``, and the
+    request/byte counters pin how many round trips a query path issues
+    (the reference's snapshot tests pin the same counters through
+    DataFusion metrics). Concurrent :meth:`get_ranges` overlap their
+    latencies, so the counters + wall clock together prove the selective
+    read path coalesces AND parallelizes.
+    """
+
+    def __init__(
+        self, inner: ObjectStore, latency_s: float = 0.0, workers: int = 8
+    ):
+        self.inner = inner
+        self.latency_s = float(latency_s)
+        self.workers = max(1, int(workers))
+        self.head_requests = 0
+        self.range_requests = 0
+        self.bytes_read = 0
+
+    def reset_counters(self) -> None:
+        self.head_requests = 0
+        self.range_requests = 0
+        self.bytes_read = 0
+
+    def _pay(self) -> None:
+        if self.latency_s:
+            import time
+
+            time.sleep(self.latency_s)
+
+    def head(self, path: str) -> int:
+        self.head_requests += 1
+        self._pay()
+        return self.inner.head(path)
+
+    def get_range(self, path: str, start: int, end: int) -> bytes:
+        self.range_requests += 1
+        self._pay()
+        data = self.inner.get_range(path, start, end)
+        self.bytes_read += len(data)
+        return data
+
+    def get_ranges(
+        self, path: str, ranges: list[tuple[int, int]]
+    ) -> list[bytes]:
+        if len(ranges) <= 1:
+            return [self.get_range(path, a, b) for a, b in ranges]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.workers, len(ranges))
+        ) as pool:
+            return list(
+                pool.map(lambda r: self.get_range(path, r[0], r[1]), ranges)
+            )
+
+
+def open_parquet(store: ObjectStore | None, path: str):
+    """A ``pyarrow.parquet.ParquetFile`` whose reads stay ranged.
+
+    pyarrow's ``ParquetFile(file_like)`` buffers the ENTIRE object at open
+    to parse the footer (measured: one full-file GET even with
+    ``pre_buffer=False``), which defeats a remote store. Instead the
+    footer is fetched with two tail range reads, re-framed as a minimal
+    parquet byte string for ``pq.read_metadata``, and handed to the reader
+    — open then costs ~metadata bytes and row-group/page reads stay
+    seek-driven (the reference's store-integrated source behaves the same,
+    /root/reference/src/df_vector/index_exec.rs:96-143)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if store is None or store.is_local():
+        return pq.ParquetFile(path)
+    size = store.head(path)
+    tail = store.get_range(path, size - 8, size)
+    if tail[4:] != b"PAR1":
+        raise ExecutionError(f"'{path}' is not a valid parquet file")
+    meta_len = int.from_bytes(tail[:4], "little")
+    if meta_len + 8 > size:
+        raise ExecutionError(
+            f"Parquet footer length exceeds size of '{path}'"
+        )
+    meta = store.get_range(path, size - 8 - meta_len, size - 8)
+    md = pq.read_metadata(pa.BufferReader(b"PAR1" + meta + tail))
+    return pq.ParquetFile(
+        store.open_input(path), metadata=md, pre_buffer=False
+    )
 
 
 DEFAULT_STORE = LocalStore()

@@ -198,9 +198,9 @@ class ParquetScanExec(ExecutionPlan):
         fkey = store_cache_key(store, path)
         pf = None if cache is None else cache.get(("pf", path, fkey))
         if pf is None:
-            pf = pq.ParquetFile(
-                store.open_input(path) if store is not None else path
-            )
+            from .object_store import open_parquet
+
+            pf = open_parquet(store, path)
             if cache is not None:
                 cache_put(cache, ("pf", path, fkey), pf)
         columns = self.projection

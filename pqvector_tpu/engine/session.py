@@ -75,9 +75,9 @@ class Session:
         paths = [os.fspath(p) for p in (path if isinstance(path, (list, tuple)) else [path])]
         if not paths:
             raise PlanError("register_parquet requires at least one file")
-        schema = pq.ParquetFile(
-            self.object_store.open_input(paths[0])
-        ).schema_arrow
+        from .object_store import open_parquet
+
+        schema = open_parquet(self.object_store, paths[0]).schema_arrow
         self._tables[name] = _Table(paths, schema)
 
     def sql(self, query: str) -> "DataFrame":

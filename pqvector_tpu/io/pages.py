@@ -855,10 +855,14 @@ class PageSelectiveReader:
                 dst = view[int(span_pos[s]) : int(span_pos[s + 1])]
                 if os.preadv(fd, [dst], int(span_off[s])) != int(span_len[s]):
                     raise FormatError("Truncated page span read")
-        else:  # non-local store: range reads through the seam
-            for s in range(span_first.size):
-                a = int(span_off[s])
-                data = self._store.get_range(self.path, a, a + int(span_len[s]))
+        else:  # non-local store: ONE get_ranges call for every span, so a
+            # remote store can fetch them concurrently (index_exec.rs:96-143
+            # semantics — coalesced ranges as parallel requests).
+            spans = [
+                (int(span_off[s]), int(span_off[s]) + int(span_len[s]))
+                for s in range(span_first.size)
+            ]
+            for s, data in enumerate(self._store.get_ranges(self.path, spans)):
                 if len(data) != int(span_len[s]):
                     raise FormatError("Truncated page span read")
                 view[int(span_pos[s]) : int(span_pos[s + 1])] = data

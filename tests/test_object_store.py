@@ -152,3 +152,154 @@ def test_memory_store_sql_reads_pages_not_files(mem_sql_setup, monkeypatch):
     monkeypatch.setattr(builtins, "open", guarded_open)
     ids = _sql_ids(s, x, 42, "WHERE id >= 10")
     assert len(ids) > 0
+
+
+# ---------------------------------------------------------------------------
+# Remote stores (round-4 VERDICT item 8): HTTP range store + latency-
+# simulated store with pinned request counts and overlapped range reads.
+# ---------------------------------------------------------------------------
+
+
+def _start_range_server(files):
+    """A local HTTP server with proper Range support (stdlib only; the
+    zero-egress env still allows loopback)."""
+    import http.server
+    import threading
+
+    log = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _blob(self):
+            return files.get(self.path.lstrip("/"))
+
+        def do_HEAD(self):
+            blob = self._blob()
+            if blob is None:
+                self.send_error(404)
+                return
+            log.append(("HEAD", self.path, None))
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            blob = self._blob()
+            if blob is None:
+                self.send_error(404)
+                return
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                a, b = rng[6:].split("-")
+                start, end = int(a), int(b) + 1
+                log.append(("GET", self.path, (start, end)))
+                body = blob[start:end]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end - 1}/{len(blob)}"
+                )
+            else:
+                log.append(("GET", self.path, None))
+                body = blob
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence stderr
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, log
+
+
+def test_http_store_ranges(mem_sql_setup):
+    from pqvector_tpu.engine.object_store import HttpStore
+
+    store_mem, local_path, _ = mem_sql_setup
+    blob = local_path.read_bytes()
+    srv, log = _start_range_server({"t.parquet": blob})
+    try:
+        hs = HttpStore(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert hs.head("t.parquet") == len(blob)
+        assert hs.get_range("t.parquet", 0, 4) == blob[:4]
+        assert hs.get_tail("t.parquet", 8) == blob[-8:]
+        parts = hs.get_ranges(
+            "t.parquet", [(0, 10), (100, 200), (len(blob) - 5, len(blob))]
+        )
+        assert parts == [blob[0:10], blob[100:200], blob[-5:]]
+        # every read was a ranged 206, never a full-object 200
+        assert all(r[2] is not None for r in log if r[0] == "GET")
+    finally:
+        srv.shutdown()
+
+
+def test_full_sql_through_http_store(mem_sql_setup):
+    """End-to-end SQL top-k against a real (loopback) HTTP range server:
+    footer, payload, row counts, and candidate pages all as ranged GETs —
+    results equal the local-file session's."""
+    from pqvector_tpu.engine.object_store import HttpStore
+    from pqvector_tpu.engine.session import Session
+
+    _, local_path, x = mem_sql_setup
+    blob = local_path.read_bytes()
+    srv, log = _start_range_server({"t.parquet": blob})
+    try:
+        hs = HttpStore(f"http://127.0.0.1:{srv.server_address[1]}")
+        remote = Session(VectorTopKOptions(nprobe=3), object_store=hs)
+        remote.register_parquet("t", "t.parquet")
+        local = Session(VectorTopKOptions(nprobe=3))
+        local.register_parquet("t", str(local_path))
+        for where in ("", "WHERE id >= 100"):
+            assert _sql_ids(remote, x, 11, where) == _sql_ids(
+                local, x, 11, where
+            )
+        gets = [r for r in log if r[0] == "GET"]
+        assert gets, "no ranged reads issued"
+        assert all(r[2] is not None for r in gets)  # never full-object
+        # ranged reads must cover a small fraction of the file (selective
+        # candidate pages, not a full scan)
+        total = sum(e - s for _, _, (s, e) in gets)
+        assert total < 2 * len(blob)  # footer+index+pages, not N full scans
+    finally:
+        srv.shutdown()
+
+
+def test_simulated_remote_store_counts_and_overlap(mem_sql_setup):
+    """Request counters pin the query path's round trips, and get_ranges
+    overlaps latency: 8 spans at 40 ms must land well under sequential."""
+    import time
+
+    from pqvector_tpu.engine.object_store import (
+        MemoryStore,
+        SimulatedRemoteStore,
+    )
+
+    _, local_path, x = mem_sql_setup
+    blob = local_path.read_bytes()
+    sim = SimulatedRemoteStore(
+        MemoryStore({"mem://b/t.parquet": blob}), latency_s=0.04, workers=8
+    )
+    spans = [(i * 100, i * 100 + 50) for i in range(8)]
+    t0 = time.perf_counter()
+    parts = sim.get_ranges("mem://b/t.parquet", spans)
+    dt = time.perf_counter() - t0
+    assert parts == [blob[a:b] for a, b in spans]
+    assert sim.range_requests == 8
+    assert dt < 8 * 0.04 * 0.75  # overlapped, not sequential
+
+    # End-to-end SQL through the simulated store: pinned request count.
+    from pqvector_tpu.engine.session import Session
+
+    sim.latency_s = 0.0
+    sim.reset_counters()
+    s = Session(VectorTopKOptions(nprobe=3), object_store=sim)
+    s.register_parquet("t", "mem://b/t.parquet")
+    ids = _sql_ids(s, x, 11)
+    assert len(ids) == 5
+    assert sim.range_requests > 0
+    # footer tail + metadata + payload + row-count/page metadata + spans:
+    # a handful of round trips, never per-row reads
+    assert sim.range_requests < 40, sim.range_requests
