@@ -15,7 +15,6 @@ import dataclasses
 import os
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..errors import PlanError
 from .access import ScanFile
