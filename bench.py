@@ -28,10 +28,12 @@ import numpy as np
 #: as 2*rows*dim FLOP/query. ONE list — membership checks below must not
 #: drift apart when a mode is added (the xbin8 lesson: nine hand-edited
 #: tuples).
-SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8")
+SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8",
+              "tilescan")
 #: Modes the chained-loop timing path can serve.
 LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
-              "bincompact", "xbin", "xbin8", "binscan8", "bincompact8")
+              "bincompact", "xbin", "xbin8", "binscan8", "bincompact8",
+              "tilescan")
 #: Modes mode="auto" actually contests. The int8 Pallas modes stay OUT
 #: until they are Mosaic-validated on hardware
 #: (scripts/chip_session_r3n.py) — an unvalidated Pallas kernel can
@@ -77,13 +79,35 @@ def _int8_marker_device_ok(jax_module) -> bool:
     return False
 
 
+#: mode="tilescan" (pure XLA, but a fresh fusion pattern): out of the auto
+#: contest until a chip session validates compile+OOM behavior at bench
+#: shapes (the xbin lesson: session-J HTTP-500 remote compiles). Marker
+#: persisted by the validating session; PQVECTOR_BENCH_TILESCAN overrides.
+_TILESCAN_MARKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "scripts", ".tilescan_validated",
+)
+
+
+def _tilescan_gate_open() -> bool:
+    env = os.environ.get("PQVECTOR_BENCH_TILESCAN")
+    if env is not None and env != "":
+        return env.lower() not in ("0", "false")
+    return os.path.exists(_TILESCAN_MARKER)
+
+
 _INT8_OK = _int8_gate_open()
 AUTO_CONTEST_MODES = LOOP_MODES if _INT8_OK else tuple(
     m for m in LOOP_MODES if m not in ("binscan8", "bincompact8")
 )
+if not _tilescan_gate_open():
+    AUTO_CONTEST_MODES = tuple(
+        m for m in AUTO_CONTEST_MODES if m != "tilescan"
+    )
 #: Modes served from the original-row-order bf16 searcher (full scans
 #: collide on cluster-sorted layouts — CLAUDE.md).
-ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
+ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8",
+                    "tilescan")
 #: Probed-union (batch-union candidate) IVF modes.
 UNION_MODES = ("compact", "bincompact", "bincompact8")
 #: Modes whose scan traffic is int8 codes (1 byte/element).
@@ -584,6 +608,9 @@ def main():
                 args.k
             ):
                 log(f"mode={mode} skipped (no eligible bin count)")
+                continue
+            if mode == "tilescan" and not scan_searcher.can_tilescan(args.k):
+                log("mode=tilescan skipped (no eligible tile)")
                 continue
             if mode in ("bincompact", "bincompact8") and searcher.bincompact_coverage(
                 batch, chosen, args.k,

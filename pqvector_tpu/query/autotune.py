@@ -36,7 +36,7 @@ from ..errors import ValidationError
 #: ranking would mis-time it — measure it with single dispatches instead.
 PROBED_MODES = ("masked", "pallas", "stream", "compact", "bincompact",
                 "bincompact8")
-SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8")
+SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8", "tilescan")
 #: Modes excluded from the DEFAULT candidate set on real TPU hardware
 #: until their Mosaic kernels are chip-validated (an invalid Pallas
 #: kernel can wedge the chip for every later process — the round-1

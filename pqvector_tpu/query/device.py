@@ -553,6 +553,131 @@ def _exact_xbin8_impl(
     return d2[:, :k], ids[:, :k]
 
 
+#: Auto-chunk budget for mode="tilescan" (bytes): rows per lax.scan step
+#: are sized so even an UNFUSED [B, rows_step] f32 score block stays within
+#: it. The floor measurement (scripts/mfu_push.py: matmul + jnp.min over
+#: [4096, 1M] = 62-82% of bf16 peak) proves XLA fuses a minor-axis reduce
+#: into the scoring dot at full scale, so -1 (force one fused call) is the
+#: expected fast path; the auto default stays bounded until each shape is
+#: chip-verified (an unfused 16 GB block at B=4096 x 1M is a device OOM).
+_TILESCAN_FUSE_BUDGET = int(
+    os.environ.get("PQVECTOR_TPU_TILESCAN_FUSE_BUDGET", 2 << 30)
+)
+
+
+def _tilescan_auto_chunk(b: int, n_pad: int, tile: int, chunk_rows: int) -> int:
+    """Effective rows-per-step for _exact_tilescan_impl. >0 explicit;
+    -1 forces the one-call fused form; 0 = auto by _TILESCAN_FUSE_BUDGET."""
+    if chunk_rows > 0:
+        return int(chunk_rows)
+    if chunk_rows < 0 or b * n_pad * 4 <= _TILESCAN_FUSE_BUDGET:
+        return 0
+    return max(tile, (_TILESCAN_FUSE_BUDGET // max(1, b * 4)) // tile * tile)
+
+
+def _exact_tilescan_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    k: int,
+    tile: int,  # rows per tile; power of two dividing n_pad
+    chunk_rows: int = 0,  # rows per scan step (0 = one fused call)
+    overfetch: int = 0,
+    emb_ref: jnp.ndarray | None = None,  # full-precision re-score rows
+):
+    """Full scan with per-tile argmin extraction (the xbin transpose).
+
+    Attacks the measured extraction gap (VERDICT r3 item 1: matmul+min
+    floor 76.6-82.5% of bf16 peak vs 35.7% served with PartialReduce,
+    BENCH_r03.json) with the cheapest possible selection: scores pack
+    value+provenance into one int32 key (the kernels/binscan.py IEEE
+    trick) and a reshape+min over the MINOR axis folds each contiguous
+    ``tile``-row group to its argmin — the same minor-axis reduce shape
+    as the floor measurement itself, so XLA fuses it into the scoring
+    matmul. The result table is [B, n/tile] (small — 7.8k columns at 1M
+    rows, tile=128), so the final ``lax.top_k`` is noise, unlike xbin's
+    [B, 64k] table + wide top_k (measured 30x slower than scan on chip —
+    VERDICT r3 weakness 4).
+
+    Differences from xbin (which bins row r by ``r % l_bins`` and reduces
+    the OUTER reshape axis): provenance is the within-tile offset
+    (``log2(tile)`` low mantissa bits, 7 at tile=128 — a 2^-16 relative
+    value quantization, far below real-data neighbor margins); the reduce
+    is minor-axis (lane reductions); and the chunked form needs NO carried
+    accumulator — tiles are independent, so scan steps just stack their
+    [B, g] outputs.
+
+    Recall: a tile contributes only its best row, so two true top-k
+    neighbors sharing one tile lose the loser PERMANENTLY (overfetch
+    cannot recover it) — with random row order that is ~k^2/2 * tile/n
+    per query (0.6% of queries lose 1 of top-10 at 1M rows, tile=128).
+    Serve from the ORIGINAL row order, never cluster-sorted layouts.
+    Winners are re-scored exactly against ``emb_ref`` (_refine_and_sort).
+
+    Reference behavior anchor: nprobe-free exact-selection serving scan,
+    /root/reference/src/ivf/search.rs:100-127.
+    """
+    b = q.shape[0]
+    n_pad, d = emb.shape
+    nt = n_pad // tile
+    bits = max(1, (tile - 1).bit_length())
+    low = jnp.int32((1 << bits) - 1)
+    mask = ~low
+    # Fold the -2 of |x|^2 - 2 q.x into the query operand: one fewer VPU
+    # op per score element in the epilogue that must hide under the MXU.
+    qf2 = (-2.0 * q).astype(emb.dtype)
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
+    prec = score_precision(qf2.dtype, emb.dtype, jnp.float32)
+
+    def block_mins(e_blk, s_blk):
+        g = e_blk.shape[0] // tile
+        scores = jnp.dot(
+            qf2, e_blk.T, preferred_element_type=jnp.float32, precision=prec
+        )
+        # True squared distance (>= 0 up to rounding): non-negative f32
+        # bitcasts to order-isomorphic int32. A value rounding slightly
+        # negative (duplicate row) wins its tile — correct selection.
+        part = s_blk[None, :] + scores + qsq[:, None]
+        keys = jax.lax.bitcast_convert_type(part, jnp.int32)
+        off = jnp.arange(e_blk.shape[0], dtype=jnp.int32) & low
+        keys = (keys & mask) | off[None, :]
+        return jnp.min(keys.reshape(b, g, tile), axis=2)  # [b, g]
+
+    step_rows = _tilescan_auto_chunk(b, n_pad, tile, chunk_rows)
+    if step_rows and step_rows < n_pad:
+        sr = max(tile, step_rows // tile * tile)
+        while n_pad % sr:  # largest tile-multiple divisor of n_pad
+            sr -= tile
+        ns = n_pad // sr
+
+        def step(_, xs):
+            e_blk, s_blk = xs
+            return None, block_mins(e_blk, s_blk)
+
+        _, ys = jax.lax.scan(
+            step, None,
+            (emb.reshape(ns, sr, d), emb_sq.reshape(ns, sr)),
+        )  # ys [ns, b, sr/tile]
+        binmins = jnp.transpose(ys, (1, 0, 2)).reshape(b, nt)
+    else:
+        binmins = block_mins(emb, emb_sq)  # [B, nt]
+    k_fetch = min(
+        max(k, overfetch) if overfetch else
+        (max(4 * k, 64) if k <= 32 else 2 * k),
+        nt,
+    )
+    neg, tidx = jax.lax.top_k(-binmins, k_fetch)
+    key_w = -neg
+    rows = tidx.astype(jnp.int32) * tile + (key_w & low)
+    # Value part: +inf exactly for pad-only tiles (offset bits sit below
+    # the cleared mantissa range), so refine marks them missing.
+    val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
+    d2, ids = _refine_and_sort(
+        q, emb if emb_ref is None else emb_ref, val, rows
+    )
+    return d2[:, :k], ids[:, :k]
+
+
 def _ivf_approx_masked_impl(
     q: jnp.ndarray,  # [B, d] f32
     centroids: jnp.ndarray,  # [kc, d] f32
@@ -1001,6 +1126,13 @@ class DeviceIvfSearcher:
         # while the worst-case unfused score block stays within
         # _XBIN_FUSE_BUDGET (PQVECTOR_TPU_XBIN_FUSE_BUDGET, 2 GiB).
         self.xbin_chunk_groups = 0
+        # mode="tilescan" knobs: tile = rows per argmin tile (0 = auto:
+        # largest power-of-2 divisor of n_pad capped at 128); chunk_rows
+        # chunks the scan into lax.scan steps of that many rows (0 = auto
+        # by _TILESCAN_FUSE_BUDGET, -1 forces the one fused call — the
+        # floor-shaped fast path).
+        self.tilescan_tile = 0
+        self.tilescan_chunk_rows = 0
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -1285,6 +1417,14 @@ class DeviceIvfSearcher:
                     q.shape[0], int(self.emb.shape[0]),
                     self._xbin_bins_checked(k), self.xbin_chunk_groups,
                 ),
+            )
+        elif mode == "tilescan":
+            d2, ids = _exact_tilescan(
+                q, self.emb, self.emb_sq, k,
+                tile=self._tilescan_tile_checked(k),
+                chunk_rows=self.tilescan_chunk_rows,
+                overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -1601,6 +1741,16 @@ class DeviceIvfSearcher:
                     q.shape[0], int(self.emb.shape[0]),
                     self._xbin_bins_checked(k), self.xbin_chunk_groups,
                 ),
+            )
+        elif mode == "tilescan":
+            # Serving mode: per-tile argmin full scan (floor-shaped fused
+            # extraction — see _exact_tilescan_impl), nprobe ignored.
+            d2, ids = _exact_tilescan(
+                q, self.emb, self.emb_sq, k,
+                tile=self._tilescan_tile_checked(k),
+                chunk_rows=self.tilescan_chunk_rows,
+                overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -1926,7 +2076,7 @@ class DeviceIvfSearcher:
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "masked", "approx",
                         "scan", "compact", "binscan", "bincompact", "xbin",
-                        "binscan8", "bincompact8"):
+                        "binscan8", "bincompact8", "tilescan"):
             # NOT the search() catalogue: "gather" has no chained-loop
             # path — silently running a different kernel here would
             # mis-time it (the autotune/gather lesson).
@@ -1952,6 +2102,7 @@ class DeviceIvfSearcher:
         use_binscan = mode in ("binscan", "binscan8")
         use_bincompact = mode in ("bincompact", "bincompact8")
         use_xbin = mode == "xbin"
+        use_tilescan = mode == "tilescan"
         use_i8 = mode in ("binscan8", "bincompact8")
         esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
@@ -1959,7 +2110,8 @@ class DeviceIvfSearcher:
         )
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
             and not (use_approx or use_scan or use_xla or use_compact
-                     or use_binscan or use_bincompact or use_xbin)
+                     or use_binscan or use_bincompact or use_xbin
+                     or use_tilescan)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -1999,7 +2151,7 @@ class DeviceIvfSearcher:
             self.emb,
             self._pallas_emb_sq()
             if not (use_approx or use_scan or use_xla or use_compact
-                    or use_xbin)
+                    or use_xbin or use_tilescan)
             else self.emb_sq,
             jnp.int32(nprobe),
             k=k,
@@ -2035,7 +2187,8 @@ class DeviceIvfSearcher:
             # invalidate the compiled executables of modes that ignore it.
             overfetch=(
                 self.scan_overfetch
-                if (use_scan or use_approx or use_xbin) else 0
+                if (use_scan or use_approx or use_xbin or use_tilescan)
+                else 0
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
@@ -2043,6 +2196,13 @@ class DeviceIvfSearcher:
                 q.shape[0], int(self.emb.shape[0]),
                 self._xbin_bins_checked(k), self.xbin_chunk_groups,
             ) if use_xbin else 0,
+            use_tilescan=use_tilescan,
+            tilescan_tile=(
+                self._tilescan_tile_checked(k) if use_tilescan else 0
+            ),
+            tilescan_chunk=(
+                self.tilescan_chunk_rows if use_tilescan else 0
+            ),
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
@@ -2061,7 +2221,7 @@ class DeviceIvfSearcher:
         if mode == "xbin8":
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "xla", "approx",
-                        "binscan", "xbin", "binscan8"):
+                        "binscan", "xbin", "binscan8", "tilescan"):
             raise ValidationError(f"Unknown exact_loop mode '{mode}'")
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
@@ -2070,6 +2230,7 @@ class DeviceIvfSearcher:
         use_binscan = mode in ("binscan", "binscan8")
         use_xbin = mode == "xbin"
         use_xla = mode == "xla"
+        use_tilescan = mode == "tilescan"
         use_i8 = mode == "binscan8"
         esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
@@ -2079,7 +2240,7 @@ class DeviceIvfSearcher:
             q,
             self.emb,
             self.emb_sq
-            if (use_approx or use_xbin or use_xla)
+            if (use_approx or use_xbin or use_xla or use_tilescan)
             else self._pallas_emb_sq(),
             k=k,
             tile=tile_p,
@@ -2096,7 +2257,8 @@ class DeviceIvfSearcher:
             recall_target=self.approx_recall_target,
             score_dtype=self.approx_score_dtype,
             overfetch=(
-                self.scan_overfetch if (use_approx or use_xbin) else 0
+                self.scan_overfetch
+                if (use_approx or use_xbin or use_tilescan) else 0
             ),
             use_xbin=use_xbin,
             xbin_bins=self._xbin_bins_checked(k) if use_xbin else 0,
@@ -2104,6 +2266,13 @@ class DeviceIvfSearcher:
                 q.shape[0], int(self.emb.shape[0]),
                 self._xbin_bins_checked(k), self.xbin_chunk_groups,
             ) if use_xbin else 0,
+            use_tilescan=use_tilescan,
+            tilescan_tile=(
+                self._tilescan_tile_checked(k) if use_tilescan else 0
+            ),
+            tilescan_chunk=(
+                self.tilescan_chunk_rows if use_tilescan else 0
+            ),
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
             use_xla=use_xla,
@@ -2211,6 +2380,40 @@ class DeviceIvfSearcher:
         padded row count needs a divisor <= 64k bins that is >= k;
         lane-aligned 128-multiples preferred — see _xbin_bins)."""
         return _xbin_bins(int(self.emb.shape[0]), self._spill_k(k)) > 0
+
+    def can_tilescan(self, k: int = 10) -> bool:
+        """Whether the per-tile argmin scan supports this array/k (needs a
+        power-of-2 tile dividing n_pad with k <= n_pad/tile)."""
+        try:
+            self._tilescan_tile_checked(self._spill_k(k))
+        except ValidationError:
+            return False
+        return True
+
+    def _tilescan_tile_checked(self, k: int) -> int:
+        n_pad = int(self.emb.shape[0])
+        t = int(self.tilescan_tile)
+        if not t:  # auto: 128, shrunk while k exceeds the tile count
+            t = min(n_pad & -n_pad, 128)
+            while t > 2 and k > n_pad // t:
+                t //= 2
+        if t < 2 or n_pad % t or (t & (t - 1)):
+            raise ValidationError(
+                f"tilescan tile={t} invalid for n_pad={n_pad}: must be a "
+                "power of two >= 2 dividing the padded row count"
+            )
+        if (t - 1).bit_length() > PROVENANCE_BITS_MAX:
+            raise ValidationError(
+                f"tilescan tile={t} spends {(t - 1).bit_length()} "
+                f"provenance bits (max {PROVENANCE_BITS_MAX}): too few "
+                "value mantissa bits for reliable selection"
+            )
+        if not 0 < k <= n_pad // t:
+            raise ValidationError(
+                f"tilescan ineligible: k={k} exceeds the {n_pad // t} "
+                "tiles (each contributes one candidate)"
+            )
+        return t
 
     def _xbin_bins_checked(self, k: int) -> int:
         n_pad = int(self.emb.shape[0])
@@ -2535,7 +2738,8 @@ class DeviceIvfSearcher:
         "use_bincompact", "binscan_tile", "bin_expand", "ctile",
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
-        "xbin_bins", "xbin_chunk",
+        "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
+        "tilescan_chunk",
     ),
 )
 def _masked_pallas_loop(
@@ -2545,7 +2749,8 @@ def _masked_pallas_loop(
     interpret, use_compact=False, ctile=1, cap_tiles=1, tile_lo=None,
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
-    xbin_bins=0, xbin_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
+    xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
+    tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -2596,6 +2801,12 @@ def _masked_pallas_loop(
                 score_dtype=score_dtype, overfetch=overfetch,
                 chunk_groups=xbin_chunk, emb_ref=emb_ref,
             )
+        if use_tilescan:
+            return _exact_tilescan_impl(
+                q, emb, emb_sq, k=k, tile=tilescan_tile,
+                chunk_rows=tilescan_chunk, overfetch=overfetch,
+                emb_ref=emb_ref,
+            )
         if use_scan:
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
@@ -2644,13 +2855,15 @@ def _masked_pallas_loop(
     static_argnames=("k", "tile", "reps", "use_stream", "use_approx", "chunk",
                      "recall_target", "score_dtype", "subtiles", "interpret",
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
-                     "use_xbin", "xbin_bins", "xbin_chunk", "use_xla"),
+                     "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
+                     "use_tilescan", "tilescan_tile", "tilescan_chunk"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
-    xbin_chunk=0, use_xla=False, emb_i8=None, i8_scale=None, emb_ref=None,
+    xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
+    tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -2677,6 +2890,12 @@ def _exact_pallas_loop(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
                 chunk_groups=xbin_chunk, emb_ref=emb_ref,
+            )
+        elif use_tilescan:
+            d2, ids = _exact_tilescan_impl(
+                q, emb, emb_sq, k=k, tile=tilescan_tile,
+                chunk_rows=tilescan_chunk, overfetch=overfetch,
+                emb_ref=emb_ref,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -2715,6 +2934,10 @@ _exact_xbin = jax.jit(
 _exact_xbin8 = jax.jit(
     _exact_xbin8_impl,
     static_argnames=("k", "l_bins", "overfetch", "chunk_groups"),
+)
+_exact_tilescan = jax.jit(
+    _exact_tilescan_impl,
+    static_argnames=("k", "tile", "chunk_rows", "overfetch"),
 )
 
 

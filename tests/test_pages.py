@@ -247,3 +247,36 @@ def test_native_chunk_reader_declines_ragged(tmp_path):
     )
     with pytest.raises(ValidationError):
         read_embedding_column(path, EmbeddingColumn("vec"))
+
+
+def test_native_snappy_copy_fast_paths(tmp_path):
+    """The wide-copy snappy decode (round-4: 16-byte chunked copies +
+    pattern doubling for offsets < 16) must be byte-exact on data designed
+    to hit every tier: constant runs (offset 4 repeats), short cycles
+    (offsets 8/12), long-range matches, and incompressible noise."""
+    from pqvector_tpu.io.pages import read_embedding_matrix_native
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    blocks = [
+        np.full((64, dim), 1.25, np.float32),  # offset-4 pattern runs
+        np.tile(rng.standard_normal((1, dim)).astype(np.float32), (64, 1)),
+        np.tile(rng.standard_normal((2, 3)).astype(np.float32), (64, 6))[
+            :, :dim
+        ],
+        rng.standard_normal((64, dim)).astype(np.float32),  # literals
+        np.repeat(
+            rng.standard_normal((8, dim)).astype(np.float32), 8, axis=0
+        ),  # long-range copies
+    ]
+    x = np.concatenate(blocks)
+    path = tmp_path / "rep.parquet"
+    pq.write_table(
+        pa.table({"embedding": pa.array(list(x), pa.list_(pa.float32()))}),
+        path,
+        compression="snappy",
+        use_dictionary=False,
+    )
+    mat = read_embedding_matrix_native(str(path), "embedding")
+    assert mat is not None
+    np.testing.assert_array_equal(mat.data, x)
