@@ -96,9 +96,20 @@ def _tilescan_gate_open() -> bool:
     return os.path.exists(_TILESCAN_MARKER)
 
 
+#: Modes cut from the auto contest permanently (round-4 VERDICT item 4):
+#: xbin/xbin8 measured 1.0-1.4% of bf16 peak on chip (~30x slower than
+#: scan; sessions J/L) and burned ~40% of every sweep's mode time —
+#: sessions r4a/r4b traced the loss to XLA materializing the packed
+#: grouped-min epilogue instead of fusing it into the scoring matmul.
+#: They remain CPU test oracles and explicitly requestable (--mode xbin).
+CUT_MODES = ("xbin", "xbin8")
+
 _INT8_OK = _int8_gate_open()
 AUTO_CONTEST_MODES = LOOP_MODES if _INT8_OK else tuple(
     m for m in LOOP_MODES if m not in ("binscan8", "bincompact8")
+)
+AUTO_CONTEST_MODES = tuple(
+    m for m in AUTO_CONTEST_MODES if m not in CUT_MODES
 )
 if not _tilescan_gate_open():
     AUTO_CONTEST_MODES = tuple(

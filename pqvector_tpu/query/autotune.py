@@ -46,6 +46,11 @@ SCAN_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8", "tilescan")
 #: scripts/chip_session_r3n.py run persist scripts/.int8_pallas_validated
 #: — once the kernels are shown clean on hardware.
 UNVALIDATED_ON_TPU = ("binscan8", "bincompact8")
+#: Cut from the DEFAULT candidates everywhere (round-4): measured 1.0-1.4%
+#: of bf16 peak on chip — XLA materializes their packed grouped-min
+#: epilogue instead of fusing it (sessions J/L/r4a/r4b). Explicit
+#: ``modes=(...)`` requests still serve them.
+DEPRIORITIZED = ("xbin", "xbin8", "tilescan")
 
 
 def _int8_validated_on_hw() -> bool:
@@ -78,11 +83,12 @@ def _int8_validated_on_hw() -> bool:
 def _default_candidates():
     import jax
 
-    if jax.default_backend() != "tpu" or _int8_validated_on_hw():
-        return PROBED_MODES + SCAN_MODES
-    return tuple(
-        m for m in PROBED_MODES + SCAN_MODES if m not in UNVALIDATED_ON_TPU
+    cands = tuple(
+        m for m in PROBED_MODES + SCAN_MODES if m not in DEPRIORITIZED
     )
+    if jax.default_backend() != "tpu" or _int8_validated_on_hw():
+        return cands
+    return tuple(m for m in cands if m not in UNVALIDATED_ON_TPU)
 
 
 @dataclass(frozen=True)

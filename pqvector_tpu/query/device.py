@@ -1133,6 +1133,12 @@ class DeviceIvfSearcher:
         # floor-shaped fast path).
         self.tilescan_tile = 0
         self.tilescan_chunk_rows = 0
+        # mode="autoscan" (weather-routed serving scan): how long one
+        # probe_weather classification stays valid, and an injectable
+        # prober for tests/offline routing.
+        self.weather_ttl_s = 300.0
+        self.weather_prober = None
+        self._weather: tuple | None = None  # (monotonic time, report)
 
         n_pad = _round_up(n + 1, row_tile)  # +1 sentinel row
         emb = np.zeros((n_pad, d), dtype=np.float32)
@@ -2505,8 +2511,44 @@ class DeviceIvfSearcher:
             and self._delta is None
         )
 
+    def scan_route(
+        self, queries: np.ndarray, k: int = 10, *,
+        budget_s: float = 1.0, force: bool = False,
+    ) -> str:
+        """Weather-routed serving scan mode (mode="autoscan" resolves
+        through this): "scan" (hardware ApproxTopK extraction) in healthy
+        windows, "binscan" (fused binned-min kernel) when the window is
+        degraded. Round-3 on-chip finding (docs/PERFORMANCE.md): degraded
+        tunnel windows slow PartialReduce ~5x while the matmul+min floor
+        holds ~75% MFU and the binned-min family holds ~1.3x — a plan
+        calibrated healthy silently loses when the weather turns
+        (measured in session r4a: scan 100k QPS vs binscan 145k under a
+        healthy 84%-MFU floor). Probes cost two small jits + ~2x
+        ``budget_s`` device seconds and are cached for ``weather_ttl_s``;
+        ``force=True`` reprobes now. Shapes binscan cannot serve always
+        route to "scan"."""
+        import time as _time
+
+        if not self.can_binscan(k):
+            return "scan"
+        now = _time.monotonic()
+        if (
+            force
+            or self._weather is None
+            or now - self._weather[0] > self.weather_ttl_s
+        ):
+            prober = self.weather_prober
+            if prober is None:
+                from .autotune import probe_weather as prober
+            q = np.asarray(queries, np.float32)
+            rep = prober(self, q[: min(256, len(q))], k, budget_s=budget_s)
+            self._weather = (now, rep)
+        return "binscan" if self._weather[1].degraded else "scan"
+
     def exact(self, queries: np.ndarray, k: int, mode: str = "auto"):
         """Exact brute-force top-k (see ``_exact_impl`` for modes)."""
+        if mode == "autoscan":
+            mode = self.scan_route(queries, k)
         d, ids = self._exact_impl(queries, self._spill_k(k), mode)
         return (d, ids) if self._plain() else self._finalize(
             queries, d, ids, k
@@ -2516,6 +2558,8 @@ class DeviceIvfSearcher:
         self, queries: np.ndarray, k: int, nprobe: int, mode: str = "auto"
     ):
         """IVF top-k (see ``_search_impl`` for the mode catalogue)."""
+        if mode == "autoscan":
+            mode = self.scan_route(queries, k)
         d, ids = self._search_impl(queries, self._spill_k(k), nprobe, mode)
         return (d, ids) if self._plain() else self._finalize(
             queries, d, ids, k
@@ -2526,6 +2570,8 @@ class DeviceIvfSearcher:
     ):
         """``reps`` chained IVF searches in ONE dispatch (see
         ``_search_loop_impl`` — the honest-throughput measurement path)."""
+        if mode == "autoscan":
+            mode = self.scan_route(queries, k)
         d, ids = self._search_loop_impl(
             queries, self._spill_k(k), nprobe, reps=reps, mode=mode
         )
@@ -2535,6 +2581,9 @@ class DeviceIvfSearcher:
 
     def exact_loop(self, queries, k: int, reps: int = 16, mode: str = "auto"):
         """``reps`` chained exact scans in one dispatch."""
+        if mode == "autoscan":
+            mode = self.scan_route(queries, k)
+            mode = "approx" if mode == "scan" else mode  # exact-path name
         d, ids = self._exact_loop_impl(
             queries, self._spill_k(k), reps=reps, mode=mode
         )

@@ -216,3 +216,75 @@ def test_int8_gate_env_three_state(monkeypatch):
     # Explicit truthy opens it regardless of marker/device.
     monkeypatch.setenv("PQVECTOR_INT8_PALLAS_VALIDATED", "1")
     assert _int8_validated_on_hw() is True
+
+
+class FakeProber:
+    """Injected prober: returns a report with a chosen degraded flag."""
+
+    def __init__(self, degraded):
+        self.degraded = degraded
+        self.calls = 0
+
+    def __call__(self, searcher, q, k, budget_s=1.0):
+        from pqvector_tpu.query.autotune import WeatherReport
+
+        self.calls += 1
+        frac = 0.1 if self.degraded else 0.6
+        return WeatherReport(
+            floor_qps=100.0, extract_qps=100.0 * frac, extract_frac=frac,
+            degraded=self.degraded, batch=len(q), k=k,
+        )
+
+
+def test_autoscan_routes_by_weather(setup):
+    searcher, q = setup
+    searcher._weather = None
+    searcher.weather_prober = FakeProber(degraded=False)
+    try:
+        assert searcher.scan_route(q, k=5) == "scan"
+        searcher._weather = None
+        searcher.weather_prober = FakeProber(degraded=True)
+        route = searcher.scan_route(q, k=5)
+        assert route == ("binscan" if searcher.can_binscan(5) else "scan")
+        # mode="autoscan" end-to-end: runs and returns valid results
+        d, ids = searcher.search(q, k=5, nprobe=1, mode="autoscan")
+        assert ids.shape == (len(q), 5)
+    finally:
+        searcher.weather_prober = None
+        searcher._weather = None
+
+
+def test_autoscan_probe_cached_by_ttl(setup):
+    searcher, q = setup
+    prober = FakeProber(degraded=False)
+    searcher.weather_prober = prober
+    searcher._weather = None
+    old_ttl = searcher.weather_ttl_s
+    try:
+        searcher.weather_ttl_s = 1e9
+        searcher.scan_route(q, k=5)
+        searcher.scan_route(q, k=5)
+        assert prober.calls == 1  # cached within ttl
+        searcher.scan_route(q, k=5, force=True)
+        assert prober.calls == 2  # force reprobes
+        searcher.weather_ttl_s = 0.0
+        searcher.scan_route(q, k=5)
+        assert prober.calls == 3  # expired ttl reprobes
+    finally:
+        searcher.weather_prober = None
+        searcher._weather = None
+        searcher.weather_ttl_s = old_ttl
+
+
+def test_autoscan_ineligible_shapes_stay_scan(setup):
+    """Shapes binscan can't serve must route to scan without probing."""
+    searcher, q = setup
+    prober = FakeProber(degraded=True)
+    searcher.weather_prober = prober
+    try:
+        if not searcher.can_binscan(200):
+            assert searcher.scan_route(q, k=200) == "scan"
+            assert prober.calls == 0
+    finally:
+        searcher.weather_prober = None
+        searcher._weather = None
