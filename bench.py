@@ -264,7 +264,11 @@ def measure_floor_qps(jax, searcher, qb: "np.ndarray", budget_s=4.0) -> float:
             qf = (q0 + carry).astype(e.dtype)
             scores = jnp.dot(qf, e.T, preferred_element_type=jnp.float32)
             m = jnp.min(s[None, :] - 2.0 * scores, axis=1)
-            return 0.0 * m[0], m[:1]
+            # Chain on EVERY query's min: carrying only m[0] lets XLA
+            # slice the batch (session r4a measured an impossible 134%
+            # 'MFU' at B=8192 — the round-3 589-635k floors were inflated
+            # the same way; r4b's honest floor is 464k/571k at B=4096/8192).
+            return 0.0 * jnp.sum(m), m[:1]
 
         _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
         return ys[-1]

@@ -166,7 +166,9 @@ def probe_weather(
                 out = vals[:, 0]
             else:
                 out = jnp.min(scores, axis=1)
-            return 0.0 * out[0], out[:1]
+            # Chain on every query's output: depending only on out[0]
+            # lets XLA slice the batch (the session-r4a DCE hole).
+            return 0.0 * jnp.sum(out), out[:1]
 
         _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
         return ys[-1]
