@@ -531,19 +531,21 @@ def main():
         loop_modes = tuple(
             m for m in loop_modes if m not in ("binscan8", "bincompact8"))
 
-    # mode="scan" fetch width tuned by _measure_one_mode (None until then).
-    # The knob lives on the shared searcher and is honored by scan, approx
-    # AND xbin — scope it to scan here so a width tuned for scan's recall
-    # gate cannot silently leak into the other modes' measurements.
+    # mode="scan" (recall_target, fetch width) tuned by _measure_one_mode
+    # (None until then). The knobs live on the shared searcher and are
+    # honored by scan, approx AND xbin — scope them to scan here so values
+    # tuned for scan's recall gate cannot silently leak into the other
+    # modes' measurements.
     scan_tuned: list = [None]
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
         s_m = mode_searcher(mode)
-        s_m.scan_overfetch = (
-            scan_tuned[0] if mode == "scan" and scan_tuned[0] is not None
-            else 0
-        )
+        if mode == "scan" and scan_tuned[0] is not None:
+            s_m.approx_recall_target, s_m.scan_overfetch = scan_tuned[0]
+        else:
+            s_m.approx_recall_target = 0.99
+            s_m.scan_overfetch = 0
 
         def loop(q, r):
             return s_m.search_loop(q, args.k, chosen, reps=r, mode=mode)
@@ -576,22 +578,29 @@ def main():
                 if mode != "scan":
                     s_m.scan_overfetch = 0  # recall probe at default width
                 if mode == "scan":
-                    # Tune the ApproxTopK fetch width to the narrowest that
-                    # clears the recall gate: the PartialReduce extraction
-                    # cost scales with the fetch width (docs/PERFORMANCE.md),
-                    # so a narrower fetch is pure QPS. 0 = the default
-                    # policy (max(4k, 64) at small k) as the widest fallback.
+                    # Tune (recall_target, fetch width) to the fastest
+                    # config that clears the recall gate. Both knobs trade
+                    # selection recall for extraction speed; session r4b
+                    # measured the fused approx_min_k at rt=0.95 within
+                    # ~16% of the honest matmul+min floor while rt=0.99
+                    # pays a wider PartialReduce. Expected-fastest first;
+                    # (0.99, policy) is the widest fallback.
                     r_m = -1.0
-                    for kf in (2 * args.k, 4 * args.k, 0):
+                    for rt, kf in (
+                        (0.85, 2 * args.k), (0.85, 4 * args.k),
+                        (0.95, 2 * args.k), (0.95, 4 * args.k),
+                        (0.99, 2 * args.k), (0.99, 4 * args.k), (0.99, 0),
+                    ):
+                        s_m.approx_recall_target = rt
                         s_m.scan_overfetch = kf
                         _, ids_m = s_m.search(queries, args.k, chosen, mode=mode)
                         r_m = recall_at_k(truth_ids, np.asarray(ids_m))
                         log(
-                            f"mode=scan overfetch={kf or 'policy'}: "
+                            f"mode=scan rt={rt} overfetch={kf or 'policy'}: "
                             f"recall@{args.k}={r_m:.4f}"
                         )
                         if r_m >= args.recall_target:
-                            scan_tuned[0] = kf
+                            scan_tuned[0] = (rt, kf)
                             break
                 else:
                     _, ids_m = s_m.search(queries, args.k, chosen, mode=mode)
@@ -600,6 +609,7 @@ def main():
                     log(f"mode={mode} recall {r_m:.4f} < target; excluded")
                     if mode == "scan":
                         scan_searcher.scan_overfetch = 0
+                        scan_searcher.approx_recall_target = 0.99
                     return
                 if mode != "scan":
                     log(f"mode={mode}: recall@{args.k}={r_m:.4f}")
@@ -664,7 +674,7 @@ def main():
         b1024_qps = None
         if not args.smoke and args.queries >= 256:
             rng_b = np.random.default_rng(13)
-            for big_b in (1024, 4096):
+            for big_b in (1024, 4096, 8192):
                 big_rows = rng_b.integers(0, args.rows, big_b)
                 big = emb[big_rows] + 0.05 * rng_b.standard_normal(
                     (big_b, args.dim)
@@ -674,6 +684,9 @@ def main():
                     if big_b > 1024 and mode not in (
                         UNION_MODES + SCAN_MODES
                     ):
+                        continue
+                    if big_b > 4096 and mode not in SCAN_MODES:
+                        # the probed-union modes are ~full-coverage at 8k
                         continue
                     if mode == "compact" and searcher.compact_coverage(
                         big_b, chosen, args.k
