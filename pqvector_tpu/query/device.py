@@ -2549,6 +2549,7 @@ class DeviceIvfSearcher:
         """Exact brute-force top-k (see ``_exact_impl`` for modes)."""
         if mode == "autoscan":
             mode = self.scan_route(queries, k)
+            mode = "approx" if mode == "scan" else mode  # exact-path name
         d, ids = self._exact_impl(queries, self._spill_k(k), mode)
         return (d, ids) if self._plain() else self._finalize(
             queries, d, ids, k

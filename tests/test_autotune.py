@@ -288,3 +288,19 @@ def test_autoscan_ineligible_shapes_stay_scan(setup):
     finally:
         searcher.weather_prober = None
         searcher._weather = None
+
+
+def test_autoscan_exact_paths_resolve(setup):
+    """exact()/exact_loop() speak 'approx', not 'scan': autoscan must
+    translate the route for the exact-path vocabulary."""
+    searcher, q = setup
+    searcher.weather_prober = FakeProber(degraded=False)
+    searcher._weather = None
+    try:
+        d, ids = searcher.exact(q, k=5, mode="autoscan")
+        assert ids.shape == (len(q), 5)
+        d, ids = searcher.exact_loop(q, k=5, reps=2, mode="autoscan")
+        assert ids.shape == (len(q), 5)
+    finally:
+        searcher.weather_prober = None
+        searcher._weather = None
