@@ -540,6 +540,10 @@ def main():
 
     def measure_mode(mode, qb, budget_s=4.0):
         b = qb.shape[0]
+        # Ship the query batch ONCE: a numpy batch re-uploads ~2 MB per
+        # timed call through the ~90 MB/s tunnel (~23 ms/call at B=4096,
+        # ~1 ms/batch at reps=25 — session r4d's wrapper-overhead gap).
+        qb = jax.device_put(np.ascontiguousarray(qb, dtype=np.float32))
         s_m = mode_searcher(mode)
         if mode == "scan" and scan_tuned[0] is not None:
             s_m.approx_recall_target, s_m.scan_overfetch = scan_tuned[0]
@@ -587,9 +591,9 @@ def main():
                     # (0.99, policy) is the widest fallback.
                     r_m = -1.0
                     for rt, kf in (
-                        (0.85, 2 * args.k), (0.85, 4 * args.k),
-                        (0.95, 2 * args.k), (0.95, 4 * args.k),
-                        (0.99, 2 * args.k), (0.99, 4 * args.k), (0.99, 0),
+                        (0.85, 2 * args.k), (0.9, 2 * args.k),
+                        (0.95, 2 * args.k), (0.85, 4 * args.k),
+                        (0.95, 4 * args.k), (0.99, 4 * args.k), (0.99, 0),
                     ):
                         s_m.approx_recall_target = rt
                         s_m.scan_overfetch = kf

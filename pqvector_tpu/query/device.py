@@ -1007,6 +1007,21 @@ def _dedup_topk(d, ids, k: int):
     return -neg, jnp.take_along_axis(jnp.where(dup, -1, ids), idx, axis=1)
 
 
+def _loop_finalize(d2, ids, n_valid, gid):
+    """In-jit tail of the chained-loop paths: sqrt + id mapping.
+
+    The eager equivalents (``jnp.sqrt`` + ``_map_ids`` after the loop
+    dispatch) each pay a tunnel round-trip per ``search_loop`` call —
+    measured ~4.5 ms/batch of the served scan's 16.9 ms at B=4096,
+    reps=25 (session r4d) — so the chained-loop jits finalize inside
+    the single dispatch. Semantics identical to ``_map_ids``.
+    """
+    invalid = jnp.isinf(d2) | (ids >= n_valid) | (ids < 0)
+    if gid is not None:
+        ids = gid[jnp.clip(ids, 0, n_valid - 1)]
+    return jnp.sqrt(d2), jnp.where(invalid, -1, ids)
+
+
 @_functools.partial(
     jax.jit, static_argnames=("k", "has_deleted", "spill")
 )
@@ -2147,7 +2162,7 @@ class DeviceIvfSearcher:
             chunk = self._approx_chunk(masked=use_approx, k=k)
             tlo = thi = None
             span = 0
-        d2, ids = _masked_pallas_loop(
+        d, ids = _masked_pallas_loop(
             q,
             self.centroids,
             self.c_sq,
@@ -2214,8 +2229,10 @@ class DeviceIvfSearcher:
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
             i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
             emb_ref=self._ref(),
+            n_valid=self.n,
+            gid=self._gid_dev,
         )
-        return jnp.sqrt(d2), self._map_ids(d2, ids)
+        return d, ids
 
     def _exact_loop_impl(
         self, queries, k: int, reps: int = 16, mode: str = "auto"
@@ -2242,7 +2259,7 @@ class DeviceIvfSearcher:
         tile_p = self._pallas_tile(
             self.row_tile, q.shape[0], stream=use_stream, k=k
         )
-        d2, ids = _exact_pallas_loop(
+        d, ids = _exact_pallas_loop(
             q,
             self.emb,
             self.emb_sq
@@ -2285,8 +2302,10 @@ class DeviceIvfSearcher:
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
             i8_scale=self._xbin8_arrays()[1] if use_i8 else None,
             emb_ref=self._ref(),
+            n_valid=self.n,
+            gid=self._gid_dev,
         )
-        return jnp.sqrt(d2), self._map_ids(d2, ids)
+        return d, ids
 
     def _approx_chunk(self, masked: bool = False, k: int = 10) -> int:
         """Score-chunk rows for the approx modes.
@@ -2465,7 +2484,7 @@ class DeviceIvfSearcher:
     def _xbin8_loop_call(self, q, k: int, reps: int):
         """reps-chained mode="xbin8" dispatch (shared by both loop APIs)."""
         e8, sc = self._xbin8_arrays()
-        d2, ids = _xbin8_loop(
+        return _xbin8_loop(
             q, e8, sc, self.emb_sq, self._ref_or_emb(), k,
             l_bins=self._xbin_bins_checked(k),
             overfetch=self.scan_overfetch,
@@ -2474,8 +2493,9 @@ class DeviceIvfSearcher:
                 self._xbin_bins_checked(k), self.xbin_chunk_groups,
             ),
             reps=reps,
+            n_valid=self.n,
+            gid=self._gid_dev,
         )
-        return jnp.sqrt(d2), self._map_ids(d2, ids)
 
     def _xbin8_arrays(self):
         """Lazy per-row int8 quantization of the resident array for the
@@ -2789,7 +2809,7 @@ class DeviceIvfSearcher:
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
         "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
-        "tilescan_chunk",
+        "tilescan_chunk", "n_valid",
     ),
 )
 def _masked_pallas_loop(
@@ -2801,6 +2821,7 @@ def _masked_pallas_loop(
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
     xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
+    n_valid=0, gid=None,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
@@ -2897,7 +2918,7 @@ def _masked_pallas_loop(
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return d2s[-1], idss[-1]
+    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
 
 
 @_functools.partial(
@@ -2906,7 +2927,8 @@ def _masked_pallas_loop(
                      "recall_target", "score_dtype", "subtiles", "interpret",
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
                      "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
-                     "use_tilescan", "tilescan_tile", "tilescan_chunk"),
+                     "use_tilescan", "tilescan_tile", "tilescan_chunk",
+                     "n_valid"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
@@ -2914,6 +2936,7 @@ def _exact_pallas_loop(
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
     xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
+    n_valid=0, gid=None,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
@@ -2967,7 +2990,7 @@ def _exact_pallas_loop(
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return d2s[-1], idss[-1]
+    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
@@ -2993,11 +3016,12 @@ _exact_tilescan = jax.jit(
 
 @_functools.partial(
     jax.jit,
-    static_argnames=("k", "l_bins", "overfetch", "chunk_groups", "reps"),
+    static_argnames=("k", "l_bins", "overfetch", "chunk_groups", "reps",
+                     "n_valid"),
 )
 def _xbin8_loop(
     q0, emb_i8, scale, emb_sq, emb_ref, k, l_bins, overfetch, chunk_groups,
-    reps,
+    reps, n_valid=0, gid=None,
 ):
     """``reps`` chained int8 binned-min scans in one dispatch (the same
     data-dependency chaining as _exact_pallas_loop — honest throughput
@@ -3012,7 +3036,7 @@ def _xbin8_loop(
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return d2s[-1], idss[-1]
+    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(
     _ivf_compact_approx_impl,
