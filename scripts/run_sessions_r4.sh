@@ -15,6 +15,12 @@ run_one() {
   sleep 30  # let the relay settle between sessions
 }
 
+if [ -f data/refdefault_1m_1024.parquet ]; then
+  run_one refdefault_build_r4 2400
+else
+  echo "[runner] refdefault cache absent; skipping build session" >> "$LOG"
+fi
+
 run_one deep10m_prep 2400
 if [ -f data/deep10m_96.parquet ]; then
   run_one deep10m_r4a 2400
