@@ -653,3 +653,26 @@ def test_exact_loop_xla_mode_runs_xla_merge(setup):
     _, ie = searcher.exact(queries, k=4, mode="xla")
     _, il = searcher.exact_loop(queries, k=4, reps=2, mode="xla")
     np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+
+
+def test_approx_scan_single_call_matches_chunked(setup):
+    """The whole-array single-call branch of _approx_scan (round-4 fast
+    path: no lax.scan scaffold, no redundant width-k merge) must select
+    the same winners as the chunked form."""
+    from pqvector_tpu.query.device import _exact_approx_topk_impl
+
+    x, _, searcher, queries = setup
+    import jax.numpy as jnp
+
+    n_pad = int(searcher.emb.shape[0])
+    kw = dict(k=5, recall_target=0.99, score_dtype=jnp.float32, overfetch=8)
+    d1, i1 = _exact_approx_topk_impl(
+        jnp.asarray(queries), searcher.emb, searcher.emb_sq,
+        chunk=n_pad, **kw,
+    )
+    d2, i2 = _exact_approx_topk_impl(
+        jnp.asarray(queries), searcher.emb, searcher.emb_sq,
+        chunk=n_pad // 2, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
