@@ -2114,6 +2114,13 @@ class DeviceIvfSearcher:
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
         if mode == "auto":
+            # Mirrors search()'s TPU routing on EVERY backend (search()
+            # itself routes to masked/gather off-TPU): the loop API is the
+            # serving/measurement path, so CPU tests exercise the same
+            # interpret-mode Pallas kernels a chip would run. Off-TPU
+            # results can therefore differ from search(mode="auto") in
+            # bf16 near-ties — same kernels as on-chip, different from
+            # the CPU eager route.
             tile_a = self._pallas_tile(self.row_tile, q.shape[0])
             if k > 32:
                 mode = "masked"  # Mosaic stack blows up at large k
