@@ -60,8 +60,8 @@ emb = read_embedding_column(path, col).data
 log("embeddings loaded")
 
 rng = np.random.default_rng(7)
-q_all = emb[rng.integers(0, len(emb), 1024)] + 0.05 * rng.standard_normal(
-    (1024, 96)
+q_all = emb[rng.integers(0, len(emb), 4096)] + 0.05 * rng.standard_normal(
+    (4096, 96)
 ).astype(np.float32)
 
 tids = np.load(truth_path)
@@ -102,12 +102,22 @@ def measure(mode, b, nprobe, reps=10, budget_s=6.0):
     return qps
 
 
-# ---- scan reference (nprobe-free) + fetch-width tradeoff ----
-for kf in (20, 40, 0):
+# ---- scan reference (nprobe-free) + (rt, fetch) tradeoff ----
+# The 1M finding (r4e/r4f): narrow fetch + lower rt runs the fused
+# extraction at the matmul+min floor; check the tradeoff transfers to
+# 10M real-margin data (bf16 selection + f32 re-score reference).
+for rt, kf in ((0.9, 20), (0.95, 20), (0.99, 20), (0.99, 40), (0.99, 0)):
+    s16.approx_recall_target = rt
     s16.scan_overfetch = kf
     _, ids = s16.search(q_all[:256], 10, 4, mode="scan")
-    log(f"scan kf={kf or 'policy'}: recall@10={recall(ids):.4f}")
+    log(f"scan rt={rt} kf={kf or 'policy'}: recall@10={recall(ids):.4f}")
     measure("scan", 256, 4, budget_s=6.0)
+# Large-batch scan at the narrow operating point (round-2 best:
+# 51.8k QPS @ B=4096; the 10M bf16 floor is ~100k at this shape).
+s16.approx_recall_target = 0.9
+s16.scan_overfetch = 20
+measure("scan", 4096, 4, budget_s=8.0)
+s16.approx_recall_target = 0.99
 s16.scan_overfetch = 0
 
 # ---- bincompact nprobe sweep ----
