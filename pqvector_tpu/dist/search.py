@@ -457,7 +457,10 @@ class DistributedIvfSearcher:
     # all-gathered and merged. nprobe-free; recall comes from recall_target.
     # ------------------------------------------------------------------
 
-    def _scan_body(self, k: int, reps: int | None, recall_target: float):
+    def _scan_body(
+        self, k: int, reps: int | None, recall_target: float,
+        overfetch: int = 0,
+    ):
         from ..query.device import _exact_approx_topk_impl
 
         # Shards are cluster-sorted (rows grouped by assignment before
@@ -469,7 +472,7 @@ class DistributedIvfSearcher:
         def shard_fn(q, emb_local, sq_local):
             return _exact_approx_topk_impl(
                 q, emb_local, sq_local, k=k, chunk=chunk,
-                recall_target=recall_target,
+                recall_target=recall_target, overfetch=overfetch,
             )
 
         return _shard_search_body(
@@ -485,9 +488,13 @@ class DistributedIvfSearcher:
         k: int,
         reps: int | None = None,
         recall_target: float = 0.99,
+        overfetch: int = 0,
     ):
-        """Distributed ApproxTopK full scan (``reps`` chains for timing)."""
-        return self._scan_body(k, reps, recall_target)(queries)
+        """Distributed ApproxTopK full scan (``reps`` chains for timing).
+
+        ``overfetch`` mirrors DeviceIvfSearcher.scan_overfetch (the tuned
+        single-chip serving point is rt=0.9, fetch=2k — round 4)."""
+        return self._scan_body(k, reps, recall_target, overfetch)(queries)
 
     def can_xbin(self, k: int = 10) -> bool:
         """XLA binned-min scan eligibility on the PER-SHARD row count."""
@@ -927,10 +934,12 @@ class DistributedIvfSearcher:
         k: int,
         reps: int | None = None,
         recall_target: float = 0.99,
+        overfetch: int = 0,
     ):
         """Distributed ApproxTopK full scan (see _search_scan_impl)."""
         return self._spill_dedup(
-            self._search_scan_impl, queries, k, reps, recall_target
+            self._search_scan_impl, queries, k, reps, recall_target,
+            overfetch,
         )
 
     def search_xbin(

@@ -168,6 +168,11 @@ def test_distributed_scan_matches_exact(mesh, data):
     np.testing.assert_allclose(ds, de, rtol=1e-5)
     dl, il = dist.search_scan(queries, k=4, reps=2)
     np.testing.assert_array_equal(il, ie)
+    # overfetch knob (round-4 tuned serving point parity): widened
+    # selection + re-score must return the same winners.
+    do, io_ = dist.search_scan(queries, k=4, overfetch=8)
+    np.testing.assert_array_equal(io_, ie)
+    np.testing.assert_allclose(do, de, rtol=1e-5)
 
 
 def test_distributed_xbin_matches_exact(mesh, data):
