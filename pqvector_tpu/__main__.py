@@ -43,7 +43,7 @@ def cmd_build(args) -> int:
     from .builder import IndexBuilder
 
     builder = IndexBuilder(args.path, args.column).metric(args.metric)
-    if args.transfer_dtype != "float32":
+    if args.transfer_dtype != "auto":
         builder = builder.transfer_dtype(args.transfer_dtype)
     if args.n_clusters:
         builder = builder.n_clusters(args.n_clusters)
@@ -104,10 +104,11 @@ def main(argv=None) -> int:
     p.add_argument("--output", default=None, help="write an indexed copy instead")
     p.add_argument("--cluster-sorted", action="store_true")
     p.add_argument(
-        "--transfer-dtype", choices=["float32", "bfloat16"],
-        default="float32",
-        help="host->device wire dtype for the build transfer (bfloat16 "
-        "halves the tunnel-bound bytes; 2^-8 input rounding)",
+        "--transfer-dtype", choices=["auto", "float32", "bfloat16"],
+        default="auto",
+        help="host->device wire dtype for the build transfer (auto = "
+        "bfloat16 on TPU, float32 elsewhere; bfloat16 halves the "
+        "tunnel-bound bytes at 2^-8 input rounding)",
     )
     p.set_defaults(fn=cmd_build)
 

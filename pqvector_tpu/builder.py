@@ -44,7 +44,7 @@ class IndexBuilder:
         self._cluster_sorted = False
         self._metric = "l2"
         self._streaming_batch_rows: int | None = None
-        self._transfer_dtype = "float32"
+        self._transfer_dtype = "auto"
 
     # Fluent setters (parquet.rs:42-55).
     def n_clusters(self, n_clusters: int) -> "IndexBuilder":
@@ -77,11 +77,13 @@ class IndexBuilder:
         return self
 
     def transfer_dtype(self, dtype: str) -> "IndexBuilder":
-        """Host->device wire dtype for the build transfer ("float32" |
-        "bfloat16"). bfloat16 halves the tunnel-bound transfer bytes (the
-        dominant build stage on remote-attached TPUs) at the cost of 2^-8
-        input rounding before training; deterministic either way."""
-        if dtype not in ("float32", "bfloat16"):
+        """Host->device wire dtype for the build transfer ("auto" |
+        "float32" | "bfloat16"). bfloat16 halves the tunnel-bound transfer
+        bytes (the dominant build stage on remote-attached TPUs) at the
+        cost of 2^-8 input rounding before training; deterministic either
+        way. "auto" (the default) picks bfloat16 on the TPU backend and
+        float32 elsewhere; pass "float32" for exact-input training."""
+        if dtype not in ("auto", "float32", "bfloat16"):
             raise ValidationError(f"Unsupported transfer dtype '{dtype}'")
         self._transfer_dtype = dtype
         return self

@@ -36,22 +36,33 @@ class IvfBuildConfig:
     max_iters: int = 20
     seed: int = 42
     block_rows: int = 8192
-    #: Host->device wire dtype for the staged build ("float32" default;
-    #: "bfloat16" halves the tunnel-bound transfer bytes — the build's
-    #: dominant stage on remote-attached TPUs, measured ~50 MB/s — at the
-    #: cost of 2^-8 input rounding before training; all math stays f32 on
-    #: device and results remain deterministic for a given config).
-    transfer_dtype: str = "float32"
+    #: Host->device wire dtype for the build transfer. "bfloat16" halves
+    #: the tunnel-bound transfer bytes — the build's dominant stage on
+    #: remote-attached TPUs (round-4: decode+transfer 43 s of a 155 s
+    #: 1M×1024 warm build at f32 wire) — at the cost of 2^-8 input
+    #: rounding before training; all math stays f32 on device and results
+    #: remain deterministic for a given config. "auto" (default) resolves
+    #: to bfloat16 on the TPU backend and float32 elsewhere (CPU tests
+    #: and reference-parity comparisons stay exact); pass "float32"
+    #: explicitly for exact-input training on TPU.
+    transfer_dtype: str = "auto"
 
     def __post_init__(self) -> None:
         if self.max_iters <= 0:
             raise ValidationError("max_iters must be > 0")
         if self.n_clusters is not None and self.n_clusters <= 0:
             raise ValidationError("n_clusters must be > 0")
-        if self.transfer_dtype not in ("float32", "bfloat16"):
+        if self.transfer_dtype not in ("auto", "float32", "bfloat16"):
             raise ValidationError(
-                "transfer_dtype must be 'float32' or 'bfloat16'"
+                "transfer_dtype must be 'auto', 'float32' or 'bfloat16'"
             )
+
+
+def resolve_transfer_dtype(config: IvfBuildConfig) -> str:
+    """Resolve the "auto" wire dtype: bfloat16 on TPU, float32 elsewhere."""
+    if config.transfer_dtype != "auto":
+        return config.transfer_dtype
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
 def build_ivf_index(
@@ -77,10 +88,17 @@ def build_ivf_index(
         seed=config.seed,
         block_rows=config.block_rows,
     )
+    wire_bf16 = resolve_transfer_dtype(config) == "bfloat16"
+    if wire_bf16:
+        import ml_dtypes
+
+        wire = ml_dtypes.bfloat16
     data = np.ascontiguousarray(embeddings.data, dtype=np.float32)
     if sample_size == n:
         with stage("build.transfer"):
-            x = jnp.asarray(data)
+            x = jnp.asarray(data if not wire_bf16 else data.astype(wire))
+            if wire_bf16:
+                x = x.astype(jnp.float32)  # training math stays f32
         with stage("build.train"):
             centroids, _ = k_means(x, params)
     else:
@@ -93,9 +111,15 @@ def build_ivf_index(
         # is async; only the assignment pass below depends on it).
         idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
         with stage("build.sample_transfer"):
-            sample = jnp.asarray(data[idx])
+            sample = jnp.asarray(
+                data[idx] if not wire_bf16 else data[idx].astype(wire)
+            )
+            if wire_bf16:
+                sample = sample.astype(jnp.float32)
         with stage("build.transfer_enqueue"):
-            x = jax.device_put(data)
+            x = jax.device_put(data if not wire_bf16 else data.astype(wire))
+            if wire_bf16:
+                x = x.astype(jnp.float32)
         with stage("build.train"):
             centroids, _ = k_means(sample, params)
 
@@ -128,7 +152,7 @@ def build_ivf_index_staged(
     from .streaming import iter_embedding_batches
 
     config = config or IvfBuildConfig()
-    wire_bf16 = config.transfer_dtype == "bfloat16"
+    wire_bf16 = resolve_transfer_dtype(config) == "bfloat16"
     if wire_bf16:
         import ml_dtypes
 

@@ -148,3 +148,21 @@ def test_bf16_transfer_build_matches_f32_quality(tmp_path):
         IvfBuildConfig(transfer_dtype="float16")
     with pytest.raises(ValidationError, match="transfer dtype"):
         IndexBuilder(paths[0], "vec").transfer_dtype("int8")
+
+
+def test_transfer_dtype_auto_resolution():
+    """"auto" (the default) resolves per backend: f32 off-TPU (tests and
+    parity comparisons stay exact), bf16 on TPU (transfer-bound builds)."""
+    from pqvector_tpu.index.build import IvfBuildConfig, resolve_transfer_dtype
+
+    assert IvfBuildConfig().transfer_dtype == "auto"
+    # CPU backend in tests -> exact wire.
+    assert resolve_transfer_dtype(IvfBuildConfig()) == "float32"
+    assert (
+        resolve_transfer_dtype(IvfBuildConfig(transfer_dtype="bfloat16"))
+        == "bfloat16"
+    )
+    assert (
+        resolve_transfer_dtype(IvfBuildConfig(transfer_dtype="float32"))
+        == "float32"
+    )
