@@ -78,12 +78,16 @@ class IndexBuilder:
 
     def transfer_dtype(self, dtype: str) -> "IndexBuilder":
         """Host->device wire dtype for the build transfer ("auto" |
-        "float32" | "bfloat16"). bfloat16 halves the tunnel-bound transfer
-        bytes (the dominant build stage on remote-attached TPUs) at the
-        cost of 2^-8 input rounding before training; deterministic either
-        way. "auto" (the default) picks bfloat16 on the TPU backend and
-        float32 elsewhere; pass "float32" for exact-input training."""
-        if dtype not in ("auto", "float32", "bfloat16"):
+        "float32" | "bfloat16" | "int8"). bfloat16 halves the
+        tunnel-bound transfer bytes (the dominant build stage on
+        remote-attached TPUs) at a 2^-8 input rounding; int8 quarters
+        them (symmetric per-row quantization, ~2^-7) — the rounding
+        perturbs only the partition, and partition quality is measured
+        unchanged (int8/f32 inertia ratio 1.0004 on chip,
+        scripts/verify logs). Deterministic either way. "auto" (the
+        default) picks bfloat16 on the TPU backend and float32
+        elsewhere; pass "float32" for exact-input training."""
+        if dtype not in ("auto", "float32", "bfloat16", "int8"):
             raise ValidationError(f"Unsupported transfer dtype '{dtype}'")
         self._transfer_dtype = dtype
         return self

@@ -2110,6 +2110,17 @@ class DeviceIvfSearcher:
             # path — silently running a different kernel here would
             # mis-time it (the autotune/gather lesson).
             raise ValidationError(f"Unknown search_loop mode '{mode}'")
+        args, kw = self._search_loop_binding(q, k, nprobe, reps, mode)
+        d, ids = _masked_pallas_loop(*args, **kw)
+        return d, ids
+
+    def _search_loop_binding(self, q, k: int, nprobe: int, reps: int,
+                             mode: str):
+        """Assemble the exact ``_masked_pallas_loop`` call for a resolved
+        mode: returns ``(args, kwargs)``. Split from ``_search_loop_impl``
+        so AOT tooling (compile-only memory analysis, donation
+        experiments — scripts/chip_session_r4h.py) can ``.lower()`` the
+        production program without executing it."""
         nprobe = min(max(nprobe, 1), self.index.n_clusters)
         max_probe = self._max_probe_bucket(nprobe)
         interpret = jax.default_backend() != "tpu"
@@ -2177,7 +2188,7 @@ class DeviceIvfSearcher:
             chunk = self._approx_chunk(masked=use_approx, k=k)
             tlo = thi = None
             span = 0
-        d, ids = _masked_pallas_loop(
+        args = (
             q,
             self.centroids,
             self.c_sq,
@@ -2190,6 +2201,8 @@ class DeviceIvfSearcher:
                     or use_xbin or use_tilescan)
             else self.emb_sq,
             jnp.int32(nprobe),
+        )
+        kw = dict(
             k=k,
             max_probe=max_probe,
             tile=tile_p,
@@ -2247,7 +2260,7 @@ class DeviceIvfSearcher:
             n_valid=self.n,
             gid=self._gid_dev,
         )
-        return d, ids
+        return args, kw
 
     def _exact_loop_impl(
         self, queries, k: int, reps: int = 16, mode: str = "auto"

@@ -147,7 +147,7 @@ def test_bf16_transfer_build_matches_f32_quality(tmp_path):
     with pytest.raises(ValidationError, match="transfer_dtype"):
         IvfBuildConfig(transfer_dtype="float16")
     with pytest.raises(ValidationError, match="transfer dtype"):
-        IndexBuilder(paths[0], "vec").transfer_dtype("int8")
+        IndexBuilder(paths[0], "vec").transfer_dtype("int4")
 
 
 def test_transfer_dtype_auto_resolution():
