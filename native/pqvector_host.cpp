@@ -499,6 +499,83 @@ int pqv_append_index_inplace(const char* path, const uint8_t* index_bytes,
   return rc;
 }
 
+// Symmetric per-row int8 wire quantization for the build transfer
+// (index/build.py:_encode_int8). Bit-identical to the numpy oracle:
+// scale = float32(float64(rowmax)/127.0); codes = clip(rint(x/scale)).
+// IEEE f32 division + rint (round-half-even, the default FP mode) match
+// numpy exactly, so staged/unstaged and native/python builds agree.
+// Runs without the GIL (ctypes releases it) — the point: the in-session
+// numpy encode cost 29 s of GIL-contended host time (session r4k).
+int pqv_quantize_i8(const float* in, int64_t n, int64_t d, int8_t* codes,
+                    float* scales) {
+  if (n < 0 || d <= 0 || !in || !codes || !scales) return -2;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = in + i * d;
+    float m = 0.0f;
+    for (int64_t j = 0; j < d; ++j) {
+      float a = __builtin_fabsf(row[j]);
+      if (a > m) m = a;
+    }
+    const float s =
+        m > 0.0f ? static_cast<float>(static_cast<double>(m) / 127.0) : 1.0f;
+    scales[i] = s;
+    int8_t* out = codes + i * d;
+    for (int64_t j = 0; j < d; ++j) {
+      float v = __builtin_rintf(row[j] / s);
+      if (v > 127.0f) v = 127.0f;
+      if (v < -127.0f) v = -127.0f;
+      out[j] = static_cast<int8_t>(v);
+    }
+  }
+  return 0;
+}
+
+// f32 -> bfloat16 cast with round-to-nearest-even, bit-identical to
+// ml_dtypes (numpy .astype(bfloat16) holds the GIL through its cast
+// loop; this runs GIL-released inside the threaded build transfer).
+// NaN quiets to (hi | 0x0040) so a payload NaN never rounds into Inf.
+int pqv_cast_bf16(const float* in, int64_t count, uint16_t* out) {
+  if (count < 0 || !in || !out) return -2;
+  for (int64_t i = 0; i < count; ++i) {
+    uint32_t bits;
+    std::memcpy(&bits, &in[i], 4);
+    if ((bits & 0x7FFFFFFFu) > 0x7F800000u) {  // NaN
+      out[i] = static_cast<uint16_t>((bits >> 16) | 0x0040u);
+      continue;
+    }
+    const uint32_t rounding_bias = 0x7FFFu + ((bits >> 16) & 1u);
+    out[i] = static_cast<uint16_t>((bits + rounding_bias) >> 16);
+  }
+  return 0;
+}
+
+// Nearest-centroid selection epilogue for the HOST assignment pass
+// (index/build.py:_assign_clusters_host): given scores[i][j] = x_i . c_j
+// (BLAS sgemm on the Python side) and bias[j] = |c_j|^2, pick
+// argmin_j (bias[j] - 2*scores[i][j]) with first-min tie-break — the
+// same reduced L2 form and tie order as the device kernel
+// (index/kmeans.py:_assign_blocks; the |x|^2 term cannot change the
+// argmin). numpy's argmin over the [n,k] temp measured 2.2 s per 64k
+// chunk on this host; this loop is memory-bound (~0.05 s).
+int pqv_assign_argmin(const float* scores, int64_t n, int64_t k,
+                      const float* bias, int32_t* out) {
+  if (n < 0 || k <= 0 || !scores || !bias || !out) return -2;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = scores + i * k;
+    float best = bias[0] - 2.0f * row[0];
+    int32_t arg = 0;
+    for (int64_t j = 1; j < k; ++j) {
+      float v = bias[j] - 2.0f * row[j];
+      if (v < best) {
+        best = v;
+        arg = static_cast<int32_t>(j);
+      }
+    }
+    out[i] = arg;
+  }
+  return 0;
+}
+
 const char* pqv_version() { return "pqvector-host 0.1.0"; }
 
 }  // extern "C"

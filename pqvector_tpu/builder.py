@@ -45,6 +45,7 @@ class IndexBuilder:
         self._metric = "l2"
         self._streaming_batch_rows: int | None = None
         self._transfer_dtype = "auto"
+        self._assign_backend = "auto"
 
     # Fluent setters (parquet.rs:42-55).
     def n_clusters(self, n_clusters: int) -> "IndexBuilder":
@@ -92,6 +93,19 @@ class IndexBuilder:
         self._transfer_dtype = dtype
         return self
 
+    def assign_backend(self, backend: str) -> "IndexBuilder":
+        """Where the staged build's full-data assignment pass runs
+        ("auto" | "device" | "host"). "host" ships only the training
+        sample and assigns with a chunked BLAS pass on the host —
+        weather-proof on remote-attached TPUs where the bulk wire is the
+        build's floor. "auto" (the default) picks host on the TPU
+        backend and device elsewhere. In-memory/streaming builds ignore
+        this (they have no staged decode to keep on host)."""
+        if backend not in ("auto", "device", "host"):
+            raise ValidationError(f"Unsupported assign backend '{backend}'")
+        self._assign_backend = backend
+        return self
+
     def _build_config(self) -> IvfBuildConfig:
         # Validation mirrors parquet.rs:88-103 (IvfBuildConfig re-validates).
         return IvfBuildConfig(
@@ -100,6 +114,7 @@ class IndexBuilder:
             seed=self._seed,
             block_rows=self._block_rows,
             transfer_dtype=self._transfer_dtype,
+            assign_backend=self._assign_backend,
         )
 
     def _train_embeddings(self, embeddings):

@@ -50,6 +50,19 @@ class IvfBuildConfig:
     #: comparisons stay exact); pass "float32" explicitly for
     #: exact-input training on TPU, "int8" for the fastest build.
     transfer_dtype: str = "auto"
+    #: Where the full-data nearest-centroid pass runs for the STAGED
+    #: (file-based) build. "device" ships the whole matrix and assigns on
+    #: the TPU; "host" ships only the training sample (~25-100 MB vs
+    #: 1-4 GB) and assigns with a chunked BLAS sgemm + native argmin on
+    #: the host — the same reduced-L2 argmin as the device kernel
+    #: (kmeans._assign_blocks), so partitions agree except at f32
+    #: rounding-boundary ties. On a remote-attached TPU the wire is the
+    #: build's floor (20-80 MB/s, sessions r4j-r4l), so "auto" resolves
+    #: to "host" on the TPU backend; everywhere else it stays "device"
+    #: (exact staged==unstaged parity for CPU tests). Ignored by the
+    #: in-memory ``build_ivf_index`` (its data has no decode stage to
+    #: keep on host).
+    assign_backend: str = "auto"
 
     def __post_init__(self) -> None:
         if self.max_iters <= 0:
@@ -61,6 +74,10 @@ class IvfBuildConfig:
                 "transfer_dtype must be 'auto', 'float32', 'bfloat16' "
                 "or 'int8'"
             )
+        if self.assign_backend not in ("auto", "device", "host"):
+            raise ValidationError(
+                "assign_backend must be 'auto', 'device' or 'host'"
+            )
 
 
 def resolve_transfer_dtype(config: IvfBuildConfig) -> str:
@@ -70,8 +87,70 @@ def resolve_transfer_dtype(config: IvfBuildConfig) -> str:
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
-def _encode_int8(part: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-row int8 wire quantization (host side).
+def resolve_assign_backend(config: IvfBuildConfig) -> str:
+    """Resolve the "auto" assignment backend for the staged build: host
+    on TPU (skip the 1-4 GB bulk wire; see IvfBuildConfig.assign_backend),
+    device elsewhere."""
+    if config.assign_backend != "auto":
+        return config.assign_backend
+    return "host" if jax.default_backend() == "tpu" else "device"
+
+
+def _assign_clusters_host(
+    parts: list[np.ndarray],
+    centroids: np.ndarray,
+    block_rows: int = 65536,
+    normalize: bool = False,
+) -> np.ndarray:
+    """Nearest-centroid assignment on the HOST: chunked BLAS sgemm
+    (numpy dot) + native first-min argmin over the reduced L2 form
+    ``|c_j|^2 - 2 x.c_j`` — the same form and tie order as the device
+    kernel (kmeans._assign_blocks). ~137 GF/s single-core here → ~16 s
+    for the reference-default 1M×1024×1000 pass, vs a 25-100 s bulk
+    wire. ``parts`` is the decoded chunk list (never concatenated: the
+    4 GB host concat alone measured 33 s, session r4h)."""
+    import ctypes
+
+    from ..io.native import load as _native_load
+
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    ct = c.T.copy()  # [d, k] contiguous for sgemm
+    bias = (c * c).sum(axis=1).astype(np.float32)  # |c_j|^2
+    k = c.shape[0]
+    lib = _native_load()
+    use_native = lib is not None and hasattr(lib, "pqv_assign_argmin")
+    out_parts = []
+    for part in parts:
+        part = np.ascontiguousarray(part, dtype=np.float32)
+        n = part.shape[0]
+        assign = np.empty(n, np.int32)
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            blockv = part[lo:hi]
+            if normalize:
+                # Host f32 row norms (cosine metric); only ties at f32
+                # rounding boundaries can differ from the device pass.
+                norms = np.sqrt((blockv * blockv).sum(axis=1, keepdims=True))
+                blockv = blockv / np.maximum(norms, np.float32(1e-30))
+            scores = blockv @ ct  # [b, k] f32 sgemm
+            if use_native:
+                rc = lib.pqv_assign_argmin(
+                    scores.ctypes.data_as(ctypes.c_void_p),
+                    hi - lo,
+                    k,
+                    bias.ctypes.data_as(ctypes.c_void_p),
+                    assign[lo:hi].ctypes.data_as(ctypes.c_void_p),
+                )
+                if rc != 0:
+                    assign[lo:hi] = np.argmin(bias - 2.0 * scores, axis=1)
+            else:
+                assign[lo:hi] = np.argmin(bias - 2.0 * scores, axis=1)
+        out_parts.append(assign)
+    return np.concatenate(out_parts) if len(out_parts) > 1 else out_parts[0]
+
+
+def _encode_int8_np(part: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle for the symmetric per-row int8 wire quantization.
 
     Row-local, so chunked (staged) and full-matrix (unstaged) encoding
     produce identical codes. Zero rows get scale 1 / codes 0. Matches
@@ -80,6 +159,59 @@ def _encode_int8(part: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     s = np.where(a > 0, a / 127.0, 1.0).astype(np.float32)
     codes = np.clip(np.rint(part / s[:, None]), -127, 127).astype(np.int8)
     return codes, s
+
+
+def _cast_bf16(part: np.ndarray) -> np.ndarray:
+    """f32 -> bfloat16 host cast: native RNE (GIL-released) with the
+    ml_dtypes astype as fallback. Bit-identical
+    (tests/test_staged_build.py::test_native_bf16_cast_matches_mldtypes)."""
+    import ml_dtypes
+
+    from ..io.native import load as _native_load
+
+    lib = _native_load()
+    if lib is None or not hasattr(lib, "pqv_cast_bf16"):
+        return part.astype(ml_dtypes.bfloat16)
+    import ctypes
+
+    part = np.ascontiguousarray(part, dtype=np.float32)
+    out = np.empty(part.shape, np.uint16)
+    rc = lib.pqv_cast_bf16(
+        part.ctypes.data_as(ctypes.c_void_p),
+        part.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return part.astype(ml_dtypes.bfloat16)
+    return out.view(ml_dtypes.bfloat16)
+
+
+def _encode_int8(part: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int8 wire quantization: native (GIL-released — the numpy passes
+    cost 29 s of GIL-contended time inside the threaded build loop,
+    session r4k) with the numpy oracle as fallback. Bit-identical
+    (tests/test_staged_build.py::test_native_int8_encode_matches_oracle)."""
+    from ..io.native import load as _native_load
+
+    lib = _native_load()
+    if lib is None or not hasattr(lib, "pqv_quantize_i8"):
+        return _encode_int8_np(part)
+    import ctypes
+
+    part = np.ascontiguousarray(part, dtype=np.float32)
+    n, d = part.shape
+    codes = np.empty((n, d), np.int8)
+    scales = np.empty(n, np.float32)
+    rc = lib.pqv_quantize_i8(
+        part.ctypes.data_as(ctypes.c_void_p),
+        n,
+        d,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return _encode_int8_np(part)
+    return codes, scales
 
 
 def _dequant_i8(codes, scales):
@@ -111,14 +243,10 @@ def build_ivf_index(
         block_rows=config.block_rows,
     )
     wire_mode = resolve_transfer_dtype(config)
-    if wire_mode == "bfloat16":
-        import ml_dtypes
-
-        wire = ml_dtypes.bfloat16
 
     def encode(part: np.ndarray):
         if wire_mode == "bfloat16":
-            return part.astype(wire)
+            return _cast_bf16(part)
         if wire_mode == "int8":
             return _encode_int8(part)
         return part
@@ -181,8 +309,11 @@ def build_ivf_index_staged(
 ) -> IvfIndex:
     """Pipelined build: Parquet decode overlaps the host->HBM transfer.
 
-    Each decoded chunk is ``device_put`` immediately (async), so the wire
-    streams while the next chunk decodes — the build approaches
+    A bounded-queue worker thread owns wire-encode + ``device_put`` for
+    each decoded chunk (through the tunnel, device_put's host-side
+    serialization/backpressure BLOCKS the caller — session r4j measured
+    the single-threaded loop fully serial), so the wire streams while
+    the main thread decodes the next chunk and the build approaches
     max(decode, transfer) + train + assign instead of their sum. Stage
     attribution (round-4, scripts/chip_session_r4h.py): the wire is the
     dominant stage (2 GB bf16 at the tunnel's 20-80 MB/s = 25-100 s,
@@ -196,32 +327,99 @@ def build_ivf_index_staged(
     Same deterministic result as the unstaged path: the training sample
     is gathered (on device) at the same host-drawn indices, and the f32
     upcast/normalize are row-local.
+
+    With ``assign_backend="host"`` (the TPU-backend default — sessions
+    r4j-r4l pinned the bulk wire as the build's floor) the full matrix
+    never crosses the wire at all: only the training sample ships (the
+    wire-encode is row-local, so the shipped sample bit-matches the
+    device path's gather), training runs on device, and the assignment
+    pass runs on host over the decoded chunks. Centroids are identical;
+    assignments read the EXACT decoded f32 rows (under a reduced wire
+    dtype that is strictly better than the device pass, which assigns
+    the wire-rounded resident array; at f32 wire the paths agree up to
+    rounding-boundary ties).
     """
     from ..utils.profiling import stage
     from .streaming import iter_embedding_batches
 
     config = config or IvfBuildConfig()
     wire_mode = resolve_transfer_dtype(config)
-    if wire_mode == "bfloat16":
-        import ml_dtypes
-
-        wire = ml_dtypes.bfloat16
+    if resolve_assign_backend(config) == "host":
+        return _build_staged_host_assign(
+            path, embedding_column, config, batch_rows, normalize, wire_mode
+        )
     with stage("build.decode+transfer"):
+        # device_put is only nominally async through the tunnel: its
+        # host-side serialization + transport backpressure block the
+        # caller (session r4j: decode 26 s + wire ran SERIAL, 63 s loop
+        # at bf16). A single bounded-queue worker owns encode+put so the
+        # wire streams while the main thread decodes the next chunk;
+        # one worker keeps chunk order. build.wire_encode/build.put_wait
+        # accumulate the worker's split so chip sessions can attribute.
+        import queue as _queue
+        import threading
+        import time as _time
+
+        from ..utils.profiling import add_stage_time, current_records
+
+        caller_records = current_records()
         chunks = []
         scale_chunks = []
         rows = 0
         dim = None
-        for part in iter_embedding_batches(path, embedding_column, batch_rows):
-            dim = part.shape[1] if dim is None else dim
-            if part.shape[1] != dim:
-                raise ValidationError("Inconsistent embedding dimensions")
-            rows += len(part)
-            if wire_mode == "bfloat16":
-                part = part.astype(wire)  # half the tunnel bytes
-            elif wire_mode == "int8":
-                part, s = _encode_int8(part)  # quarter the tunnel bytes
-                scale_chunks.append(jax.device_put(s))
-            chunks.append(jax.device_put(part))  # async; overlaps next decode
+        work: _queue.Queue = _queue.Queue(maxsize=2)
+        worker_err: list[BaseException] = []
+
+        def _encode_put() -> None:
+            enc_s = put_s = 0.0
+            try:
+                while True:
+                    part = work.get()
+                    if part is None:
+                        return
+                    t0 = _time.perf_counter()
+                    if wire_mode == "bfloat16":
+                        part = _cast_bf16(part)  # half the tunnel bytes
+                    elif wire_mode == "int8":
+                        part, s = _encode_int8(part)  # quarter the bytes
+                    t1 = _time.perf_counter()
+                    enc_s += t1 - t0
+                    if wire_mode == "int8":
+                        scale_chunks.append(jax.device_put(s))
+                    chunks.append(jax.device_put(part))
+                    put_s += _time.perf_counter() - t1
+            except BaseException as e:  # surfaced on the main thread
+                worker_err.append(e)
+            finally:
+                add_stage_time("build.wire_encode", enc_s, caller_records)
+                add_stage_time("build.put_wait", put_s, caller_records)
+
+        def _put_checked(item) -> bool:
+            # A plain blocking put deadlocks if the worker died with the
+            # queue full (nothing drains it); poll the error list instead.
+            while not worker_err:
+                try:
+                    work.put(item, timeout=0.5)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        t = threading.Thread(target=_encode_put, name="pqvector-wire")
+        t.start()
+        try:
+            for part in iter_embedding_batches(path, embedding_column, batch_rows):
+                dim = part.shape[1] if dim is None else dim
+                if part.shape[1] != dim:
+                    raise ValidationError("Inconsistent embedding dimensions")
+                rows += len(part)
+                if not _put_checked(part):
+                    break
+        finally:
+            _put_checked(None)
+            t.join()
+        if worker_err:
+            raise worker_err[0]
         if rows == 0:
             raise ValidationError("Cannot build IVF index with zero vectors")
         # Keep the resident array in WIRE dtype: the sample gather is
@@ -278,4 +476,89 @@ def build_ivf_index_staged(
     with stage("build.assign"):
         xa = upcast_norm(x) if normalize else x  # assign upcasts f32 itself
         assignments = assign_clusters(xa, centroids, config.block_rows)
+    return IvfIndex.from_assignments(centroids, assignments)
+
+
+def _build_staged_host_assign(
+    path,
+    embedding_column,
+    config: IvfBuildConfig,
+    batch_rows: int,
+    normalize: bool,
+    wire_mode: str,
+) -> IvfIndex:
+    """Staged build, ``assign_backend="host"``: ship ONLY the training
+    sample; train on device; assign on host (see build_ivf_index_staged).
+
+    The wire drops from the full matrix (1-4 GB) to the sample
+    (~25-100 MB) plus the centroid fetch (~4 MB), so the build no longer
+    floors on tunnel weather: reference-default ≈ decode + ~2 s train +
+    ~16 s host assign in ANY window (sessions r4j-r4l measured the bulk
+    wire alone at 25-100+ s)."""
+    from ..utils.profiling import stage
+    from .streaming import iter_embedding_batches
+
+    with stage("build.decode"):
+        parts = []
+        rows = 0
+        dim = None
+        for part in iter_embedding_batches(path, embedding_column, batch_rows):
+            dim = part.shape[1] if dim is None else dim
+            if part.shape[1] != dim:
+                raise ValidationError("Inconsistent embedding dimensions")
+            rows += len(part)
+            parts.append(np.ascontiguousarray(part, dtype=np.float32))
+        if rows == 0:
+            raise ValidationError("Cannot build IVF index with zero vectors")
+
+    n = rows
+    n_clusters = (
+        config.n_clusters if config.n_clusters is not None else default_n_clusters(n)
+    )
+    if n_clusters > n:
+        raise ValidationError("n_clusters cannot exceed number of vectors")
+    sample_size = train_sample_size(n, n_clusters)
+    params = KMeansParams(
+        n_clusters=n_clusters,
+        max_iters=config.max_iters,
+        seed=config.seed,
+        block_rows=config.block_rows,
+    )
+
+    with stage("build.sample_transfer"):
+        if sample_size == n:
+            sample_h = (
+                np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
+        else:
+            # Gather the host-drawn sample rows across chunk boundaries,
+            # preserving idx order (the device path's take() order).
+            idx = sample_indices_host(config.seed ^ 0x5A5A5A5A, n, sample_size)
+            starts = np.zeros(len(parts) + 1, np.int64)
+            np.cumsum([len(p) for p in parts], out=starts[1:])
+            cid = np.searchsorted(starts, idx, side="right") - 1
+            sample_h = np.empty((len(idx), dim), np.float32)
+            for j, p in enumerate(parts):
+                m = cid == j
+                if m.any():
+                    sample_h[m] = p[idx[m] - starts[j]]
+        # Wire-encode the RAW sample (row-local: identical bits to
+        # encoding the full matrix and gathering on device), upcast to
+        # f32 and normalize ON DEVICE — the exact op order of the
+        # device-assign path, so centroids match it bit-for-bit.
+        if wire_mode == "int8":
+            codes, scales = _encode_int8(sample_h)
+            sample = _dequant_i8(jnp.asarray(codes), jnp.asarray(scales))
+        elif wire_mode == "bfloat16":
+            sample = jnp.asarray(_cast_bf16(sample_h)).astype(jnp.float32)
+        else:
+            sample = jnp.asarray(sample_h)
+        if normalize:
+            norms = jnp.sqrt(jnp.sum(sample * sample, axis=1, keepdims=True))
+            sample = sample / jnp.maximum(norms, 1e-30)
+    with stage("build.train"):
+        centroids_dev, _ = k_means(sample, params)
+        centroids = np.asarray(centroids_dev)  # ~4 MB fetch
+    with stage("build.assign"):
+        assignments = _assign_clusters_host(parts, centroids, normalize=normalize)
     return IvfIndex.from_assignments(centroids, assignments)

@@ -74,13 +74,13 @@ def load() -> ctypes.CDLL | None:
             # (symbol lookup raises AttributeError at binding time below,
             # which would escape to callers expecting the None fallback).
             # Rebuild once if the newest symbol is missing.
-            if not hasattr(lib, "pqv_decode_chunk"):
+            if not hasattr(lib, "pqv_assign_argmin"):
                 del lib
                 if not ensure_built(force=True):
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_LIB_PATH)
-                if not hasattr(lib, "pqv_decode_chunk"):
+                if not hasattr(lib, "pqv_assign_argmin"):
                     _load_failed = True
                     return None
         except OSError:
@@ -161,6 +161,31 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_size_t,
             ctypes.c_void_p,  # out_num_values (int64*)
         ]
+        if hasattr(lib, "pqv_quantize_i8"):
+            lib.pqv_quantize_i8.restype = ctypes.c_int
+            lib.pqv_quantize_i8.argtypes = [
+                ctypes.c_void_p,  # in (float32*)
+                ctypes.c_int64,  # n rows
+                ctypes.c_int64,  # dim
+                ctypes.c_void_p,  # out codes (int8*)
+                ctypes.c_void_p,  # out scales (float32*)
+            ]
+        if hasattr(lib, "pqv_cast_bf16"):
+            lib.pqv_cast_bf16.restype = ctypes.c_int
+            lib.pqv_cast_bf16.argtypes = [
+                ctypes.c_void_p,  # in (float32*)
+                ctypes.c_int64,  # element count
+                ctypes.c_void_p,  # out (uint16* bf16 bits)
+            ]
+        if hasattr(lib, "pqv_assign_argmin"):
+            lib.pqv_assign_argmin.restype = ctypes.c_int
+            lib.pqv_assign_argmin.argtypes = [
+                ctypes.c_void_p,  # scores (float32*, [n,k] row-major)
+                ctypes.c_int64,  # n rows
+                ctypes.c_int64,  # k centroids
+                ctypes.c_void_p,  # bias |c|^2 (float32*, [k])
+                ctypes.c_void_p,  # out assignments (int32*, [n])
+            ]
         _lib = lib
         return _lib
 

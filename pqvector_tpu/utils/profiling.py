@@ -43,6 +43,24 @@ def drain_stages() -> list[tuple[str, float]]:
     return records
 
 
+def current_records() -> list[tuple[str, float]]:
+    """This thread's live stage-record list. Hand it to a worker thread
+    (with ``add_stage_time``) so the worker's timings surface in the
+    caller's ``drain_stages`` — stage records are thread-local."""
+    return _records()
+
+
+def add_stage_time(
+    name: str,
+    seconds: float,
+    records: list[tuple[str, float]] | None = None,
+) -> None:
+    """Append an externally-timed stage duration (worker threads pass the
+    spawner's ``current_records()``; the spawner must join the worker
+    before draining)."""
+    (_records() if records is None else records).append((name, seconds))
+
+
 @contextlib.contextmanager
 def device_trace(trace_dir: str | None = None):
     """XLA profiler trace; no-op unless a directory is given or

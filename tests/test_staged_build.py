@@ -111,3 +111,155 @@ def test_staged_full_sample_branch(tmp_path):
     unstaged = build_ivf_index(Embeddings(emb, 8), cfg)
     np.testing.assert_array_equal(staged.centroids, unstaged.centroids)
     np.testing.assert_array_equal(staged.row_ids, unstaged.row_ids)
+
+
+def test_staged_worker_error_propagates(tmp_path, monkeypatch):
+    # A failure on the wire worker (encode/device_put) must surface as the
+    # original exception on the caller, not hang the bounded queue.
+    import pqvector_tpu.index.build as B
+
+    emb = _data(n=2000, d=8)
+    path = str(tmp_path / "err.parquet")
+    write_embedding_parquet(path, emb, row_group_size=250)
+
+    def boom(part):
+        raise RuntimeError("wire worker boom")
+
+    monkeypatch.setattr(B, "_encode_int8", boom)
+    cfg = IvfBuildConfig(n_clusters=8, seed=1, transfer_dtype="int8")
+    with pytest.raises(RuntimeError, match="wire worker boom"):
+        build_ivf_index_staged(path, "embedding", cfg, batch_rows=100)
+
+
+def test_native_int8_encode_matches_oracle():
+    # The native quantizer must be BIT-identical to the numpy oracle —
+    # staged/unstaged and native/python builds must agree exactly.
+    from pqvector_tpu.index.build import _encode_int8, _encode_int8_np
+    from pqvector_tpu.io.native import load
+
+    if load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(12)
+    part = rng.standard_normal((700, 33)).astype(np.float32) * 100
+    part[5] = 0.0  # zero row -> scale 1, codes 0
+    part[6, 0] = np.float32(3.2e38)  # near-f32-max magnitudes
+    c_n, s_n = _encode_int8(part)
+    c_o, s_o = _encode_int8_np(part)
+    np.testing.assert_array_equal(s_n, s_o)
+    np.testing.assert_array_equal(c_n, c_o)
+
+
+def test_native_bf16_cast_matches_mldtypes():
+    # The native RNE cast must match ml_dtypes bit-for-bit, including
+    # inf, NaN (quieted, never rounded into inf), denormals and the
+    # rounding boundary cases.
+    import ml_dtypes
+
+    from pqvector_tpu.index.build import _cast_bf16
+    from pqvector_tpu.io.native import load
+
+    if load() is None or not hasattr(load(), "pqv_cast_bf16"):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32) * 1e3,
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, -np.nan,
+                  1e-40, -1e-40, 3.4e38, -3.4e38,
+                  1.0039062, 1.0039063, 1.0117186, 1.0117188], np.float32),
+    ]).reshape(-1, 2)
+    native = _cast_bf16(vals)
+    oracle = vals.astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        native.view(np.uint16), oracle.view(np.uint16)
+    )
+
+
+@pytest.mark.parametrize("wire", ["float32", "bfloat16", "int8"])
+def test_host_assign_matches_device(tmp_path, wire):
+    # assign_backend="host" must produce the same centroids BIT-FOR-BIT
+    # (same sample values, same device training). Assignments: the host
+    # pass reads the EXACT decoded f32 rows — wire rounding never
+    # touches it (the device path assigns the wire-rounded resident
+    # array), so host assignments are pinned against the f64
+    # exact-nearest-centroid truth instead; at f32 wire the two paths
+    # see identical data and must agree exactly ON THIS CPU BACKEND
+    # (on real TPU the device matmul is bf16-MXU: chip-measured accuracy
+    # vs f64 truth is host 1.0000 / device 0.9983 — host assign is
+    # strictly MORE accurate there; scripts/verify logs, round 4).
+    emb = _data()
+    path = str(tmp_path / "h.parquet")
+    write_embedding_parquet(path, emb, row_group_size=1500)
+    dev = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=64, seed=11, transfer_dtype=wire,
+                       assign_backend="device"),
+        batch_rows=700,
+    )
+    host = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=64, seed=11, transfer_dtype=wire,
+                       assign_backend="host"),
+        batch_rows=700,
+    )
+    np.testing.assert_array_equal(host.centroids, dev.centroids)
+    if wire == "float32":
+        np.testing.assert_array_equal(host.row_ids, dev.row_ids)
+        np.testing.assert_array_equal(host.list_offsets, dev.list_offsets)
+    # Exact f64 truth: nearest centroid per raw row.
+    d2 = ((emb[:, None, :].astype(np.float64)
+           - host.centroids[None].astype(np.float64)) ** 2).sum(-1)
+    truth = np.argmin(d2, axis=1)
+    lab = np.empty(len(emb), np.int64)
+    for c in range(host.n_clusters):
+        lab[host.cluster_rows(c)] = c
+    assert (lab == truth).mean() > 0.999
+
+
+def test_host_assign_normalized(tmp_path):
+    # Cosine metric: sample normalization runs on device (same op order
+    # as the device path), per-chunk host normalization for assignment.
+    emb = _data()
+    path = str(tmp_path / "hn.parquet")
+    write_embedding_parquet(path, emb, row_group_size=1500)
+    dev = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=32, seed=4, assign_backend="device"),
+        batch_rows=700, normalize=True,
+    )
+    host = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=32, seed=4, assign_backend="host"),
+        batch_rows=700, normalize=True,
+    )
+    np.testing.assert_array_equal(host.centroids, dev.centroids)
+    # Host vs device normalization can differ at rounding-boundary ties;
+    # on blob data the partitions should agree everywhere.
+    np.testing.assert_array_equal(host.row_ids, dev.row_ids)
+
+
+def test_host_assign_full_sample_branch(tmp_path):
+    emb = _data(n=300, d=8)
+    path = str(tmp_path / "hs.parquet")
+    write_embedding_parquet(path, emb, row_group_size=100)
+    dev = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=8, seed=5, assign_backend="device"),
+        batch_rows=128,
+    )
+    host = build_ivf_index_staged(
+        path, "embedding",
+        IvfBuildConfig(n_clusters=8, seed=5, assign_backend="host"),
+        batch_rows=128,
+    )
+    np.testing.assert_array_equal(host.centroids, dev.centroids)
+    np.testing.assert_array_equal(host.row_ids, dev.row_ids)
+
+
+def test_assign_backend_validation():
+    with pytest.raises(Exception):
+        IvfBuildConfig(assign_backend="gpu")
+    from pqvector_tpu.index.build import resolve_assign_backend
+    # CPU backend in tests -> device (exact staged==unstaged parity).
+    assert resolve_assign_backend(IvfBuildConfig()) == "device"
+    assert resolve_assign_backend(
+        IvfBuildConfig(assign_backend="host")) == "host"
