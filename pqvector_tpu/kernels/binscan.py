@@ -391,7 +391,7 @@ def _merge_bins(
     val = jax.lax.bitcast_convert_type(
         key & jnp.int32(~((1 << code_bits) - 1)), jnp.float32
     )
-    d2, ids = _refine(q, emb, val[:b], row[:b])
+    d2, ids = _refine(q, emb, val[:b], row[:b], out_k=k)
     return d2[:, :k], ids[:, :k]
 
 

@@ -153,15 +153,22 @@ def _masked_local_scan_kernel(
     out_i_ref[0] = idx
 
 
-def _refine(q, emb, best_d, best_i):
+def _refine(q, emb, best_d, best_i, out_k=None):
     """Direct-form re-score + stable re-sort of the winners — same
     post-processing as the XLA paths (query/device.py), so rankings agree
-    bit-for-bit across implementations."""
+    bit-for-bit across implementations. ``out_k``: trim to the k best via
+    index-stable ``lax.top_k`` instead of a full argsort over the fetch
+    width (identical ranking; measured 2.7 ms/batch cheaper at B=8192 x
+    width 20, session r4n)."""
     invalid = best_d >= _POS_INF / 2
     x = emb[jnp.maximum(best_i, 0)].astype(jnp.float32)
     diff = x - q[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(invalid, jnp.inf, d2)
+    d2 = jnp.where(jnp.isnan(d2), jnp.inf, d2)
+    if out_k is not None and out_k < d2.shape[1]:
+        neg, pos = jax.lax.top_k(-d2, out_k)
+        return -neg, jnp.take_along_axis(best_i, pos, axis=1)
     order = jnp.argsort(d2, axis=1, stable=True)
     return jnp.take_along_axis(d2, order, axis=1), jnp.take_along_axis(
         best_i, order, axis=1

@@ -50,18 +50,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _refine_and_sort(q, emb, best_d, best_i):
+def _refine_and_sort(q, emb, best_d, best_i, out_k: int | None = None):
     """Recompute the winners' distances with the direct (x - q)^2 form.
 
     The |x|^2 - 2 x.q matmul form loses ~1e-3 relative precision to
     cancellation; the reference computes direct differences
     (/root/reference/src/ivf/index.rs:461-480), so the k winners are re-scored
     exactly and re-sorted (stable) before returning.
+
+    ``out_k``: trim to the k best during the re-sort via ``lax.top_k``
+    instead of a full stable argsort over the fetch width — identical
+    results (top_k is index-stable on ties, NaNs are mapped to +inf so
+    both paths rank them last) but 2.7 ms/batch cheaper at B=8192 x
+    fetch=20 on chip (session r4n: the [B, 20] stable argsort was the
+    single largest cost above the matmul+min floor, bigger than the
+    re-score gather itself). ``None`` keeps the full-width sorted output.
     """
-    x = emb[jnp.maximum(best_i, 0)].astype(jnp.float32)  # [B, k, d]
+    x = emb[jnp.maximum(best_i, 0)].astype(jnp.float32)  # [B, F, d]
     diff = x - q[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(jnp.isinf(best_d), jnp.inf, d2)
+    d2 = jnp.where(jnp.isnan(d2), jnp.inf, d2)
+    if out_k is not None and out_k < d2.shape[1]:
+        neg, pos = jax.lax.top_k(-d2, out_k)
+        return -neg, jnp.take_along_axis(best_i, pos, axis=1)
     order = jnp.argsort(d2, axis=1, stable=True)
     return jnp.take_along_axis(d2, order, axis=1), jnp.take_along_axis(
         best_i, order, axis=1
@@ -115,7 +127,7 @@ def _exact_topk_impl(
         step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t))
     )
     d2, ids = _refine_and_sort(
-        q, emb if emb_ref is None else emb_ref, best_d, best_i
+        q, emb if emb_ref is None else emb_ref, best_d, best_i, k
     )
     return d2[:, :k], ids[:, :k]
 
@@ -174,7 +186,7 @@ def _ivf_topk_impl(
     )
     (best_d, best_i), _ = jax.lax.scan(step, init, cand_t)
     d2, ids = _refine_and_sort(
-        q, emb if emb_ref is None else emb_ref, best_d, best_i
+        q, emb if emb_ref is None else emb_ref, best_d, best_i, k
     )
     return d2[:, :k], ids[:, :k]
 
@@ -193,12 +205,13 @@ def _approx_min_k_clamped(partial, k, recall_target):
     return vals, idx
 
 
-def _approx_scan(q, emb, chunk_topk, operands, k, chunk):
+def _approx_scan(q, emb, chunk_topk, operands, k, chunk, out_k=None):
     """Shared chunked-scan scaffolding for the ApproxTopK modes.
 
     ``operands`` are per-row arrays ([n_pad] or [n_pad, d]) fed to
     ``chunk_topk(slices..., base)`` per chunk; a static tail handles n_pad
-    not being a chunk multiple. Winners from all chunks are merged exactly.
+    not being a chunk multiple. Winners from all chunks are merged exactly
+    and trimmed to ``out_k`` in the refine (see _refine_and_sort).
     """
     b = q.shape[0]
     n_pad = operands[0].shape[0]
@@ -209,7 +222,7 @@ def _approx_scan(q, emb, chunk_topk, operands, k, chunk):
         # direct call — session r4e/r4f), and the merge top_k below would
         # re-sort a width-k result refine re-sorts anyway.
         best_d, best_i = chunk_topk(*operands, 0)
-        return _refine_and_sort(q, emb, best_d, best_i)
+        return _refine_and_sort(q, emb, best_d, best_i, out_k)
     nc = n_pad // chunk
     parts_d = []
     parts_i = []
@@ -237,7 +250,7 @@ def _approx_scan(q, emb, chunk_topk, operands, k, chunk):
     all_i = jnp.concatenate(parts_i, axis=1)
     neg, pos = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
     best_d, best_i = -neg, jnp.take_along_axis(all_i, pos, axis=1)
-    return _refine_and_sort(q, emb, best_d, best_i)
+    return _refine_and_sort(q, emb, best_d, best_i, out_k)
 
 
 def _exact_approx_topk_impl(
@@ -293,7 +306,7 @@ def _exact_approx_topk_impl(
 
     d2, ids = _approx_scan(
         q, emb if emb_ref is None else emb_ref, chunk_topk, (emb, emb_sq),
-        k_fetch, chunk,
+        k_fetch, chunk, out_k=k,
     )
     return d2[:, :k], ids[:, :k]
 
@@ -458,7 +471,7 @@ def _exact_xbin_impl(
     # below the cleared mantissa range), so refine marks them missing.
     val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
     d2, ids = _refine_and_sort(
-        q, emb if emb_ref is None else emb_ref, val, rows
+        q, emb if emb_ref is None else emb_ref, val, rows, k
     )
     return d2[:, :k], ids[:, :k]
 
@@ -557,7 +570,7 @@ def _exact_xbin8_impl(
     key_w = -neg
     rows = (key_w & ~mask) * l_bins + bin_idx.astype(jnp.int32)
     val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
-    d2, ids = _refine_and_sort(q, emb_ref, val, rows)
+    d2, ids = _refine_and_sort(q, emb_ref, val, rows, k)
     return d2[:, :k], ids[:, :k]
 
 
@@ -681,7 +694,7 @@ def _exact_tilescan_impl(
     # the cleared mantissa range), so refine marks them missing.
     val = jax.lax.bitcast_convert_type(key_w & mask, jnp.float32)
     d2, ids = _refine_and_sort(
-        q, emb if emb_ref is None else emb_ref, val, rows
+        q, emb if emb_ref is None else emb_ref, val, rows, k
     )
     return d2[:, :k], ids[:, :k]
 
@@ -733,7 +746,7 @@ def _ivf_approx_masked_impl(
 
     d2, ids = _approx_scan(
         q, emb if emb_ref is None else emb_ref, chunk_topk,
-        (emb, emb_sq, row_cluster), k_fetch, chunk,
+        (emb, emb_sq, row_cluster), k_fetch, chunk, out_k=k,
     )
     return d2[:, :k], ids[:, :k]
 
@@ -909,7 +922,7 @@ def _ivf_compact_approx_impl(
     ids = jnp.where(lids >= 0, gids.astype(jnp.int32), -1)
     if emb_ref is None:
         return d2, ids
-    d2, ids = _refine_and_sort(q, emb_ref, d2, ids)
+    d2, ids = _refine_and_sort(q, emb_ref, d2, ids, k)
     return d2[:, :k], ids[:, :k]
 
 
@@ -980,7 +993,7 @@ def _ivf_masked_scan_impl(
         step, init, (jnp.arange(nt, dtype=jnp.int32), (emb_t, sq_t, cl_t))
     )
     d2, ids = _refine_and_sort(
-        q, emb if emb_ref is None else emb_ref, best_d, best_i
+        q, emb if emb_ref is None else emb_ref, best_d, best_i, k
     )
     return d2[:, :k], ids[:, :k]
 
