@@ -267,17 +267,24 @@ class SimulatedRemoteStore(ObjectStore):
     def __init__(
         self, inner: ObjectStore, latency_s: float = 0.0, workers: int = 8
     ):
+        import threading
+
         self.inner = inner
         self.latency_s = float(latency_s)
         self.workers = max(1, int(workers))
         self.head_requests = 0
         self.range_requests = 0
         self.bytes_read = 0
+        # get_ranges counts from ThreadPoolExecutor workers; '+=' is a
+        # non-atomic read-modify-write, so the counters this class exists
+        # to pin would undercount without the lock.
+        self._lock = threading.Lock()
 
     def reset_counters(self) -> None:
-        self.head_requests = 0
-        self.range_requests = 0
-        self.bytes_read = 0
+        with self._lock:
+            self.head_requests = 0
+            self.range_requests = 0
+            self.bytes_read = 0
 
     def _pay(self) -> None:
         if self.latency_s:
@@ -286,15 +293,18 @@ class SimulatedRemoteStore(ObjectStore):
             time.sleep(self.latency_s)
 
     def head(self, path: str) -> int:
-        self.head_requests += 1
+        with self._lock:
+            self.head_requests += 1
         self._pay()
         return self.inner.head(path)
 
     def get_range(self, path: str, start: int, end: int) -> bytes:
-        self.range_requests += 1
+        with self._lock:
+            self.range_requests += 1
         self._pay()
         data = self.inner.get_range(path, start, end)
-        self.bytes_read += len(data)
+        with self._lock:
+            self.bytes_read += len(data)
         return data
 
     def get_ranges(
@@ -329,6 +339,14 @@ def open_parquet(store: ObjectStore | None, path: str):
     if store is None or store.is_local():
         return pq.ParquetFile(path)
     size = store.head(path)
+    if size < 12:
+        # Minimum valid parquet = "PAR1" + 4-byte footer len + "PAR1".
+        # Without this guard a tiny/empty object turns the tail read into
+        # a negative-start range (HTTP suffix-range) and surfaces as a
+        # confusing length-mismatch error.
+        raise ExecutionError(
+            f"'{path}' is not a valid parquet file ({size} bytes)"
+        )
     tail = store.get_range(path, size - 8, size)
     if tail[4:] != b"PAR1":
         raise ExecutionError(f"'{path}' is not a valid parquet file")

@@ -344,7 +344,19 @@ def build_ivf_index_staged(
 
     config = config or IvfBuildConfig()
     wire_mode = resolve_transfer_dtype(config)
-    if resolve_assign_backend(config) == "host":
+    assign_backend = resolve_assign_backend(config)
+    # The resolved pair determines the partition: host assignment reads
+    # exact decoded f32 rows while the device pass assigns wire-rounded
+    # ones, so the same data + config can partition differently across
+    # backends. Log it so cross-environment partition diffs are
+    # attributable (ADVICE r4).
+    import logging
+
+    logging.getLogger("pqvector_tpu.build").info(
+        "staged build: transfer_dtype=%s assign_backend=%s backend=%s",
+        wire_mode, assign_backend, jax.default_backend(),
+    )
+    if assign_backend == "host":
         return _build_staged_host_assign(
             path, embedding_column, config, batch_rows, normalize, wire_mode
         )

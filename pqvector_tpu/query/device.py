@@ -2457,6 +2457,18 @@ class DeviceIvfSearcher:
         return True
 
     def _tilescan_tile_checked(self, k: int) -> int:
+        if self._row_cluster_sorted:
+            # Each tile contributes only its argmin, so a cluster-sorted
+            # layout (contiguous same-cluster runs spanning whole tiles)
+            # permanently loses co-located true neighbors — overfetch
+            # cannot recover them. Refuse rather than serve degraded
+            # recall that looks right (same hazard binscan designs around
+            # with expanded bins).
+            raise ValidationError(
+                "tilescan is ineligible on cluster-sorted layouts: "
+                "contiguous same-cluster neighbors fall into one tile and "
+                "only the tile argmin survives; use binscan/scan instead"
+            )
         n_pad = int(self.emb.shape[0])
         t = int(self.tilescan_tile)
         if not t:  # auto: 128, shrunk while k exceeds the tile count

@@ -303,3 +303,34 @@ def test_simulated_remote_store_counts_and_overlap(mem_sql_setup):
     # footer tail + metadata + payload + row-count/page metadata + spans:
     # a handful of round trips, never per-row reads
     assert sim.range_requests < 40, sim.range_requests
+
+
+def test_simulated_store_counters_threadsafe():
+    """get_ranges counts from pool workers; the counters must not
+    undercount under concurrency (ADVICE r4: '+=' is non-atomic)."""
+    from pqvector_tpu.engine.object_store import (
+        MemoryStore,
+        SimulatedRemoteStore,
+    )
+
+    blob = bytes(range(256)) * 64
+    sim = SimulatedRemoteStore(
+        MemoryStore({"mem://b/x": blob}), latency_s=0.0, workers=16
+    )
+    spans = [(i, i + 8) for i in range(0, 4096, 8)]  # 512 ranges
+    for _ in range(4):
+        sim.get_ranges("mem://b/x", spans)
+    assert sim.range_requests == 4 * len(spans)
+    assert sim.bytes_read == 4 * 8 * len(spans)
+
+
+def test_open_parquet_rejects_tiny_object():
+    """A remote object smaller than the minimal parquet framing must fail
+    with a clear 'not a valid parquet file' error, not a malformed
+    suffix-range read (ADVICE r4)."""
+    from pqvector_tpu.engine.object_store import MemoryStore, open_parquet
+
+    store = MemoryStore({"mem://b/empty": b"", "mem://b/tiny": b"PAR1"})
+    for path in ("mem://b/empty", "mem://b/tiny"):
+        with pytest.raises(ExecutionError, match="not a valid parquet"):
+            open_parquet(store, path)

@@ -128,6 +128,25 @@ def test_tilescan_eligibility(planted):
         searcher.tilescan_tile = old
 
 
+def test_tilescan_refused_on_cluster_sorted():
+    """Cluster-sorted layouts pack same-cluster true neighbors into one
+    tile; each tile keeps only its argmin, so tilescan would silently
+    serve degraded recall (ADVICE r4). The searcher must refuse."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, 16), IvfBuildConfig(n_clusters=6, seed=3)
+    )
+    s = DeviceIvfSearcher(index, x, row_tile=128, cluster_sorted=True)
+    assert s._row_cluster_sorted
+    assert not s.can_tilescan(5)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    with pytest.raises(ValidationError, match="cluster-sorted"):
+        s.search(q, k=5, nprobe=1, mode="tilescan")
+    with pytest.raises(ValidationError, match="cluster-sorted"):
+        s.exact(q, k=5, mode="tilescan")
+
+
 def test_tilescan_random_recall_bounded():
     """On random data tile collisions are the only selection loss: the
     planted-free recall across queries stays high at tile=8 (pairwise
