@@ -1169,6 +1169,14 @@ class DeviceIvfSearcher:
         # floor-shaped fast path).
         self.tilescan_tile = 0
         self.tilescan_chunk_rows = 0
+        # Where the chained-loop APIs run the f32 re-score when a
+        # reference is held: "auto" defers it past the lax.scan body once
+        # the body's while-carry copies (storage + reference, doubled —
+        # session r4i pinned that donation does not remove them) would
+        # crowd HBM; "body" forces the per-rep in-body re-score; "defer"
+        # forces the post-scan refine (also a serving experiment knob —
+        # it drops the per-rep gather). See _loop_defer_rescore.
+        self.loop_rescore = "auto"
         # mode="autoscan" (weather-routed serving scan): how long one
         # probe_weather classification stays valid, and an injectable
         # prober for tests/offline routing.
@@ -2123,7 +2131,14 @@ class DeviceIvfSearcher:
             # path — silently running a different kernel here would
             # mis-time it (the autotune/gather lesson).
             raise ValidationError(f"Unknown search_loop mode '{mode}'")
+        defer_k = 0
+        if self._loop_defer_rescore():
+            # Widened selection at storage precision inside the loop; one
+            # f32 refine of the last rep's winners after it (see
+            # _loop_defer_rescore — the >=12M while-carry OOM).
+            defer_k, k = k, min(2 * k, int(self.emb.shape[0]))
         args, kw = self._search_loop_binding(q, k, nprobe, reps, mode)
+        kw["defer_k"] = defer_k
         d, ids = _masked_pallas_loop(*args, **kw)
         return d, ids
 
@@ -2287,6 +2302,9 @@ class DeviceIvfSearcher:
         if mode not in ("auto", "stream", "pallas", "xla", "approx",
                         "binscan", "xbin", "binscan8", "tilescan"):
             raise ValidationError(f"Unknown exact_loop mode '{mode}'")
+        defer_k = 0
+        if self._loop_defer_rescore():
+            defer_k, k = k, min(2 * k, int(self.emb.shape[0]))
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
         use_stream = mode == "stream"
@@ -2345,6 +2363,7 @@ class DeviceIvfSearcher:
             emb_ref=self._ref(),
             n_valid=self.n,
             gid=self._gid_dev,
+            defer_k=defer_k,
         )
         return d, ids
 
@@ -2530,6 +2549,49 @@ class DeviceIvfSearcher:
         is the reference (f32 storage / rescore opt-out)."""
         return self._emb_ref
 
+    @staticmethod
+    def _hbm_bytes() -> int:
+        """Device HBM capacity the chained-loop sizing reasons against.
+
+        Deliberately NOT queried from the device: a memory_stats() call
+        through the axon tunnel can block for minutes during an outage
+        (CLAUDE.md), and the decision must be deterministic for compile
+        caching. v5e default; override with PQVECTOR_TPU_HBM_GB."""
+        env = os.environ.get("PQVECTOR_TPU_HBM_GB")
+        if env:
+            return int(float(env) * 2**30)
+        return 16 * 2**30
+
+    def _loop_defer_rescore(self) -> bool:
+        """Whether search_loop/exact_loop must hold the f32 re-score
+        reference out of the lax.scan body.
+
+        TPU while-loops copy scan-visible arrays into the carry, and
+        donation does not remove the copies (session r4i: the 12M-row
+        DEEP layout compiled a 10.7 GB HLO temp both plain and donated,
+        OOMing 16 GB HBM; 10M compiled and served). With a reference in
+        the body the live set is ~2x (storage + f32 ref) x n_pad*d; past
+        ~3/4 of HBM the loop is compiled bf16-only at a widened k and the
+        last rep's winners are re-scored against the reference AFTER the
+        scan — the reference then never enters the carry. The round-4
+        session hack (``sp._emb_ref = None`` before the loop) measured
+        QPS without the re-score; this keeps re-score recall in the same
+        served config. The f32-truth recall cost of deferring is the
+        2k-trim race only (same widened-fetch + f32-re-score design the
+        in-body path uses, applied once instead of per rep)."""
+        if self._emb_ref is None:
+            return False
+        if self.loop_rescore != "auto":
+            if self.loop_rescore not in ("body", "defer"):
+                raise ValidationError(
+                    "loop_rescore must be 'auto', 'body' or 'defer'"
+                )
+            return self.loop_rescore == "defer"
+        n_pad, d = int(self.emb.shape[0]), int(self.emb.shape[1])
+        storage = jnp.dtype(self.emb.dtype).itemsize
+        live = 2 * n_pad * d * (4 + storage)  # originals + carry copies
+        return live > 0.75 * self._hbm_bytes()
+
     def _ref_or_emb(self):
         """The array exact re-scores must run against."""
         return self._emb_ref if self._emb_ref is not None else self.emb
@@ -2537,6 +2599,9 @@ class DeviceIvfSearcher:
     def _xbin8_loop_call(self, q, k: int, reps: int):
         """reps-chained mode="xbin8" dispatch (shared by both loop APIs)."""
         e8, sc = self._xbin8_arrays()
+        defer_k = 0
+        if self._loop_defer_rescore():
+            defer_k, k = k, min(2 * k, int(self.emb.shape[0]))
         return _xbin8_loop(
             q, e8, sc, self.emb_sq, self._ref_or_emb(), k,
             l_bins=self._xbin_bins_checked(k),
@@ -2548,6 +2613,8 @@ class DeviceIvfSearcher:
             reps=reps,
             n_valid=self.n,
             gid=self._gid_dev,
+            defer_k=defer_k,
+            body_ref=self.emb if defer_k else None,
         )
 
     def _xbin8_arrays(self):
@@ -2862,7 +2929,7 @@ class DeviceIvfSearcher:
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
         "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
-        "tilescan_chunk", "n_valid",
+        "tilescan_chunk", "n_valid", "defer_k",
     ),
 )
 def _masked_pallas_loop(
@@ -2874,14 +2941,23 @@ def _masked_pallas_loop(
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
     xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
-    n_valid=0, gid=None,
+    n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
     from ..kernels.stream_topk import pallas_stream_masked_topk
 
+    # ``defer_k`` > 0 holds the f32 re-score reference OUT of the scanned
+    # body: TPU while-loops copy scan-visible arrays into the carry
+    # (donation does not remove the copies — session r4i), so a >=12M-row
+    # reference inside the body adds n_pad*d*4 B of HLO temp on top of
+    # the storage copy and OOMs HBM. The body then selects a widened k at
+    # storage precision and only the LAST rep's winners are re-scored
+    # against the reference after the scan (no carry copy there). See
+    # DeviceIvfSearcher._loop_defer_rescore.
+    body_ref = None if defer_k else emb_ref
     # The exact re-score reference for the int8 paths must be the f32
     # copy when one is held; else the storage array.
-    i8_ref = emb_ref if emb_ref is not None else emb
+    i8_ref = body_ref if body_ref is not None else emb
 
     def body(q):
         if use_binscan:
@@ -2892,7 +2968,7 @@ def _masked_pallas_loop(
                 q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
                 tile=binscan_tile, expand=bin_expand, interpret=interpret,
                 scale=i8_scale,
-                emb_ref=emb_ref if emb_i8 is None else i8_ref,
+                emb_ref=body_ref if emb_i8 is None else i8_ref,
             )
         if use_bincompact:
             return _ivf_compact_bin_impl(
@@ -2902,7 +2978,7 @@ def _masked_pallas_loop(
                 interpret=interpret, tile_lo=tile_lo, tile_hi=tile_hi,
                 max_cluster_tiles=max_cluster_tiles, expand=bin_expand,
                 scale=i8_scale,
-                emb_ref=emb_ref if emb_i8 is None else i8_ref,
+                emb_ref=body_ref if emb_i8 is None else i8_ref,
             )
         if use_compact:
             return _ivf_compact_approx_impl(
@@ -2912,54 +2988,54 @@ def _masked_pallas_loop(
                 score_dtype=score_dtype, interpret=interpret,
                 tile_lo=tile_lo, tile_hi=tile_hi,
                 max_cluster_tiles=max_cluster_tiles,
-                emb_ref=emb_ref,
+                emb_ref=body_ref,
             )
         if use_xla:
             return _ivf_masked_scan_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
-                k=k, max_probe=max_probe, tile=tile, emb_ref=emb_ref,
+                k=k, max_probe=max_probe, tile=tile, emb_ref=body_ref,
             )
         if use_xbin:
             return _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
-                chunk_groups=xbin_chunk, emb_ref=emb_ref,
+                chunk_groups=xbin_chunk, emb_ref=body_ref,
             )
         if use_tilescan:
             return _exact_tilescan_impl(
                 q, emb, emb_sq, k=k, tile=tilescan_tile,
                 chunk_rows=tilescan_chunk, overfetch=overfetch,
-                emb_ref=emb_ref,
+                emb_ref=body_ref,
             )
         if use_scan:
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch, emb_ref=emb_ref,
+                overfetch=overfetch, emb_ref=body_ref,
             )
         if use_approx:
             return _ivf_approx_masked_impl(
                 q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe,
                 k=k, max_probe=max_probe, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch, emb_ref=emb_ref,
+                overfetch=overfetch, emb_ref=body_ref,
             )
         if use_stream:
             return pallas_stream_masked_topk(
                 q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
                 max_probe=max_probe, tile=tile, cmax=cmax, subtiles=subtiles,
-                interpret=interpret, emb_ref=emb_ref,
+                interpret=interpret, emb_ref=body_ref,
             )
         if use_local:
             return pallas_masked_local_topk(
                 q, centroids, c_sq, lcl, tc, emb, emb_sq, nprobe, k,
                 max_probe=max_probe, tile=tile, cmax=cmax, interpret=interpret,
-                emb_ref=emb_ref,
+                emb_ref=body_ref,
             )
         return pallas_masked_topk(
             q, centroids, c_sq, row_cluster, emb, emb_sq, nprobe, k,
             max_probe=max_probe, tile=tile, interpret=interpret,
-            emb_ref=emb_ref,
+            emb_ref=body_ref,
         )
 
     def step(q, _):
@@ -2971,7 +3047,10 @@ def _masked_pallas_loop(
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
+    d2, ids = d2s[-1], idss[-1]
+    if defer_k and emb_ref is not None:
+        d2, ids = _refine_and_sort(q0, emb_ref, d2, ids, defer_k)
+    return _loop_finalize(d2, ids, n_valid, gid)
 
 
 @_functools.partial(
@@ -2981,7 +3060,7 @@ def _masked_pallas_loop(
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
                      "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
                      "use_tilescan", "tilescan_tile", "tilescan_chunk",
-                     "n_valid"),
+                     "n_valid", "defer_k"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
@@ -2989,18 +3068,21 @@ def _exact_pallas_loop(
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
     xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
-    n_valid=0, gid=None,
+    n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
     from ..kernels.scan_topk import pallas_exact_topk
     from ..kernels.stream_topk import pallas_stream_exact_topk
 
-    i8_ref = emb_ref if emb_ref is not None else emb
+    # defer_k: hold the re-score reference out of the scanned body (see
+    # _masked_pallas_loop — the TPU while-carry copy OOM at >=12M rows).
+    body_ref = None if defer_k else emb_ref
+    i8_ref = body_ref if body_ref is not None else emb
 
     def step(q, _):
         if use_xla:
             d2, ids = _exact_topk_impl(
-                q, emb, emb_sq, k=k, tile=tile, emb_ref=emb_ref
+                q, emb, emb_sq, k=k, tile=tile, emb_ref=body_ref
             )
         elif use_binscan:
             # emb_i8 set -> mode="binscan8": codes stream through the
@@ -3009,41 +3091,44 @@ def _exact_pallas_loop(
                 q, emb if emb_i8 is None else emb_i8, emb_sq, k=k,
                 tile=binscan_tile, expand=bin_expand, interpret=interpret,
                 scale=i8_scale,
-                emb_ref=emb_ref if emb_i8 is None else i8_ref,
+                emb_ref=body_ref if emb_i8 is None else i8_ref,
             )
         elif use_xbin:
             d2, ids = _exact_xbin_impl(
                 q, emb, emb_sq, k=k, l_bins=xbin_bins,
                 score_dtype=score_dtype, overfetch=overfetch,
-                chunk_groups=xbin_chunk, emb_ref=emb_ref,
+                chunk_groups=xbin_chunk, emb_ref=body_ref,
             )
         elif use_tilescan:
             d2, ids = _exact_tilescan_impl(
                 q, emb, emb_sq, k=k, tile=tilescan_tile,
                 chunk_rows=tilescan_chunk, overfetch=overfetch,
-                emb_ref=emb_ref,
+                emb_ref=body_ref,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
                 recall_target=recall_target, score_dtype=score_dtype,
-                overfetch=overfetch, emb_ref=emb_ref,
+                overfetch=overfetch, emb_ref=body_ref,
             )
         elif use_stream:
             d2, ids = pallas_stream_exact_topk(
                 q, emb, emb_sq, k, tile=tile, subtiles=subtiles,
-                interpret=interpret, emb_ref=emb_ref,
+                interpret=interpret, emb_ref=body_ref,
             )
         else:
             d2, ids = pallas_exact_topk(
                 q, emb, emb_sq, k, tile=tile, interpret=interpret,
-                emb_ref=emb_ref,
+                emb_ref=body_ref,
             )
         link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
+    d2, ids = d2s[-1], idss[-1]
+    if defer_k and emb_ref is not None:
+        d2, ids = _refine_and_sort(q0, emb_ref, d2, ids, defer_k)
+    return _loop_finalize(d2, ids, n_valid, gid)
 
 
 _exact_topk = jax.jit(_exact_topk_impl, static_argnames=("k", "tile"))
@@ -3070,26 +3155,33 @@ _exact_tilescan = jax.jit(
 @_functools.partial(
     jax.jit,
     static_argnames=("k", "l_bins", "overfetch", "chunk_groups", "reps",
-                     "n_valid"),
+                     "n_valid", "defer_k"),
 )
 def _xbin8_loop(
     q0, emb_i8, scale, emb_sq, emb_ref, k, l_bins, overfetch, chunk_groups,
-    reps, n_valid=0, gid=None,
+    reps, n_valid=0, gid=None, defer_k=0, body_ref=None,
 ):
     """``reps`` chained int8 binned-min scans in one dispatch (the same
     data-dependency chaining as _exact_pallas_loop — honest throughput
-    through the tunnel)."""
+    through the tunnel). ``defer_k``: the in-body re-score runs against
+    ``body_ref`` (the storage array — must be supplied) and ``emb_ref``
+    only refines the last rep's winners after the scan (the while-carry
+    copy OOM, see _masked_pallas_loop)."""
 
     def step(q, _):
         d2, ids = _exact_xbin8_impl(
-            q, emb_i8, scale, emb_sq, emb_ref, k=k, l_bins=l_bins,
+            q, emb_i8, scale, emb_sq,
+            body_ref if defer_k else emb_ref, k=k, l_bins=l_bins,
             overfetch=overfetch, chunk_groups=chunk_groups,
         )
         link = jnp.where(jnp.isfinite(d2[:, :1]), d2[:, :1], 0.0)
         return q0 + 0.0 * link, (d2, ids)
 
     _, (d2s, idss) = jax.lax.scan(step, q0, None, length=reps)
-    return _loop_finalize(d2s[-1], idss[-1], n_valid, gid)
+    d2, ids = d2s[-1], idss[-1]
+    if defer_k:
+        d2, ids = _refine_and_sort(q0, emb_ref, d2, ids, defer_k)
+    return _loop_finalize(d2, ids, n_valid, gid)
 _ivf_topk = jax.jit(_ivf_topk_impl, static_argnames=("k", "nprobe", "tile"))
 _ivf_compact_approx = jax.jit(
     _ivf_compact_approx_impl,
