@@ -29,11 +29,11 @@ import numpy as np
 #: drift apart when a mode is added (the xbin8 lesson: nine hand-edited
 #: tuples).
 SCAN_MODES = ("scan", "approx", "binscan", "xbin", "xbin8", "binscan8",
-              "tilescan")
+              "tilescan", "autoscan")
 #: Modes the chained-loop timing path can serve.
 LOOP_MODES = ("stream", "pallas", "approx", "compact", "scan", "binscan",
               "bincompact", "xbin", "xbin8", "binscan8", "bincompact8",
-              "tilescan")
+              "tilescan", "autoscan")
 #: Modes mode="auto" actually contests. The int8 Pallas modes stay OUT
 #: until they are Mosaic-validated on hardware
 #: (scripts/chip_session_r3n.py) — an unvalidated Pallas kernel can
@@ -116,9 +116,10 @@ if not _tilescan_gate_open():
         m for m in AUTO_CONTEST_MODES if m != "tilescan"
     )
 #: Modes served from the original-row-order bf16 searcher (full scans
-#: collide on cluster-sorted layouts — CLAUDE.md).
+#: collide on cluster-sorted layouts — CLAUDE.md). autoscan routes between
+#: scan and binscan, both of which live here.
 ORIG_ORDER_MODES = ("scan", "binscan", "xbin", "xbin8", "binscan8",
-                    "tilescan")
+                    "tilescan", "autoscan")
 #: Probed-union (batch-union candidate) IVF modes.
 UNION_MODES = ("compact", "bincompact", "bincompact8")
 #: Modes whose scan traffic is int8 codes (1 byte/element).
@@ -545,7 +546,9 @@ def main():
         # ~1 ms/batch at reps=25 — session r4d's wrapper-overhead gap).
         qb = jax.device_put(np.ascontiguousarray(qb, dtype=np.float32))
         s_m = mode_searcher(mode)
-        if mode == "scan" and scan_tuned[0] is not None:
+        # autoscan's healthy route IS scan, so it serves (and is measured)
+        # with scan's tuned (recall_target, fetch) knobs.
+        if mode in ("scan", "autoscan") and scan_tuned[0] is not None:
             s_m.approx_recall_target, s_m.scan_overfetch = scan_tuned[0]
         else:
             s_m.approx_recall_target = 0.99
@@ -579,7 +582,10 @@ def main():
         def _measure_one_mode(mode):
             if mode in UNION_MODES + SCAN_MODES:
                 s_m = mode_searcher(mode)
-                if mode != "scan":
+                if mode == "autoscan" and scan_tuned[0] is not None:
+                    # Probe recall with the same knobs serving will use.
+                    s_m.approx_recall_target, s_m.scan_overfetch = scan_tuned[0]
+                elif mode != "scan":
                     s_m.scan_overfetch = 0  # recall probe at default width
                 if mode == "scan":
                     # Tune (recall_target, fetch width) to the fastest
@@ -726,17 +732,23 @@ def main():
                         best_mode, qps = f"{best_b}@b{big_b}", bq[best_b]
         log(f"headline QPS: {qps:.0f} ({best_mode})")
         floor_qps = floor_batch = None
+        floor_by_batch: dict[str, float] = {}
         if not args.smoke:
             rng_f = np.random.default_rng(17)
             floor_batch = min(4096, args.rows)
-            fq = emb[rng_f.integers(0, args.rows, floor_batch)].astype(
-                np.float32
-            )
-            floor_qps = measure_floor_qps(jax, scan_searcher, fq)
-            log(
-                f"window floor (matmul+min @ B={floor_batch}): "
-                f"{floor_qps:.0f} QPS"
-            )
+            # Same-window floor at EVERY contested batch size (round-4
+            # VERDICT item 1): served/floor is only meaningful against the
+            # floor at the SAME B — the fixed per-dispatch costs that
+            # amortize at B=8192 also depress the floor at B=256, and that
+            # difference is exactly what the per-rung fraction must show.
+            for fb in sorted({int(b) for b in batch_qps} | {floor_batch}):
+                fq = emb[rng_f.integers(0, args.rows, fb)].astype(
+                    np.float32
+                )
+                f = measure_floor_qps(jax, scan_searcher, fq)
+                floor_by_batch[str(fb)] = round(f, 1)
+                log(f"window floor (matmul+min @ B={fb}): {f:.0f} QPS")
+            floor_qps = floor_by_batch.get(str(floor_batch))
     else:  # gather/masked: one dispatch per batch
         ivf_loop = lambda q, r: _repeat_dispatch(
             lambda qq: searcher.search(qq, args.k, chosen, mode=args.mode), q, r
@@ -795,6 +807,18 @@ def main():
                 floor_qps, floor_batch, args.rows, args.dim, elem_bytes,
                 peak_flops, peak_bw
             )["mfu"]
+        if floor_by_batch:
+            result["floor_qps_by_batch"] = floor_by_batch
+            # Served fraction of the same-batch-size floor, per rung — only
+            # for full-scan serving modes (an IVF mode scores a probed
+            # subset; comparing it to a full-scan floor would be
+            # apples-to-oranges).
+            result["served_floor_frac"] = {
+                b: round(batch_qps[b] / floor_by_batch[b], 3)
+                for b in batch_qps
+                if b in floor_by_batch and floor_by_batch[b] > 0
+                and batch_mode.get(b) in SCAN_MODES
+            }
         result["b256_qps"] = round(qps256, 1)
         result["batch_qps"] = batch_qps
         result["batch_mfu"] = {
