@@ -596,6 +596,67 @@ def _tilescan_auto_chunk(b: int, n_pad: int, tile: int, chunk_rows: int) -> int:
     return max(tile, (_TILESCAN_FUSE_BUDGET // max(1, b * 4)) // tile * tile)
 
 
+def _tile_min_keys(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    tile: int,  # rows per tile; power of two dividing n_pad
+    chunk_rows: int = 0,  # rows per scan step (0 = one fused call)
+):
+    """[B, n_pad/tile] packed per-tile min keys (shared pass 1 of tilescan
+    and cert — see _exact_tilescan_impl for the packing and fusion notes).
+
+    Each int32 key carries the f32 partial distance in its high bits
+    (low ``log2(tile)`` mantissa bits cleared — a DOWNWARD rounding for
+    the non-negative values, which is what makes the key a LOWER bound
+    usable by the cert mode's completeness certificate) and the winning
+    row's within-tile offset in the low bits.
+    """
+    b = q.shape[0]
+    n_pad, d = emb.shape
+    nt = n_pad // tile
+    bits = max(1, (tile - 1).bit_length())
+    low = jnp.int32((1 << bits) - 1)
+    mask = ~low
+    # Fold the -2 of |x|^2 - 2 q.x into the query operand: one fewer VPU
+    # op per score element in the epilogue that must hide under the MXU.
+    qf2 = (-2.0 * q).astype(emb.dtype)
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
+    prec = score_precision(qf2.dtype, emb.dtype, jnp.float32)
+
+    def block_mins(e_blk, s_blk):
+        g = e_blk.shape[0] // tile
+        scores = jnp.dot(
+            qf2, e_blk.T, preferred_element_type=jnp.float32, precision=prec
+        )
+        # True squared distance (>= 0 up to rounding): non-negative f32
+        # bitcasts to order-isomorphic int32. A value rounding slightly
+        # negative (duplicate row) wins its tile — correct selection.
+        part = s_blk[None, :] + scores + qsq[:, None]
+        keys = jax.lax.bitcast_convert_type(part, jnp.int32)
+        off = jnp.arange(e_blk.shape[0], dtype=jnp.int32) & low
+        keys = (keys & mask) | off[None, :]
+        return jnp.min(keys.reshape(b, g, tile), axis=2)  # [b, g]
+
+    step_rows = _tilescan_auto_chunk(b, n_pad, tile, chunk_rows)
+    if step_rows and step_rows < n_pad:
+        sr = max(tile, step_rows // tile * tile)
+        while n_pad % sr:  # largest tile-multiple divisor of n_pad
+            sr -= tile
+        ns = n_pad // sr
+
+        def step(_, xs):
+            e_blk, s_blk = xs
+            return None, block_mins(e_blk, s_blk)
+
+        _, ys = jax.lax.scan(
+            step, None,
+            (emb.reshape(ns, sr, d), emb_sq.reshape(ns, sr)),
+        )  # ys [ns, b, sr/tile]
+        return jnp.transpose(ys, (1, 0, 2)).reshape(b, nt)
+    return block_mins(emb, emb_sq)  # [B, nt]
+
+
 def _exact_tilescan_impl(
     q: jnp.ndarray,  # [B, d] f32
     emb: jnp.ndarray,  # [n_pad, d]
@@ -639,49 +700,12 @@ def _exact_tilescan_impl(
     /root/reference/src/ivf/search.rs:100-127.
     """
     b = q.shape[0]
-    n_pad, d = emb.shape
+    n_pad = emb.shape[0]
     nt = n_pad // tile
     bits = max(1, (tile - 1).bit_length())
     low = jnp.int32((1 << bits) - 1)
     mask = ~low
-    # Fold the -2 of |x|^2 - 2 q.x into the query operand: one fewer VPU
-    # op per score element in the epilogue that must hide under the MXU.
-    qf2 = (-2.0 * q).astype(emb.dtype)
-    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
-    prec = score_precision(qf2.dtype, emb.dtype, jnp.float32)
-
-    def block_mins(e_blk, s_blk):
-        g = e_blk.shape[0] // tile
-        scores = jnp.dot(
-            qf2, e_blk.T, preferred_element_type=jnp.float32, precision=prec
-        )
-        # True squared distance (>= 0 up to rounding): non-negative f32
-        # bitcasts to order-isomorphic int32. A value rounding slightly
-        # negative (duplicate row) wins its tile — correct selection.
-        part = s_blk[None, :] + scores + qsq[:, None]
-        keys = jax.lax.bitcast_convert_type(part, jnp.int32)
-        off = jnp.arange(e_blk.shape[0], dtype=jnp.int32) & low
-        keys = (keys & mask) | off[None, :]
-        return jnp.min(keys.reshape(b, g, tile), axis=2)  # [b, g]
-
-    step_rows = _tilescan_auto_chunk(b, n_pad, tile, chunk_rows)
-    if step_rows and step_rows < n_pad:
-        sr = max(tile, step_rows // tile * tile)
-        while n_pad % sr:  # largest tile-multiple divisor of n_pad
-            sr -= tile
-        ns = n_pad // sr
-
-        def step(_, xs):
-            e_blk, s_blk = xs
-            return None, block_mins(e_blk, s_blk)
-
-        _, ys = jax.lax.scan(
-            step, None,
-            (emb.reshape(ns, sr, d), emb_sq.reshape(ns, sr)),
-        )  # ys [ns, b, sr/tile]
-        binmins = jnp.transpose(ys, (1, 0, 2)).reshape(b, nt)
-    else:
-        binmins = block_mins(emb, emb_sq)  # [B, nt]
+    binmins = _tile_min_keys(q, emb, emb_sq, tile, chunk_rows)
     k_fetch = min(
         max(k, overfetch) if overfetch else
         (max(4 * k, 64) if k <= 32 else 2 * k),
@@ -697,6 +721,184 @@ def _exact_tilescan_impl(
         q, emb if emb_ref is None else emb_ref, val, rows, k
     )
     return d2[:, :k], ids[:, :k]
+
+
+def _topk_min_wide(keys: jnp.ndarray, m: int, chunk: int = 65536):
+    """Ascending top-m of an int32 key table, chunked to <= ``chunk``
+    columns per lax.top_k call (a k=10 top_k over 1M columns hung the
+    backend for 20 minutes — CLAUDE.md; 10M rows at tile=128 is a 78k-wide
+    table). Returns (keys [B, m] ascending, column indices [B, m])."""
+    b, nt = keys.shape
+    m = min(m, nt)
+    if nt <= chunk:
+        neg, idx = jax.lax.top_k(-keys, m)
+        return -neg, idx
+    parts_v, parts_i = [], []
+    for s in range(0, nt, chunk):
+        blk = keys[:, s : s + chunk]
+        mm = min(m, blk.shape[1])
+        neg, idx = jax.lax.top_k(-blk, mm)
+        parts_v.append(-neg)
+        parts_i.append(idx + s)
+    v = jnp.concatenate(parts_v, axis=1)
+    i = jnp.concatenate(parts_i, axis=1)
+    neg, pos = jax.lax.top_k(-v, m)
+    return -neg, jnp.take_along_axis(i, pos, axis=1)
+
+
+#: One-shot candidate-scoring budget for mode="cert": the fused
+#: [B, m*tile] score block (plus its [B, m*tile, d] gather) stays a single
+#: einsum while under this many bytes; beyond it the scoring runs as a
+#: lax.scan over the selected tiles with a running top-k merge (bounded
+#: temps — the B=8192 x 20-tile gather would otherwise stage ~10.7 GB).
+_CERT_FUSE_BUDGET = int(
+    os.environ.get("PQVECTOR_TPU_CERT_FUSE_BUDGET", 2 << 30)
+)
+
+
+def _exact_cert_impl(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d] storage (fallback-path scoring)
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad; norms of the f32 rows)
+    k: int,
+    tile: int,  # rows per tile; power of two dividing n_pad
+    fallback_tile: int,  # XLA-merge tile for the uncertified fallback
+    m_tiles: int = 0,  # tiles fetched per query (0 = auto: max(2k, 16))
+    chunk_rows: int = 0,
+    emb_ref: jnp.ndarray | None = None,  # f32 reference (None: emb is it)
+):
+    """Certified-exact full scan: tile-min lower bounds, whole-tile refine,
+    and a completeness certificate with an in-dispatch exact fallback.
+
+    The exact path has been ~flat for three rounds (~30k QPS: one HBM pass
+    + running top-k merge) while the near-exact scans serve 5-6x that.
+    This mode closes the gap with a provably-complete two-pass:
+
+    1. Pass 1 scores every row at REFERENCE precision (``emb_ref`` when
+       held, else ``emb``; f32 operands multiply at HIGHEST — see
+       score_precision) and folds each ``tile``-row group to a packed
+       min key (_tile_min_keys). Clearing the provenance bits rounds the
+       non-negative value DOWN, so each tile's unpacked key value is a
+       lower bound on the pass-1 score of every row in the tile.
+    2. The m best tiles per query are gathered WHOLE (unlike tilescan,
+       which keeps only the argmin — hence no cluster-sorted hazard here;
+       co-located neighbors are all in the gathered candidate set), scored
+       at reference precision, and the winners f32-refined exactly
+       (_refine_and_sort).
+    3. Certificate: let T = the (m+1)-th best tile-min value — no row in
+       any UNEXAMINED tile can beat T by more than the arithmetic slack E
+       (f32/HIGHEST matmul accumulation + key round-down; see below). If
+       every query's k-th refined distance <= T - E, the result provably
+       equals the full exact top-k; otherwise ONE lax.cond branch re-runs
+       the whole batch through the streaming exact merge
+       (_exact_topk_impl) — recall 1.0 either way, never silently
+       degraded.
+
+    Slack model: pass-1 partials are |x|^2 - 2 q.x + |q|^2 with f32
+    accumulation and HIGHEST-precision multiplies, so the error vs the
+    refine's direct-difference f32 truth is bounded by ~gamma_d * (|q|^2 +
+    max|x|^2) with gamma_d ~ d * 2^-24; E uses max(d, 128) * 2^-21 — a
+    >= 8x-headroom envelope that also covers the refine's own rounding
+    and the emb_sq summation. The key round-down (<= 2^-17 relative at
+    tile=128) only LOWERS T, which is the safe direction. When ``emb``
+    is reduced-precision WITHOUT a reference (rescore opt-out), pass-1
+    mixes f32 norms with storage-precision scores, so E additionally
+    carries a 2^-8 * (|q|^2 + max|x|^2) storage term — certificates then
+    rarely fire on tightly clustered data; hold a reference for cert.
+
+    m defaults to max(2k, 16): a tile's min beats the true d_k only if
+    the tile CONTAINS a row closer than d_k — i.e. at most k tiles (plus
+    any rows within E of d_k) can rank above the certificate threshold,
+    so 2k tiles certify unless E-neighborhood ties exceed k extra tiles.
+
+    Reference ground-truth role anchor: /root/reference/benches/query.rs:76-103.
+    """
+    b, d = q.shape
+    ref = emb_ref if emb_ref is not None else emb
+    n_pad = ref.shape[0]
+    nt = n_pad // tile
+    m = m_tiles if m_tiles else max(2 * k, 16)
+    m = min(m, nt)
+
+    binmins = _tile_min_keys(q, ref, emb_sq, tile, chunk_rows)
+    bits = max(1, (tile - 1).bit_length())
+    low = jnp.int32((1 << bits) - 1)
+    mask = ~low
+
+    keys, tidx = _topk_min_wide(binmins, m + 1 if m < nt else m)
+    if m < nt:
+        t_val = jax.lax.bitcast_convert_type(keys[:, m] & mask, jnp.float32)
+        tidx = tidx[:, :m]
+
+    # Gather the m selected tiles whole and score at reference precision.
+    qf = q.astype(ref.dtype)
+    prec = score_precision(qf.dtype, ref.dtype)
+    kf = min(2 * k, m * tile) if emb_ref is not None else min(k, m * tile)
+    rows_all = (
+        tidx[:, :, None] * tile
+        + jnp.arange(tile, dtype=jnp.int32)[None, None, :]
+    )  # [B, m, tile]
+    if b * m * tile * (d + 1) * 4 <= _CERT_FUSE_BUDGET:
+        rows = rows_all.reshape(b, m * tile)
+        cand = ref[rows]  # [B, m*tile, d]
+        scores = jnp.einsum(
+            "bd,bcd->bc", qf, cand,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        part = emb_sq[rows] - 2.0 * scores
+        neg, pos = jax.lax.top_k(-part, kf)
+        best_d = -neg
+        best_i = jnp.take_along_axis(rows, pos, axis=1)
+    else:
+
+        def step(carry, rows_t):  # rows_t [B, tile]
+            cd, ci = carry
+            xt = ref[rows_t]  # [B, tile, d]
+            scores = jnp.einsum(
+                "bd,btd->bt", qf, xt,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            part = emb_sq[rows_t] - 2.0 * scores
+            all_d = jnp.concatenate([cd, part], axis=1)
+            all_i = jnp.concatenate([ci, rows_t], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, kf)
+            return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+        init = (
+            jnp.full((b, kf), jnp.inf, jnp.float32),
+            jnp.full((b, kf), -1, jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(
+            step, init, rows_all.transpose(1, 0, 2)
+        )
+    if kf < k:  # k exceeds the candidate width (tiny arrays): inf-pad
+        best_d = jnp.concatenate(
+            [best_d, jnp.full((b, k - kf), jnp.inf, jnp.float32)], axis=1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.full((b, k - kf), -1, jnp.int32)], axis=1
+        )
+    d2, ids = _refine_and_sort(q, ref, best_d, best_i, k)
+    d2, ids = d2[:, :k], ids[:, :k]
+    if m >= nt:
+        return d2, ids  # every tile examined: complete by construction
+
+    # Completeness certificate (slack model in the docstring). T = +inf
+    # (only padding unexamined) certifies everything, including queries
+    # with fewer than k real candidates (inf <= inf).
+    qsq = jnp.sum(q * q, axis=1)  # [B] f32
+    max_sq = jnp.max(jnp.where(jnp.isfinite(emb_sq), emb_sq, 0.0))
+    c_mm = max(d, 128) * 2.0**-21
+    if emb_ref is None and ref.dtype != jnp.float32:
+        c_mm += 2.0**-8  # storage-precision pass-1 (rescore opt-out)
+    ok = jnp.all(d2[:, k - 1] <= t_val - c_mm * (qsq + max_sq))
+    return jax.lax.cond(
+        ok,
+        lambda: (d2, ids),
+        lambda: _exact_topk_impl(
+            q, emb, emb_sq, k, fallback_tile, emb_ref=emb_ref
+        ),
+    )
 
 
 def _ivf_approx_masked_impl(
@@ -1169,6 +1371,11 @@ class DeviceIvfSearcher:
         # floor-shaped fast path).
         self.tilescan_tile = 0
         self.tilescan_chunk_rows = 0
+        # mode="cert" knob: tiles gathered WHOLE per query for the
+        # certified-exact scan (0 = auto: max(2k, 16)). Wider = stronger
+        # certificates (fewer exact-fallback batches) at more gather
+        # traffic; the tile size itself reuses tilescan_tile / auto-128.
+        self.cert_fetch_tiles = 0
         # Where the chained-loop APIs run the f32 re-score when a
         # reference is held: "auto" defers it past the lax.scan body once
         # the body's while-carry copies (storage + reference, doubled —
@@ -1474,6 +1681,15 @@ class DeviceIvfSearcher:
                 tile=self._tilescan_tile_checked(k),
                 chunk_rows=self.tilescan_chunk_rows,
                 overfetch=self.scan_overfetch,
+                emb_ref=self._ref(),
+            )
+        elif mode == "cert":
+            d2, ids = _exact_cert(
+                q, self.emb, self.emb_sq, k,
+                tile=self._cert_tile_checked(k),
+                fallback_tile=self.row_tile,
+                m_tiles=self.cert_fetch_tiles,
+                chunk_rows=self.tilescan_chunk_rows,
                 emb_ref=self._ref(),
             )
         else:
@@ -1802,6 +2018,17 @@ class DeviceIvfSearcher:
                 overfetch=self.scan_overfetch,
                 emb_ref=self._ref(),
             )
+        elif mode == "cert":
+            # Serving mode: certified-exact full scan (recall 1.0 with an
+            # in-dispatch fallback — see _exact_cert_impl), nprobe ignored.
+            d2, ids = _exact_cert(
+                q, self.emb, self.emb_sq, k,
+                tile=self._cert_tile_checked(k),
+                fallback_tile=self.row_tile,
+                m_tiles=self.cert_fetch_tiles,
+                chunk_rows=self.tilescan_chunk_rows,
+                emb_ref=self._ref(),
+            )
         elif mode == "gather":
             d2, ids = _ivf_topk(
                 q,
@@ -2126,13 +2353,20 @@ class DeviceIvfSearcher:
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "masked", "approx",
                         "scan", "compact", "binscan", "bincompact", "xbin",
-                        "binscan8", "bincompact8", "tilescan"):
+                        "binscan8", "bincompact8", "tilescan", "cert"):
             # NOT the search() catalogue: "gather" has no chained-loop
             # path — silently running a different kernel here would
             # mis-time it (the autotune/gather lesson).
             raise ValidationError(f"Unknown search_loop mode '{mode}'")
         defer_k = 0
         if self._loop_defer_rescore():
+            if mode == "cert":
+                raise ValidationError(
+                    "mode='cert' needs the f32 reference inside the loop "
+                    "body, but this array is in the deferred-re-score "
+                    "regime (see exact_loop); use mode='scan'/'binscan' "
+                    "or single-dispatch search(mode='cert')"
+                )
             # Widened selection at storage precision inside the loop; one
             # f32 refine of the last rep's winners after it (see
             # _loop_defer_rescore — the >=12M while-carry OOM).
@@ -2178,6 +2412,7 @@ class DeviceIvfSearcher:
         use_bincompact = mode in ("bincompact", "bincompact8")
         use_xbin = mode == "xbin"
         use_tilescan = mode == "tilescan"
+        use_cert = mode == "cert"
         use_i8 = mode in ("binscan8", "bincompact8")
         esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
@@ -2186,7 +2421,7 @@ class DeviceIvfSearcher:
         use_local = (use_stream or self._use_local_mask(tile_p, q.shape[0])) \
             and not (use_approx or use_scan or use_xla or use_compact
                      or use_binscan or use_bincompact or use_xbin
-                     or use_tilescan)
+                     or use_tilescan or use_cert)
         if use_local:
             lcl, tc, cmax = self._tile_cluster_table(tile_p)
         else:
@@ -2226,7 +2461,7 @@ class DeviceIvfSearcher:
             self.emb,
             self._pallas_emb_sq()
             if not (use_approx or use_scan or use_xla or use_compact
-                    or use_xbin or use_tilescan)
+                    or use_xbin or use_tilescan or use_cert)
             else self.emb_sq,
             jnp.int32(nprobe),
         )
@@ -2278,8 +2513,12 @@ class DeviceIvfSearcher:
                 self._tilescan_tile_checked(k) if use_tilescan else 0
             ),
             tilescan_chunk=(
-                self.tilescan_chunk_rows if use_tilescan else 0
+                self.tilescan_chunk_rows
+                if (use_tilescan or use_cert) else 0
             ),
+            use_cert=use_cert,
+            cert_tile=self._cert_tile_checked(k) if use_cert else 0,
+            cert_m=self.cert_fetch_tiles if use_cert else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
@@ -2300,10 +2539,22 @@ class DeviceIvfSearcher:
         if mode == "xbin8":
             return self._xbin8_loop_call(q, k, reps)
         if mode not in ("auto", "stream", "pallas", "xla", "approx",
-                        "binscan", "xbin", "binscan8", "tilescan"):
+                        "binscan", "xbin", "binscan8", "tilescan", "cert"):
             raise ValidationError(f"Unknown exact_loop mode '{mode}'")
         defer_k = 0
         if self._loop_defer_rescore():
+            if mode == "cert":
+                # cert's pass 1 runs ON the f32 reference, which the
+                # deferred-re-score regime exists to keep out of the loop
+                # body (the >=12M while-carry copy OOM). Refuse clearly
+                # rather than compile a guaranteed HBM blowup.
+                raise ValidationError(
+                    "mode='cert' needs the f32 reference inside the loop "
+                    "body, but this array is in the deferred-re-score "
+                    "regime (reference held out of the lax.scan carry to "
+                    "fit HBM); use mode='xla'/'stream' or single-dispatch "
+                    "exact(mode='cert')"
+                )
             defer_k, k = k, min(2 * k, int(self.emb.shape[0]))
         if mode == "auto":
             mode = "stream" if k <= 128 else "pallas"
@@ -2313,6 +2564,7 @@ class DeviceIvfSearcher:
         use_xbin = mode == "xbin"
         use_xla = mode == "xla"
         use_tilescan = mode == "tilescan"
+        use_cert = mode == "cert"
         use_i8 = mode == "binscan8"
         esz = 1 if use_i8 else None
         tile_p = self._pallas_tile(
@@ -2322,7 +2574,8 @@ class DeviceIvfSearcher:
             q,
             self.emb,
             self.emb_sq
-            if (use_approx or use_xbin or use_xla or use_tilescan)
+            if (use_approx or use_xbin or use_xla or use_tilescan
+                or use_cert)
             else self._pallas_emb_sq(),
             k=k,
             tile=tile_p,
@@ -2353,8 +2606,12 @@ class DeviceIvfSearcher:
                 self._tilescan_tile_checked(k) if use_tilescan else 0
             ),
             tilescan_chunk=(
-                self.tilescan_chunk_rows if use_tilescan else 0
+                self.tilescan_chunk_rows
+                if (use_tilescan or use_cert) else 0
             ),
+            use_cert=use_cert,
+            cert_tile=self._cert_tile_checked(k) if use_cert else 0,
+            cert_m=self.cert_fetch_tiles if use_cert else 0,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
             use_xla=use_xla,
@@ -2474,6 +2731,39 @@ class DeviceIvfSearcher:
         except ValidationError:
             return False
         return True
+
+    def can_cert(self, k: int = 10) -> bool:
+        """Whether the certified-exact scan supports this array/k."""
+        try:
+            self._cert_tile_checked(self._spill_k(k))
+        except ValidationError:
+            return False
+        return True
+
+    def _cert_tile_checked(self, k: int) -> int:
+        """Tile size for mode="cert": tilescan's geometry WITHOUT its
+        cluster-sorted hazard gate — cert gathers the selected tiles whole,
+        so co-located true neighbors all enter the candidate set (a sorted
+        layout actually certifies more easily: the top-k rows concentrate
+        in fewer tiles)."""
+        n_pad = int(self.emb.shape[0])
+        t = int(self.tilescan_tile)
+        if not t:  # auto: 128, shrunk while k exceeds the tile count
+            t = min(n_pad & -n_pad, 128)
+            while t > 2 and k > n_pad // t:
+                t //= 2
+        if t < 2 or n_pad % t or (t & (t - 1)):
+            raise ValidationError(
+                f"cert tile={t} invalid for n_pad={n_pad}: must be a "
+                "power of two >= 2 dividing the padded row count"
+            )
+        if (t - 1).bit_length() > PROVENANCE_BITS_MAX:
+            raise ValidationError(
+                f"cert tile={t} spends {(t - 1).bit_length()} provenance "
+                f"bits (max {PROVENANCE_BITS_MAX}): too few value mantissa "
+                "bits for a sound lower-bound key"
+            )
+        return t
 
     def _tilescan_tile_checked(self, k: int) -> int:
         if self._row_cluster_sorted:
@@ -2929,7 +3219,8 @@ class DeviceIvfSearcher:
         "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
         "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
         "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
-        "tilescan_chunk", "n_valid", "defer_k",
+        "tilescan_chunk", "use_cert", "cert_tile", "cert_m",
+        "n_valid", "defer_k",
     ),
 )
 def _masked_pallas_loop(
@@ -2940,7 +3231,8 @@ def _masked_pallas_loop(
     tile_hi=None, max_cluster_tiles=0, use_binscan=False, binscan_tile=0,
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
     xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
-    tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
+    tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
+    emb_i8=None, i8_scale=None, emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
@@ -3007,6 +3299,12 @@ def _masked_pallas_loop(
                 chunk_rows=tilescan_chunk, overfetch=overfetch,
                 emb_ref=body_ref,
             )
+        if use_cert:
+            return _exact_cert_impl(
+                q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
+                m_tiles=cert_m, chunk_rows=tilescan_chunk,
+                emb_ref=body_ref,
+            )
         if use_scan:
             return _exact_approx_topk_impl(
                 q, emb, emb_sq, k=k, chunk=chunk,
@@ -3060,6 +3358,7 @@ def _masked_pallas_loop(
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
                      "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
                      "use_tilescan", "tilescan_tile", "tilescan_chunk",
+                     "use_cert", "cert_tile", "cert_m",
                      "n_valid", "defer_k"),
 )
 def _exact_pallas_loop(
@@ -3067,7 +3366,8 @@ def _exact_pallas_loop(
     recall_target, score_dtype, subtiles, interpret, use_binscan=False,
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
     xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
-    tilescan_chunk=0, emb_i8=None, i8_scale=None, emb_ref=None,
+    tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
+    emb_i8=None, i8_scale=None, emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
@@ -3103,6 +3403,12 @@ def _exact_pallas_loop(
             d2, ids = _exact_tilescan_impl(
                 q, emb, emb_sq, k=k, tile=tilescan_tile,
                 chunk_rows=tilescan_chunk, overfetch=overfetch,
+                emb_ref=body_ref,
+            )
+        elif use_cert:
+            d2, ids = _exact_cert_impl(
+                q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
+                m_tiles=cert_m, chunk_rows=tilescan_chunk,
                 emb_ref=body_ref,
             )
         elif use_approx:
@@ -3149,6 +3455,10 @@ _exact_xbin8 = jax.jit(
 _exact_tilescan = jax.jit(
     _exact_tilescan_impl,
     static_argnames=("k", "tile", "chunk_rows", "overfetch"),
+)
+_exact_cert = jax.jit(
+    _exact_cert_impl,
+    static_argnames=("k", "tile", "fallback_tile", "m_tiles", "chunk_rows"),
 )
 
 
