@@ -57,8 +57,20 @@ def _shard_search_body(
     ``shard_fn(q, *locals) -> (d2, local_ids)`` runs on ONE shard.
     ``operands`` are its shard arguments with the global-id map first;
     ``specs`` their PartitionSpecs; ``rows_local`` bounds the local-id clip.
+
+    When the searcher holds a sharded f32 re-score reference
+    (``dtype=bfloat16, rescore_dtype="auto"`` — the DeviceIvfSearcher
+    rescore design at dist scale), each shard re-scores its OWN winners
+    against its local f32 rows in direct-difference form BEFORE the
+    all-gather, so the merge ranks f32-exact distances and the ICI bytes
+    are unchanged ([n_dev, B, k] either way).
     """
     mesh, dim, n_total = searcher.mesh, searcher.dim, searcher.n
+    ref = getattr(searcher, "_emb_ref", None)
+    has_ref = ref is not None
+    if has_ref:
+        operands = (operands[0], ref) + tuple(operands[1:])
+        specs = (specs[0], P(DATA_AXIS)) + tuple(specs[1:])
 
     @functools.partial(
         shard_map,
@@ -68,13 +80,18 @@ def _shard_search_body(
         check_vma=False,
     )
     def run(q0, gid_local, *rest):
+        if has_ref:
+            ref_local, *rest = rest
+
         def one(q):
             d2, local_ids = shard_fn(q, *rest)
-            gids = jnp.where(
-                local_ids >= 0,
-                gid_local[jnp.clip(local_ids, 0, rows_local - 1)],
-                -1,
-            )
+            safe = jnp.clip(local_ids, 0, rows_local - 1)
+            if has_ref:
+                diff = ref_local[safe] - q[:, None, :]
+                d2 = jnp.where(
+                    local_ids >= 0, jnp.sum(diff * diff, axis=-1), jnp.inf
+                )
+            gids = jnp.where(local_ids >= 0, gid_local[safe], -1)
             d2 = jnp.where(gids < 0, jnp.inf, d2)
             d2_all = jax.lax.all_gather(d2, gather_axes)
             ids_all = jax.lax.all_gather(gids, gather_axes)
@@ -213,11 +230,20 @@ class DistributedIvfSearcher:
         mesh=None,
         tile: int = 1024,
         orig_ids: np.ndarray | None = None,
+        dtype=None,
+        rescore_dtype="auto",
     ):
         """``orig_ids`` (spilled layouts, query/spill.py): maps each row of
         ``embeddings`` to the ORIGINAL row it copies; searches then return
         original ids and dedup (rows may appear twice, possibly on two
-        different shards — the all-gather merge sees both)."""
+        different shards — the all-gather merge sees both).
+
+        ``dtype`` stores the sharded scan array reduced (bfloat16 halves
+        the per-shard HBM traffic); ``rescore_dtype="auto"`` then keeps a
+        sharded f32 reference and every search path re-scores its local
+        winners against it before the all-gather merge (real-data neighbor
+        margins sit below 2^-8 — tests/test_rescore.py); ``None`` opts
+        out."""
         self._spill_dups = orig_ids is not None
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
@@ -299,7 +325,16 @@ class DistributedIvfSearcher:
         self._nt_local = nt_local
 
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        self.emb = jax.device_put(emb_blocks.reshape(n_dev * rows_per_dev, d), sharding)
+        emb_flat = emb_blocks.reshape(n_dev * rows_per_dev, d)
+        self._emb_ref = None
+        if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+            if rescore_dtype is not None:
+                self._emb_ref = jax.device_put(emb_flat, sharding)
+                self.emb = self._emb_ref.astype(dtype)
+            else:
+                self.emb = jax.device_put(emb_flat, sharding).astype(dtype)
+        else:
+            self.emb = jax.device_put(emb_flat, sharding)
         self.emb_sq = jax.device_put(sq_blocks.reshape(-1), sharding)
         # Finite sentinel copy for the Pallas kernels (inf poisons 0*inf).
         self.emb_sq_pallas = jax.device_put(
@@ -332,6 +367,18 @@ class DistributedIvfSearcher:
         self._rows_per_dev = rows_per_dev
         self._emb_i8 = None  # lazy per-shard int8 codes for search_xbin8
         self._emb_i8_scale = None
+        # Dynamic-update state (device.py analog at dist scale): host copy
+        # of the global-id map (delete scatters need layout positions), a
+        # tombstone bitmap over the id domain, and a small replicated
+        # append buffer merged on the host side of the numpy API boundary.
+        self._gids_host = gid_blocks.reshape(-1).copy()
+        self._id_domain = int(
+            (orig_ids.max() + 1) if (orig_ids is not None and len(orig_ids))
+            else n
+        )
+        self._deleted_host = None
+        self._delta_host: list = []
+        self._delta = None  # (x [m, d] f32, sq [m], gid [m]) host numpy
 
     @classmethod
     def with_spill(
@@ -343,6 +390,8 @@ class DistributedIvfSearcher:
         tile: int = 1024,
         assign_block: int = 65536,
         assign_dtype=jnp.float32,
+        dtype=None,
+        rescore_dtype="auto",
     ) -> "DistributedIvfSearcher":
         """Row-sharded searcher over a SPILLED layout (query/spill.py):
         the ``spill`` fraction of smallest-runner-up-margin rows is
@@ -357,7 +406,10 @@ class DistributedIvfSearcher:
             index, embeddings, spill,
             block=assign_block, assign_dtype=assign_dtype,
         )
-        return cls(ext_index, ext_emb, mesh=mesh, tile=tile, orig_ids=gid)
+        return cls(
+            ext_index, ext_emb, mesh=mesh, tile=tile, orig_ids=gid,
+            dtype=dtype, rescore_dtype=rescore_dtype,
+        )
 
     def _search_impl(self, queries: np.ndarray, k: int, nprobe: int):
         q = np.asarray(queries, dtype=np.float32)
@@ -371,25 +423,39 @@ class DistributedIvfSearcher:
         qs = jax.device_put(q, NamedSharding(self.mesh, P()))
         tile = min(self.tile, self._rows_per_dev)
 
+        has_ref = self._emb_ref is not None
+        ref_ops = (self._emb_ref,) if has_ref else ()
+
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(), P())
+            + ((P(DATA_AXIS),) if has_ref else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(q, emb_local, sq_local, gid_local, table_local, centroids, c_sq):
+        def run(q, emb_local, sq_local, gid_local, table_local, centroids,
+                c_sq, *ref_local):
             d2, local_ids = _ivf_topk_impl(
                 q, centroids, c_sq, table_local, emb_local, sq_local, k, nprobe, tile
             )
-            gids = jnp.where(local_ids >= 0, gid_local[local_ids], -1)
+            safe = jnp.clip(local_ids, 0, emb_local.shape[0] - 1)
+            if ref_local:  # f32 re-score of local winners (see
+                # _shard_search_body — same design, pre-merge)
+                diff = ref_local[0][safe] - q[:, None, :]
+                d2 = jnp.where(
+                    local_ids >= 0, jnp.sum(diff * diff, axis=-1), jnp.inf
+                )
+            gids = jnp.where(local_ids >= 0, gid_local[safe], -1)
             d2 = jnp.where(gids < 0, jnp.inf, d2)
             d2_all = jax.lax.all_gather(d2, DATA_AXIS)
             ids_all = jax.lax.all_gather(gids, DATA_AXIS)
             return _merge_gathered(d2_all, ids_all)
 
         d2, ids = jax.jit(run)(
-            qs, self.emb, self.emb_sq, self.gids, self.tables, self.centroids, self.c_sq
+            qs, self.emb, self.emb_sq, self.gids, self.tables,
+            self.centroids, self.c_sq, *ref_ops
         )
         ids = np.asarray(ids)
         d2 = np.asarray(d2)
@@ -905,12 +971,134 @@ class DistributedIvfSearcher:
     # ------------------------------------------------------------------
 
     def _spill_dedup(self, fn, queries, k, *args, **kwargs):
+        # Widened fetch under a re-score reference (the single-device
+        # rescore design, CLAUDE.md): per-shard bf16 selection can misrank
+        # inside its 2^-8 window, so each shard fetches 2k f32-refined
+        # candidates and the merge keeps the global best k.
+        fetch = 2 * k if self._emb_ref is not None else k
         if not self._spill_dups:
-            return fn(queries, k, *args, **kwargs)
-        from ..query.spill import dedup_topk_np
+            d, ids = fn(queries, fetch, *args, **kwargs)
+            d, ids = d[:, :k], ids[:, :k]
+        else:
+            from ..query.spill import dedup_topk_np
 
-        d, ids = fn(queries, 2 * k, *args, **kwargs)
-        return dedup_topk_np(d, ids, k)
+            d, ids = fn(queries, 2 * fetch, *args, **kwargs)
+            d, ids = dedup_topk_np(d, ids, k)
+        return self._finalize_dyn(queries, d, ids, k)
+
+    # ------------------------------------------------------------------
+    # Dynamic updates (DeviceIvfSearcher analog at dist scale — tombstone
+    # deletes + delta-buffer appends; the reference's file-embedded index
+    # supports neither without a rebuild, /root/reference/src/ivf/parquet.rs).
+    # The SHARDED layout stays static: a delete scatters inf into the
+    # sharded norms (so no shard's selection picks the slot — one jitted
+    # sharding-preserving scatter per norm array), and appends live in a
+    # small replicated side buffer scored exactly and merged at the dist
+    # API's numpy boundary (every dist search already materializes the
+    # all-gathered result to host).
+    # ------------------------------------------------------------------
+
+    def delete_rows(self, row_ids) -> None:
+        """Tombstone ``row_ids`` (original or appended ids) on every
+        shard that holds a copy."""
+        ids = np.unique(np.asarray(row_ids, np.int64).reshape(-1))
+        if ids.size == 0:
+            return
+        if ids.min() < 0 or ids.max() >= self._id_domain:
+            raise ValidationError(
+                f"delete_rows ids must be in [0, {self._id_domain})"
+            )
+        if (
+            self._deleted_host is None
+            or self._deleted_host.size < self._id_domain
+        ):
+            grown = np.zeros(self._id_domain, bool)
+            if self._deleted_host is not None:
+                grown[: self._deleted_host.size] = self._deleted_host
+            self._deleted_host = grown
+        self._deleted_host[ids] = True
+        pos = np.flatnonzero(np.isin(self._gids_host, ids))
+        if pos.size:
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            upd = jax.jit(
+                lambda a, p, v: a.at[p].set(v), out_shardings=sh
+            )
+            p = jnp.asarray(pos)
+            self.emb_sq = upd(self.emb_sq, p, jnp.inf)
+            # Finite sentinel for the Pallas kernels (inf poisons 0*inf).
+            self.emb_sq_pallas = upd(
+                self.emb_sq_pallas, p, jnp.float32(3.0e38)
+            )
+        if self._delta is not None:
+            dx, dsq, dgid = self._delta
+            self._delta = (
+                dx, np.where(np.isin(dgid, ids), np.inf, dsq), dgid
+            )
+
+    def append_rows(self, embeddings: np.ndarray) -> np.ndarray:
+        """Append rows to the replicated delta buffer; returns their ids
+        (the id space continues past the original rows). Deltas are scored
+        EXACTLY at merge time, so appended rows have recall 1.0; fold them
+        into the sharded layout with a rebuild when the buffer grows."""
+        x = np.ascontiguousarray(embeddings, np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.ndim != 2 or x.shape[1] != self.dim:
+            raise ValidationError(
+                f"append_rows expects [m, {self.dim}] embeddings"
+            )
+        new_ids = np.arange(
+            self._id_domain, self._id_domain + len(x), dtype=np.int32
+        )
+        self._id_domain += len(x)
+        self._delta_host.append((x, new_ids))
+        xs = np.concatenate([a for a, _ in self._delta_host])
+        gs = np.concatenate([g for _, g in self._delta_host])
+        sq = np.einsum("md,md->m", xs, xs)
+        if self._deleted_host is not None:  # earlier tombstones survive
+            cov = gs < self._deleted_host.size
+            sq[cov] = np.where(
+                self._deleted_host[gs[cov]], np.inf, sq[cov]
+            )
+        self._delta = (xs, sq, gs)
+        return new_ids
+
+    def _finalize_dyn(self, queries, d, ids, k: int):
+        """Tombstone filter + exact delta merge on the merged host-side
+        results (distances arrive sqrt'd; the merge is monotonic)."""
+        if self._deleted_host is None and self._delta is None:
+            return d, ids
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        d, ids = d.copy(), ids.copy()
+        if self._deleted_host is not None:
+            bm = self._deleted_host
+            safe = np.clip(ids, 0, bm.size - 1)
+            dead = (ids >= 0) & (ids < bm.size) & bm[safe]
+            d[dead] = np.inf
+            ids[dead] = -1
+        if self._delta is not None:
+            dx, dsq, dgid = self._delta
+            sc = (
+                dsq[None, :]
+                - 2.0 * (q @ dx.T)
+                + np.einsum("bd,bd->b", q, q)[:, None]
+            )
+            sc = np.where(
+                np.isinf(dsq)[None, :],
+                np.inf,
+                np.sqrt(np.maximum(sc, 0.0)),
+            )
+            all_d = np.concatenate([d, sc], axis=1)
+            all_i = np.concatenate(
+                [ids, np.broadcast_to(dgid[None, :], sc.shape)], axis=1
+            )
+            order = np.argsort(all_d, axis=1, kind="stable")[:, :k]
+            d = np.take_along_axis(all_d, order, axis=1)
+            ids = np.take_along_axis(all_i, order, axis=1)
+            ids = np.where(np.isinf(d), -1, ids)
+        return d[:, :k], ids[:, :k]
 
     def search(self, queries: np.ndarray, k: int, nprobe: int):
         """Cluster-table gather search (see _search_impl)."""

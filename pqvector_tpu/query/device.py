@@ -602,6 +602,7 @@ def _tile_min_keys(
     emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
     tile: int,  # rows per tile; power of two dividing n_pad
     chunk_rows: int = 0,  # rows per scan step (0 = one fused call)
+    high: bool = False,  # f32 matmul at HIGH (bf16_3x) instead of HIGHEST
 ):
     """[B, n_pad/tile] packed per-tile min keys (shared pass 1 of tilescan
     and cert — see _exact_tilescan_impl for the packing and fusion notes).
@@ -611,6 +612,15 @@ def _tile_min_keys(
     the non-negative values, which is what makes the key a LOWER bound
     usable by the cert mode's completeness certificate) and the winning
     row's within-tile offset in the low bits.
+
+    ``high`` drops f32 scoring from HIGHEST (bf16_6x: six MXU passes) to
+    HIGH (bf16_3x: three — the lo*lo cross term is dropped, a relative
+    error <= ~2^-16 of |q||x|). Only the cert mode may set it: cert's
+    pass 1 merely SELECTS tiles, and its completeness certificate carries
+    the matching slack term, so tile mis-selection is caught and re-run
+    exactly — the 2x pass-1 speedup is certified-safe there, while for
+    tilescan (no certificate) the same error would silently leak into
+    final selection. No effect on bf16 operands (DEFAULT already).
     """
     b = q.shape[0]
     n_pad, d = emb.shape
@@ -623,6 +633,8 @@ def _tile_min_keys(
     qf2 = (-2.0 * q).astype(emb.dtype)
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)  # [B]
     prec = score_precision(qf2.dtype, emb.dtype, jnp.float32)
+    if high and prec == jax.lax.Precision.HIGHEST:
+        prec = jax.lax.Precision.HIGH
 
     def block_mins(e_blk, s_blk):
         g = e_blk.shape[0] // tile
@@ -766,6 +778,9 @@ def _exact_cert_impl(
     m_tiles: int = 0,  # tiles fetched per query (0 = auto: max(2k, 16))
     chunk_rows: int = 0,
     emb_ref: jnp.ndarray | None = None,  # f32 reference (None: emb is it)
+    pass1_high: bool = False,  # pass-1 f32 matmul at HIGH (bf16_3x)
+    pass1_storage: bool = False,  # pass-1 over ``emb`` (storage precision)
+    diagnostic: bool = False,  # return (d2, ids, certified[B], margin[B])
 ):
     """Certified-exact full scan: tile-min lower bounds, whole-tile refine,
     and a completeness certificate with an in-dispatch exact fallback.
@@ -806,6 +821,17 @@ def _exact_cert_impl(
     carries a 2^-8 * (|q|^2 + max|x|^2) storage term — certificates then
     rarely fire on tightly clustered data; hold a reference for cert.
 
+    ``pass1_storage`` runs pass 1 over ``emb`` (the reduced-precision
+    scan array) even when a reference is held: a NATIVE one-pass bf16
+    matmul with half the HBM traffic — the same per-rep cost as the
+    near-exact scan modes (~12x cheaper than the f32/HIGHEST pass) —
+    while candidates still gather from the f32 reference and refine
+    exactly. E carries the same 2^-8 storage term, so this trades
+    certify rate (how often the fallback re-runs) for pass-1 speed;
+    results are exact either way. Whether the trade wins is purely a
+    question of the data's tile-min gaps vs 2^-8 * (|q|^2 + max|x|^2) —
+    measure with :meth:`DeviceIvfSearcher.cert_probe`.
+
     m defaults to max(2k, 16): a tile's min beats the true d_k only if
     the tile CONTAINS a row closer than d_k — i.e. at most k tiles (plus
     any rows within E of d_k) can rank above the certificate threshold,
@@ -820,7 +846,9 @@ def _exact_cert_impl(
     m = m_tiles if m_tiles else max(2 * k, 16)
     m = min(m, nt)
 
-    binmins = _tile_min_keys(q, ref, emb_sq, tile, chunk_rows)
+    p1_src = emb if pass1_storage else ref
+    binmins = _tile_min_keys(q, p1_src, emb_sq, tile, chunk_rows,
+                             high=pass1_high)
     bits = max(1, (tile - 1).bit_length())
     low = jnp.int32((1 << bits) - 1)
     mask = ~low
@@ -881,6 +909,9 @@ def _exact_cert_impl(
     d2, ids = _refine_and_sort(q, ref, best_d, best_i, k)
     d2, ids = d2[:, :k], ids[:, :k]
     if m >= nt:
+        if diagnostic:
+            full = jnp.full((b,), True)
+            return d2, ids, full, jnp.full((b,), jnp.inf)
         return d2, ids  # every tile examined: complete by construction
 
     # Completeness certificate (slack model in the docstring). T = +inf
@@ -889,9 +920,21 @@ def _exact_cert_impl(
     qsq = jnp.sum(q * q, axis=1)  # [B] f32
     max_sq = jnp.max(jnp.where(jnp.isfinite(emb_sq), emb_sq, 0.0))
     c_mm = max(d, 128) * 2.0**-21
-    if emb_ref is None and ref.dtype != jnp.float32:
-        c_mm += 2.0**-8  # storage-precision pass-1 (rescore opt-out)
-    ok = jnp.all(d2[:, k - 1] <= t_val - c_mm * (qsq + max_sq))
+    if pass1_high:
+        # bf16_3x drops the lo*lo cross term: |error| <= ~2^-16 |q||x|
+        # <= 2^-17 (|q|^2 + max|x|^2) per dot, doubled by the -2 factor;
+        # 2^-13 is an 8x-headroom envelope. Tile MIS-selection this error
+        # causes is exactly what the certificate exists to catch — the
+        # fallback re-runs the batch exactly, so correctness is unchanged
+        # and only the certify rate (fallback frequency) pays.
+        c_mm += 2.0**-13
+    if p1_src.dtype != jnp.float32:
+        c_mm += 2.0**-8  # storage-precision pass-1 (pass1_storage or
+        # rescore opt-out): covers |2 q.(x_f32 - x_stored)|
+    margin = (t_val - c_mm * (qsq + max_sq)) - d2[:, k - 1]
+    if diagnostic:
+        return d2, ids, margin >= 0, margin
+    ok = jnp.all(margin >= 0)
     return jax.lax.cond(
         ok,
         lambda: (d2, ids),
@@ -1376,6 +1419,13 @@ class DeviceIvfSearcher:
         # certificates (fewer exact-fallback batches) at more gather
         # traffic; the tile size itself reuses tilescan_tile / auto-128.
         self.cert_fetch_tiles = 0
+        # mode="cert" pass-1 precision: "highest" (f32 bf16_6x,
+        # tightest slack), "high" (bf16_3x — half the MXU passes, slack
+        # +2^-13*(|q|^2+max|x|^2)) or "storage" (scan the bf16 storage
+        # natively — ~12x cheaper pass 1 at half the HBM traffic, slack
+        # +2^-8*(...)). Wider slack only raises how often the exact
+        # fallback re-runs; results are exact for every setting.
+        self.cert_pass1 = "highest"
         # Where the chained-loop APIs run the f32 re-score when a
         # reference is held: "auto" defers it past the lax.scan body once
         # the body's while-carry copies (storage + reference, doubled —
@@ -1691,6 +1741,8 @@ class DeviceIvfSearcher:
                 m_tiles=self.cert_fetch_tiles,
                 chunk_rows=self.tilescan_chunk_rows,
                 emb_ref=self._ref(),
+                pass1_high=self._cert_pass1_mode()[0],
+                pass1_storage=self._cert_pass1_mode()[1],
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -2028,6 +2080,8 @@ class DeviceIvfSearcher:
                 m_tiles=self.cert_fetch_tiles,
                 chunk_rows=self.tilescan_chunk_rows,
                 emb_ref=self._ref(),
+                pass1_high=self._cert_pass1_mode()[0],
+                pass1_storage=self._cert_pass1_mode()[1],
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -2519,6 +2573,8 @@ class DeviceIvfSearcher:
             use_cert=use_cert,
             cert_tile=self._cert_tile_checked(k) if use_cert else 0,
             cert_m=self.cert_fetch_tiles if use_cert else 0,
+            cert_p1h=self._cert_pass1_mode()[0] if use_cert else False,
+            cert_p1s=self._cert_pass1_mode()[1] if use_cert else False,
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
@@ -2612,6 +2668,8 @@ class DeviceIvfSearcher:
             use_cert=use_cert,
             cert_tile=self._cert_tile_checked(k) if use_cert else 0,
             cert_m=self.cert_fetch_tiles if use_cert else 0,
+            cert_p1h=self._cert_pass1_mode()[0] if use_cert else False,
+            cert_p1s=self._cert_pass1_mode()[1] if use_cert else False,
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
             use_xla=use_xla,
@@ -2739,6 +2797,43 @@ class DeviceIvfSearcher:
         except ValidationError:
             return False
         return True
+
+    def cert_probe(self, queries, k: int = 10):
+        """Certificate diagnosis for the current cert knobs: runs the
+        cert pipeline WITHOUT the fallback and returns
+        ``(certified_fraction, margins[B])`` — margin >= 0 means the
+        query's completeness certificate holds (the fallback would not
+        fire). Use on-chip to pick cert_pass1/cert_fetch_tiles for a
+        dataset before serving; the margins say how much headroom (in
+        squared-distance units) the data's tile-min gaps leave over the
+        arithmetic slack."""
+        q = self._check_queries(queries)
+        k = self._spill_k(k)
+        p1h, p1s = self._cert_pass1_mode()
+        _, _, okq, margin = _exact_cert(
+            q, self.emb, self.emb_sq, k,
+            tile=self._cert_tile_checked(k),
+            fallback_tile=self.row_tile,
+            m_tiles=self.cert_fetch_tiles,
+            chunk_rows=self.tilescan_chunk_rows,
+            emb_ref=self._ref(),
+            pass1_high=p1h, pass1_storage=p1s, diagnostic=True,
+        )
+        okq = np.asarray(okq)
+        return float(okq.mean()), np.asarray(margin)
+
+    def _cert_pass1_mode(self) -> tuple[bool, bool]:
+        """Resolve the cert_pass1 knob (see __init__) to
+        (pass1_high, pass1_storage). "high"/"highest" only matter on an
+        f32 pass-1 operand; "storage" scans the reduced-precision array
+        (2^-8 slack) while candidates still refine against the f32
+        reference."""
+        if self.cert_pass1 not in ("highest", "high", "storage"):
+            raise ValidationError(
+                f"cert_pass1 must be 'highest', 'high' or 'storage', "
+                f"got {self.cert_pass1!r}"
+            )
+        return self.cert_pass1 == "high", self.cert_pass1 == "storage"
 
     def _cert_tile_checked(self, k: int) -> int:
         """Tile size for mode="cert": tilescan's geometry WITHOUT its
@@ -3210,19 +3305,23 @@ class DeviceIvfSearcher:
 
 
 
-@_functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-        "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
-        "use_bincompact", "binscan_tile", "bin_expand", "ctile",
-        "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
-        "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
-        "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
-        "tilescan_chunk", "use_cert", "cert_tile", "cert_m",
-        "n_valid", "defer_k",
-    ),
+#: Static argnames of _masked_pallas_loop — ONE list, shared with the
+#: compile-only AOT probes (scripts/aot_probe.py re-jits the raw function
+#: with donation; a drifted copy there silently turns a new static into a
+#: traced arg and the probe stops compiling the production program).
+MASKED_LOOP_STATICS = (
+    "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
+    "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
+    "use_bincompact", "binscan_tile", "bin_expand", "ctile",
+    "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
+    "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
+    "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
+    "tilescan_chunk", "use_cert", "cert_tile", "cert_m", "cert_p1h",
+    "cert_p1s", "n_valid", "defer_k",
 )
+
+
+@_functools.partial(jax.jit, static_argnames=MASKED_LOOP_STATICS)
 def _masked_pallas_loop(
     q0, centroids, c_sq, row_cluster, lcl, tc, emb, emb_sq, nprobe,
     k, max_probe, tile, cmax, reps, use_local, use_stream, use_approx,
@@ -3232,7 +3331,8 @@ def _masked_pallas_loop(
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
     xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
-    emb_i8=None, i8_scale=None, emb_ref=None,
+    cert_p1h=False, cert_p1s=False, emb_i8=None, i8_scale=None,
+    emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.scan_topk import pallas_masked_local_topk, pallas_masked_topk
@@ -3303,7 +3403,8 @@ def _masked_pallas_loop(
             return _exact_cert_impl(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
-                emb_ref=body_ref,
+                emb_ref=body_ref, pass1_high=cert_p1h,
+                pass1_storage=cert_p1s,
             )
         if use_scan:
             return _exact_approx_topk_impl(
@@ -3358,8 +3459,8 @@ def _masked_pallas_loop(
                      "use_binscan", "binscan_tile", "bin_expand", "overfetch",
                      "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
                      "use_tilescan", "tilescan_tile", "tilescan_chunk",
-                     "use_cert", "cert_tile", "cert_m",
-                     "n_valid", "defer_k"),
+                     "use_cert", "cert_tile", "cert_m", "cert_p1h",
+                     "cert_p1s", "n_valid", "defer_k"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
@@ -3367,7 +3468,8 @@ def _exact_pallas_loop(
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
     xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
-    emb_i8=None, i8_scale=None, emb_ref=None,
+    cert_p1h=False, cert_p1s=False, emb_i8=None, i8_scale=None,
+    emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
     from ..kernels.binscan import pallas_binned_scan
@@ -3409,7 +3511,8 @@ def _exact_pallas_loop(
             d2, ids = _exact_cert_impl(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
-                emb_ref=body_ref,
+                emb_ref=body_ref, pass1_high=cert_p1h,
+                pass1_storage=cert_p1s,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -3458,7 +3561,8 @@ _exact_tilescan = jax.jit(
 )
 _exact_cert = jax.jit(
     _exact_cert_impl,
-    static_argnames=("k", "tile", "fallback_tile", "m_tiles", "chunk_rows"),
+    static_argnames=("k", "tile", "fallback_tile", "m_tiles", "chunk_rows",
+                     "pass1_high", "pass1_storage", "diagnostic"),
 )
 
 

@@ -34,15 +34,7 @@ def _loop_passthrough(*args, **kw):
         b.arguments.get("emb_ref")
 
 
-_STATICS = (
-    "k", "max_probe", "tile", "cmax", "reps", "use_local", "use_stream",
-    "use_approx", "use_scan", "use_xla", "use_compact", "use_binscan",
-    "use_bincompact", "binscan_tile", "bin_expand", "ctile",
-    "cap_tiles", "max_cluster_tiles", "chunk", "recall_target",
-    "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
-    "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
-    "tilescan_chunk", "n_valid",
-)
+_STATICS = D.MASKED_LOOP_STATICS  # single source of truth (device.py)
 
 loop_plain = D._masked_pallas_loop
 loop_donated = jax.jit(
@@ -82,13 +74,24 @@ def compile_report(tag, jitted, args, kw):
     return out
 
 
-def probe_loop(searcher, q, k, nprobe, reps, mode, donated=False):
-    """Compile the production search_loop binding; report, don't run."""
+def probe_loop(searcher, q, k, nprobe, reps, mode, donated=False,
+               defer=None):
+    """Compile the production search_loop binding; report, don't run.
+
+    ``defer`` mirrors search_loop's deferred-re-score decision (None =
+    the searcher's own policy, as production would resolve it)."""
+    k_s = searcher._spill_k(k)
+    defer_k = 0
+    if defer is None:
+        defer = searcher._loop_defer_rescore()
+    if defer:
+        defer_k, k_s = k_s, min(2 * k_s, int(searcher.emb.shape[0]))
     args, kw = searcher._search_loop_binding(
-        searcher._check_queries(q), searcher._spill_k(k), nprobe, reps, mode
+        searcher._check_queries(q), k_s, nprobe, reps, mode
     )
+    kw["defer_k"] = defer_k
     jitted = loop_donated if donated else loop_plain
     tag = f"{mode} reps={reps} B={q.shape[0]}" + (
         " DONATED" if donated else ""
-    )
+    ) + (f" DEFER(k={defer_k})" if defer_k else "")
     return compile_report(tag, jitted, args, kw)

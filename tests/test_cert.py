@@ -79,6 +79,81 @@ def test_cert_cluster_sorted_layout(clustered):
     np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
 
 
+def test_cert_pass1_high_stays_exact(clustered):
+    """cert_pass1='high' (bf16_3x pass 1, widened slack): results must
+    stay identical to the exact path — mis-selected tiles land in the
+    fallback, never in the output."""
+    x, queries = clustered
+    s = make_searcher(x)
+    s.cert_pass1 = "high"
+    de, ie = s.exact(queries, k=10, mode="xla")
+    dc, ic = s.exact(queries, k=10, mode="cert")
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(de), rtol=1e-5)
+    _, il = s.exact_loop(queries, k=10, reps=2, mode="cert")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+    s.cert_pass1 = "bogus"
+    with pytest.raises(ValidationError, match="cert_pass1"):
+        s.exact(queries, k=10, mode="cert")
+
+
+def test_cert_pass1_high_adversarial_ties():
+    """Planted winners spaced INSIDE the widened high-precision slack:
+    the certificate must refuse and the fallback must return the true
+    top-k (reuses the adversarial-wall construction)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(24).astype(np.float32)
+    x = np.empty((1280, 24), dtype=np.float32)
+    dirs = rng.standard_normal((1280, 24)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = (1.0 + 2e-3 + 1e-2 * rng.random(1280)).astype(np.float32)
+    radii[:40] = 1.0 + 1e-3 * np.arange(40)
+    x[:] = base[None, :] + dirs * radii[:, None]
+    x = x[rng.permutation(1280)]
+    queries = np.stack([base, base + 1e-5]).astype(np.float32)
+    s = make_searcher(x)
+    s.cert_pass1 = "high"
+    de, ie = s.exact(queries, k=10, mode="xla")
+    dc, ic = s.exact(queries, k=10, mode="cert")
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
+
+
+def test_cert_pass1_storage_stays_exact(clustered):
+    """cert_pass1='storage' (pass 1 over the bf16 scan array, 2^-8 slack):
+    candidates still refine against the f32 reference, so results equal
+    the f32 truth whether or not the certificate fires."""
+    x, queries = clustered
+    s = make_searcher(x, dtype=jnp.bfloat16)
+    s.cert_pass1 = "storage"
+    dc, ic = s.exact(queries, k=10, mode="cert")
+    for b, q in enumerate(queries):
+        idx, d = brute_force(x, q, 10)
+        np.testing.assert_array_equal(np.asarray(ic)[b], idx)
+        np.testing.assert_allclose(np.asarray(dc)[b], d, rtol=1e-5)
+    _, il = s.exact_loop(queries, k=10, reps=2, mode="cert")
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ic))
+
+
+def test_cert_probe_diagnostic(clustered):
+    """cert_probe reports the certify rate without running the fallback:
+    1.0 on well-separated data at default knobs, 0.0 when starved to a
+    single fetched tile (m < k tiles cannot cover k winners)."""
+    x, queries = clustered
+    s = make_searcher(x)
+    rate, margins = s.cert_probe(queries, k=10)
+    assert rate == 1.0
+    assert margins.shape == (len(queries),)
+    assert (margins >= 0).all()
+    s.cert_fetch_tiles = 1
+    rate1, m1 = s.cert_probe(queries, k=10)
+    assert rate1 < 1.0
+    # Margins and the served results agree: search still returns the
+    # exact answer because the fallback covers the failed certificates.
+    de, ie = s.exact(queries, k=10, mode="xla")
+    _, ic = s.exact(queries, k=10, mode="cert")
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
+
+
 def test_cert_narrow_fetch_falls_back_exactly(clustered):
     """cert_fetch_tiles=1 starves the candidate set, so the certificate
     must fail and the fallback must still return the exact answer."""

@@ -529,3 +529,131 @@ def test_distributed_binscan8_recall_and_exact_distances():
     # Chained form agrees.
     dl, il = dist.search_binscan8(queries, k=k, reps=2)
     np.testing.assert_array_equal(il, ib)
+
+
+# ----------------------------------------------------------------------
+# Round-5 additions (VERDICT r4 item 8): rescore + dynamic updates at
+# dist scale.
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def near_tie_dist():
+    """Groups of 4 rows spaced 1e-4 apart (below bf16 resolution): the
+    within-group ranking is only recoverable through the f32 reference."""
+    rng = np.random.default_rng(7)
+    n_groups, per, d = 48, 4, 16
+    centers = rng.uniform(-4, 4, (n_groups, d)).astype(np.float32)
+    rows = []
+    for g in range(n_groups):
+        for j in range(per):
+            rows.append(
+                centers[g] + (1e-4 * j) * np.eye(d, dtype=np.float32)[0]
+            )
+    x = np.stack(rows).astype(np.float32)
+    index = build_ivf_index(
+        Embeddings(x, d), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    gq = rng.integers(0, n_groups, 16)
+    q = centers[gq].copy()
+    q[:, 0] += 2.1e-4
+    return x, index, q
+
+
+def _f32_truth_top1(x, q):
+    d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d2, axis=1, kind="stable")[:, 0]
+
+
+def test_distributed_rescore_recovers_f32_ranking(mesh, near_tie_dist):
+    """bf16 storage + sharded f32 reference: every dist path re-scores its
+    local winners pre-merge, so sub-bf16 near-ties rank f32-exactly."""
+    x, index, q = near_tie_dist
+    s = DistributedIvfSearcher(
+        index, x, mesh=mesh, tile=8, dtype=jnp.bfloat16
+    )
+    assert s._emb_ref is not None
+    top1 = _f32_truth_top1(x, q)
+    for name, call in (
+        ("search", lambda: s.search(q, k=4, nprobe=6)),
+        ("search_fused", lambda: s.search_fused(q, k=4, nprobe=6)),
+        ("search_scan", lambda: s.search_scan(q, k=4)),
+    ):
+        d, ids = call()
+        assert (ids[:, 0] == top1).mean() >= 0.9, name
+        # Returned distances are f32-exact for the chosen ids.
+        want = np.sqrt(((q[:, None, :] - x[ids]) ** 2).sum(-1))
+        np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-5)
+    # Opt-out holds no reference and keeps bf16-rounded distances.
+    s_no = DistributedIvfSearcher(
+        index, x, mesh=mesh, tile=8, dtype=jnp.bfloat16, rescore_dtype=None
+    )
+    assert s_no._emb_ref is None
+
+
+def test_distributed_spilled_rescore(mesh, near_tie_dist):
+    """with_spill + bf16 + f32 reference: dedup composes with the
+    pre-merge re-score (full coverage == unspilled f32 results)."""
+    x, index, q = near_tie_dist
+    sp = DistributedIvfSearcher.with_spill(
+        index, x, spill=0.3, mesh=mesh, tile=8, dtype=jnp.bfloat16
+    )
+    assert sp._spill_dups and sp._emb_ref is not None
+    base = DistributedIvfSearcher(index, x, mesh=mesh, tile=8)
+    d0, i0 = base.search_fused(q, k=4, nprobe=6)
+    d1, i1 = sp.search_fused(q, k=4, nprobe=6)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(d1, d0, rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_dynamic_updates(mesh, data):
+    """Tombstone deletes + delta appends across the dist search paths."""
+    index = build_ivf_index(
+        Embeddings(data, data.shape[1]), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    s = DistributedIvfSearcher(index, data, mesh=mesh, tile=8)
+    queries = data[[5, 50, 111]] + 0.02
+    _, i0 = s.search(queries, k=3, nprobe=6)
+    victims = np.unique(i0[:, 0])
+    s.delete_rows(victims)
+    appended = s.append_rows(queries + 0.001)
+    for name, call in (
+        ("search", lambda: s.search(queries, k=3, nprobe=6)),
+        ("search_fused", lambda: s.search_fused(queries, k=3, nprobe=6)),
+        ("search_scan", lambda: s.search_scan(queries, k=3)),
+        ("search_loop", lambda: s.search_loop(queries, k=3, nprobe=6, reps=2)),
+    ):
+        d, ids = call()
+        assert not np.isin(ids, victims).any(), name
+        # The fresh near-duplicates win their own queries exactly.
+        assert (ids[:, 0] == appended).all(), name
+        assert np.isfinite(d[:, 0]).all(), name
+    # Deleting an appended id removes it again.
+    s.delete_rows(appended[:1])
+    _, ids = s.search(queries[:1], k=3, nprobe=6)
+    assert appended[0] not in ids
+    with pytest.raises(ValidationError, match="delete_rows"):
+        s.delete_rows([10**6])
+    with pytest.raises(ValidationError, match="append_rows"):
+        s.append_rows(np.zeros((2, 3), np.float32))
+
+
+def test_distributed_dynamic_spilled(mesh, data):
+    """Deletes tombstone EVERY copy of a spilled row (copies may live on
+    two shards)."""
+    index = build_ivf_index(
+        Embeddings(data, data.shape[1]), IvfBuildConfig(n_clusters=6, seed=0)
+    )
+    sp = DistributedIvfSearcher.with_spill(
+        index, data, spill=0.5, mesh=mesh, tile=8
+    )
+    queries = data[[5, 50, 111]] + 0.02
+    _, i0 = sp.search_fused(queries, k=3, nprobe=6)
+    victims = np.unique(i0[:, 0])
+    sp.delete_rows(victims)
+    _, ids = sp.search_fused(queries, k=3, nprobe=6)
+    assert not np.isin(ids, victims).any()
+    # Dedup still holds after the dynamic merge.
+    for r in ids:
+        live = [v for v in r.tolist() if v >= 0]
+        assert len(set(live)) == len(live)
