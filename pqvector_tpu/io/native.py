@@ -14,6 +14,7 @@ import subprocess
 import threading
 
 from ..errors import FormatError
+from ..utils.alloc import alloc_matrix
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -345,7 +346,7 @@ def decode_chunk_native(
     values = (
         out_values
         if out_values is not None
-        else np.empty(value_cap, dtype=np.float32)
+        else alloc_matrix((value_cap,), np.float32)
     )
     if values.size < value_cap:
         # Caller-sized buffer smaller than the chunk's claimed num_values

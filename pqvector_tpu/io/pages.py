@@ -33,6 +33,7 @@ import numpy as np
 from ..errors import ExecutionError, FormatError
 from ..types import EmbeddingColumn
 from .embed import read_footer_metadata
+from ..utils.alloc import alloc_matrix
 from .thrift import (
     CT_BINARY,
     CT_I32,
@@ -1136,7 +1137,9 @@ def read_embedding_matrix_native(
                 if first is None:
                     return None
                 dim = first.shape[1]
-                out = np.empty((total_rows, dim), dtype=np.float32)
+                # Fault-aware: np.empty first-touch runs ~180 MB/s on
+                # this microVM — ~19 s for a 4 GB matrix (utils/alloc).
+                out = alloc_matrix((total_rows, dim), np.float32)
                 out[: first.shape[0]] = first
                 row0 = first.shape[0]
                 continue

@@ -36,11 +36,15 @@ def iter_prefetched(
 
     ``span(item)`` returns the ``(offset, length)`` byte range to read.
     At most ``depth`` buffers are in flight, bounding host memory at
-    ``depth`` row-group chunks. Reads use ``os.pread`` on a dedicated fd
-    (no seek state shared with the consumer). Reader exceptions re-raise
-    in the consumer at the failing item's position; closing the generator
-    early (e.g. a sampling pass that has seen enough rows) stops the
-    reader promptly without draining the file.
+    ``depth + 2`` row-group chunks (a recycled slot pool — see _reader).
+    Reads fill the pool in place via ``os.preadv`` on a dedicated fd (no
+    seek state shared with the consumer). The yielded buffer is a
+    memoryview into a pool slot: it is valid until the NEXT iteration of
+    this generator — consume (decode/copy) before advancing, never
+    retain. Reader exceptions re-raise in the consumer at the failing
+    item's position; closing the generator early (e.g. a sampling pass
+    that has seen enough rows) stops the reader promptly without
+    draining the file.
     """
     if depth < 1:
         raise ValueError("prefetch depth must be >= 1")
@@ -61,17 +65,30 @@ def iter_prefetched(
         return False
 
     def _reader() -> None:
+        # Pooled read buffers: a fresh ``bytes`` per chunk pays this
+        # microVM's slow first-touch faults on every read (~1.3 GB/s vs
+        # 4+ GB/s into warm pages — utils/alloc.py module docstring); the
+        # pool recycles ``depth + 2`` slots (at most ``depth`` queued +
+        # one being consumed + one being filled), preadv-filling in
+        # place. Slots only GROW, so a mixed-size chunk sequence
+        # stabilizes at the largest span.
+        pool: list[bytearray] = [bytearray() for _ in range(depth + 2)]
+        slot = 0
         try:
             for item in items:
                 if stop.is_set():
                     return
                 offset, length = span(item)
-                buf = os.pread(fd, length, offset)
-                if len(buf) != length:
+                buf = pool[slot]
+                slot = (slot + 1) % len(pool)
+                if len(buf) < length:
+                    buf[:] = bytes(length)
+                got = os.preadv(fd, [memoryview(buf)[:length]], offset)
+                if got != length:
                     raise OSError(
-                        f"short read at {offset}: got {len(buf)} of {length}"
+                        f"short read at {offset}: got {got} of {length}"
                     )
-                if not _put((item, buf)):
+                if not _put((item, memoryview(buf)[:length])):
                     return
             _put(_DONE)
         except BaseException as exc:  # re-raised at the consumer

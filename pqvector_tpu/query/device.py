@@ -669,6 +669,72 @@ def _tile_min_keys(
     return block_mins(emb, emb_sq)  # [B, nt]
 
 
+def _tile_min_vals(
+    q: jnp.ndarray,  # [B, d] f32
+    emb: jnp.ndarray,  # [n_pad, d]
+    emb_sq: jnp.ndarray,  # [n_pad] f32 (+inf pad)
+    tile: int,
+    chunk_rows: int = 0,
+    high: bool = False,
+    interpret: bool = False,
+):
+    """[B, n_pad/tile] f32 per-tile min of ``|x|^2 - 2 q.x`` (VALUE-only
+    pass 1 — cert gathers winning tiles whole, so provenance is dead
+    weight).
+
+    Formulation matters enormously here (chip session r5f, B=256 on
+    1M x 128, same-window floor 180k QPS): reshaping the dot OUTPUT and
+    min-reducing the split axis does not fuse — XLA round-trips the
+    [B, n] score block through HBM (34k QPS, the xbin failure again) —
+    but shaping the dot ITSELF as ``einsum("bd,gtd->bgt")`` leaves the
+    tile axis innermost in the dot output and the min fuses like the
+    floor's full-row reduce (154k QPS, 86% of floor). The fused Pallas
+    kernel (kernels/tilemin.py) serves instead when its Mosaic-legal
+    grid exists (nt needs a 128-multiple divisor).
+    """
+    b = q.shape[0]
+    n_pad, d = emb.shape
+    nt = n_pad // tile
+    if tile % 128 == 0:
+        from ..kernels.tilemin import pallas_tile_min, tilemin_params
+
+        esize = jnp.dtype(emb.dtype).itemsize
+        if tilemin_params(n_pad, tile, d, esize, b)[0]:
+            return pallas_tile_min(
+                q, emb, emb_sq, tile, high=high, interpret=interpret
+            )
+    qf2 = (-2.0 * q).astype(emb.dtype)
+    prec = score_precision(qf2.dtype, emb.dtype, jnp.float32)
+    if high and prec == jax.lax.Precision.HIGHEST:
+        prec = jax.lax.Precision.HIGH
+
+    def block_mins(e_blk, s_blk):
+        g = e_blk.shape[0] // tile
+        s3 = jnp.einsum(
+            "bd,gtd->bgt", qf2, e_blk.reshape(g, tile, d),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return jnp.min(s3 + s_blk.reshape(g, tile)[None], axis=2)
+
+    step_rows = _tilescan_auto_chunk(b, n_pad, tile, chunk_rows)
+    if step_rows and step_rows < n_pad:
+        sr = max(tile, step_rows // tile * tile)
+        while n_pad % sr:
+            sr -= tile
+        ns = n_pad // sr
+
+        def step(_, xs):
+            e_blk, s_blk = xs
+            return None, block_mins(e_blk, s_blk)
+
+        _, ys = jax.lax.scan(
+            step, None,
+            (emb.reshape(ns, sr, d), emb_sq.reshape(ns, sr)),
+        )
+        return jnp.transpose(ys, (1, 0, 2)).reshape(b, nt)
+    return block_mins(emb, emb_sq)
+
+
 def _exact_tilescan_impl(
     q: jnp.ndarray,  # [B, d] f32
     emb: jnp.ndarray,  # [n_pad, d]
@@ -736,7 +802,8 @@ def _exact_tilescan_impl(
 
 
 def _topk_min_wide(keys: jnp.ndarray, m: int, chunk: int = 65536):
-    """Ascending top-m of an int32 key table, chunked to <= ``chunk``
+    """Ascending top-m of a key table (int32 packed keys or plain f32
+    values — anything lax.top_k orders), chunked to <= ``chunk``
     columns per lax.top_k call (a k=10 top_k over 1M columns hung the
     backend for 20 minutes — CLAUDE.md; 10M rows at tile=128 is a 78k-wide
     table). Returns (keys [B, m] ascending, column indices [B, m])."""
@@ -781,6 +848,7 @@ def _exact_cert_impl(
     pass1_high: bool = False,  # pass-1 f32 matmul at HIGH (bf16_3x)
     pass1_storage: bool = False,  # pass-1 over ``emb`` (storage precision)
     diagnostic: bool = False,  # return (d2, ids, certified[B], margin[B])
+    interpret: bool = False,  # Pallas pass-1 kernel in interpret mode
 ):
     """Certified-exact full scan: tile-min lower bounds, whole-tile refine,
     and a completeness certificate with an in-dispatch exact fallback.
@@ -791,10 +859,12 @@ def _exact_cert_impl(
 
     1. Pass 1 scores every row at REFERENCE precision (``emb_ref`` when
        held, else ``emb``; f32 operands multiply at HIGHEST — see
-       score_precision) and folds each ``tile``-row group to a packed
-       min key (_tile_min_keys). Clearing the provenance bits rounds the
-       non-negative value DOWN, so each tile's unpacked key value is a
-       lower bound on the pass-1 score of every row in the tile.
+       score_precision) and folds each ``tile``-row group to its plain
+       f32 min (_tile_min_vals — the fused Pallas kernel
+       kernels/tilemin.py when the geometry fits, so the grouped min
+       never round-trips HBM; no packed provenance, cert gathers winning
+       tiles whole). Each tile's min is a lower bound on the pass-1
+       score of every row in the tile up to arithmetic slack.
     2. The m best tiles per query are gathered WHOLE (unlike tilescan,
        which keeps only the argmin — hence no cluster-sorted hazard here;
        co-located neighbors are all in the gathered candidate set), scored
@@ -814,8 +884,7 @@ def _exact_cert_impl(
     refine's direct-difference f32 truth is bounded by ~gamma_d * (|q|^2 +
     max|x|^2) with gamma_d ~ d * 2^-24; E uses max(d, 128) * 2^-21 — a
     >= 8x-headroom envelope that also covers the refine's own rounding
-    and the emb_sq summation. The key round-down (<= 2^-17 relative at
-    tile=128) only LOWERS T, which is the safe direction. When ``emb``
+    and the emb_sq summation. When ``emb``
     is reduced-precision WITHOUT a reference (rescore opt-out), pass-1
     mixes f32 norms with storage-precision scores, so E additionally
     carries a 2^-8 * (|q|^2 + max|x|^2) storage term — certificates then
@@ -847,33 +916,37 @@ def _exact_cert_impl(
     m = min(m, nt)
 
     p1_src = emb if pass1_storage else ref
-    binmins = _tile_min_keys(q, p1_src, emb_sq, tile, chunk_rows,
-                             high=pass1_high)
-    bits = max(1, (tile - 1).bit_length())
-    low = jnp.int32((1 << bits) - 1)
-    mask = ~low
+    binvals = _tile_min_vals(q, p1_src, emb_sq, tile, chunk_rows,
+                             high=pass1_high, interpret=interpret)
+    qsq = jnp.sum(q * q, axis=1)  # [B] f32
 
-    keys, tidx = _topk_min_wide(binmins, m + 1 if m < nt else m)
+    vals, tidx = _topk_min_wide(binvals, m + 1 if m < nt else m)
     if m < nt:
-        t_val = jax.lax.bitcast_convert_type(keys[:, m] & mask, jnp.float32)
+        # True-distance units: the fold omits the rank-neutral |q|^2.
+        t_val = vals[:, m] + qsq
         tidx = tidx[:, :m]
 
-    # Gather the m selected tiles whole and score at reference precision.
-    qf = q.astype(ref.dtype)
-    prec = score_precision(qf.dtype, ref.dtype)
+    # Gather the m selected tiles whole and score in DIRECT-DIFFERENCE
+    # f32 form (elementwise diff^2 reduce — exact, fuses over the gather
+    # output, and avoids the per-query batched matvec the einsum form
+    # lowers to: B tiny [1, d] x [d, m*tile] dots that strand the MXU).
+    # Pad rows gathered from a partially-padded tile score |q|^2 in diff
+    # form (their ref rows are zeros), so they are re-masked to inf via
+    # their emb_sq sentinel before selection.
     kf = min(2 * k, m * tile) if emb_ref is not None else min(k, m * tile)
     rows_all = (
         tidx[:, :, None] * tile
         + jnp.arange(tile, dtype=jnp.int32)[None, None, :]
     )  # [B, m, tile]
+
+    def diff_scores(rows):  # rows [B, c] -> exact f32 distances [B, c]
+        diff = ref[rows].astype(jnp.float32) - q[:, None, :]
+        part = jnp.sum(diff * diff, axis=-1)
+        return jnp.where(jnp.isinf(emb_sq[rows]), jnp.inf, part)
+
     if b * m * tile * (d + 1) * 4 <= _CERT_FUSE_BUDGET:
         rows = rows_all.reshape(b, m * tile)
-        cand = ref[rows]  # [B, m*tile, d]
-        scores = jnp.einsum(
-            "bd,bcd->bc", qf, cand,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        part = emb_sq[rows] - 2.0 * scores
+        part = diff_scores(rows)
         neg, pos = jax.lax.top_k(-part, kf)
         best_d = -neg
         best_i = jnp.take_along_axis(rows, pos, axis=1)
@@ -881,12 +954,7 @@ def _exact_cert_impl(
 
         def step(carry, rows_t):  # rows_t [B, tile]
             cd, ci = carry
-            xt = ref[rows_t]  # [B, tile, d]
-            scores = jnp.einsum(
-                "bd,btd->bt", qf, xt,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            part = emb_sq[rows_t] - 2.0 * scores
+            part = diff_scores(rows_t)
             all_d = jnp.concatenate([cd, part], axis=1)
             all_i = jnp.concatenate([ci, rows_t], axis=1)
             neg, pos = jax.lax.top_k(-all_d, kf)
@@ -917,7 +985,6 @@ def _exact_cert_impl(
     # Completeness certificate (slack model in the docstring). T = +inf
     # (only padding unexamined) certifies everything, including queries
     # with fewer than k real candidates (inf <= inf).
-    qsq = jnp.sum(q * q, axis=1)  # [B] f32
     max_sq = jnp.max(jnp.where(jnp.isfinite(emb_sq), emb_sq, 0.0))
     c_mm = max(d, 128) * 2.0**-21
     if pass1_high:
@@ -1743,6 +1810,7 @@ class DeviceIvfSearcher:
                 emb_ref=self._ref(),
                 pass1_high=self._cert_pass1_mode()[0],
                 pass1_storage=self._cert_pass1_mode()[1],
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             raise ValidationError(f"Unknown exact mode '{mode}'")
@@ -2082,6 +2150,7 @@ class DeviceIvfSearcher:
                 emb_ref=self._ref(),
                 pass1_high=self._cert_pass1_mode()[0],
                 pass1_storage=self._cert_pass1_mode()[1],
+                interpret=jax.default_backend() != "tpu",
             )
         elif mode == "gather":
             d2, ids = _ivf_topk(
@@ -2818,6 +2887,7 @@ class DeviceIvfSearcher:
             chunk_rows=self.tilescan_chunk_rows,
             emb_ref=self._ref(),
             pass1_high=p1h, pass1_storage=p1s, diagnostic=True,
+            interpret=jax.default_backend() != "tpu",
         )
         okq = np.asarray(okq)
         return float(okq.mean()), np.asarray(margin)
@@ -2852,12 +2922,9 @@ class DeviceIvfSearcher:
                 f"cert tile={t} invalid for n_pad={n_pad}: must be a "
                 "power of two >= 2 dividing the padded row count"
             )
-        if (t - 1).bit_length() > PROVENANCE_BITS_MAX:
-            raise ValidationError(
-                f"cert tile={t} spends {(t - 1).bit_length()} provenance "
-                f"bits (max {PROVENANCE_BITS_MAX}): too few value mantissa "
-                "bits for a sound lower-bound key"
-            )
+        # No provenance cap: cert's pass 1 is a VALUE-only fold
+        # (_tile_min_vals) — winning tiles are gathered whole, so no
+        # mantissa bits are spent on within-tile offsets.
         return t
 
     def _tilescan_tile_checked(self, k: int) -> int:
@@ -3404,7 +3471,7 @@ def _masked_pallas_loop(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
                 emb_ref=body_ref, pass1_high=cert_p1h,
-                pass1_storage=cert_p1s,
+                pass1_storage=cert_p1s, interpret=interpret,
             )
         if use_scan:
             return _exact_approx_topk_impl(
@@ -3512,7 +3579,7 @@ def _exact_pallas_loop(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
                 emb_ref=body_ref, pass1_high=cert_p1h,
-                pass1_storage=cert_p1s,
+                pass1_storage=cert_p1s, interpret=interpret,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -3562,7 +3629,8 @@ _exact_tilescan = jax.jit(
 _exact_cert = jax.jit(
     _exact_cert_impl,
     static_argnames=("k", "tile", "fallback_tile", "m_tiles", "chunk_rows",
-                     "pass1_high", "pass1_storage", "diagnostic"),
+                     "pass1_high", "pass1_storage", "diagnostic",
+                     "interpret"),
 )
 
 

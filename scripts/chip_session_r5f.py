@@ -17,6 +17,10 @@ Candidates (timed here as raw chained loops, library untouched):
      chip). + a layout probe pinning that segments are contiguous
      ascending (the soundness precondition for a certificate built on
      segment mins).
+  P. the new fused Pallas kernel (kernels/tilemin.py): MXU dot + in-VMEM
+     grouped min, at bf16 / f32-HIGH / f32-HIGHEST — first on-chip run
+     (Mosaic validation in a dedicated solo process, the round-1 rule),
+     followed by the rebuilt mode="cert" end-to-end (identity + QPS).
 
 Run SOLO: bash scripts/tpu_run.sh scripts/chip_session_r5f.py 2400
 """
@@ -159,4 +163,71 @@ for b in (256, 1024):
         lambda q, r: pass1_loop(q, s._ref(), s.emb_sq, r, "C"),
         qb, tag=f"B={b} pass1 variant C(f32)",
     )
+
+# ---- P: the production pass-1 dispatcher (_tile_min_vals: Pallas when
+# a Mosaic-legal grid exists, fused einsum fold otherwise — at the bench
+# shape nt=7840 has no 128-multiple divisor, so this times the einsum
+# path at cert's ACTUAL precisions).
+from pqvector_tpu.query.device import _tile_min_vals  # noqa: E402
+
+watchdog(300.0)
+qs = jnp.asarray(q_all[:8])
+xla_vals = np.asarray(
+    jnp.min(
+        (s.emb_sq[None, :] - 2.0 * jnp.dot(
+            qs, s._ref().T, precision=jax.lax.Precision.HIGHEST
+        )).reshape(8, NT, TILE),
+        axis=2,
+    )
+)
+p_vals = np.asarray(_tile_min_vals(qs, s._ref(), s.emb_sq, TILE))
+err = np.abs(p_vals - xla_vals)[np.isfinite(xla_vals)]
+log(f"_tile_min_vals(f32 HIGHEST) vs reshape fold: max|err|={err.max():.3e}")
+
+
+@functools.partial(jax.jit, static_argnames=("reps", "high"))
+def p1_loop(q0, e, sq, reps, high):
+    def step(carry, _):
+        m = _tile_min_vals(q0 + carry, e, sq, TILE, high=high)
+        return 0.0 * jnp.sum(m[:, :1]), m[:1, :1]
+
+    _, ys = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+    return ys[-1]
+
+
+for b in (256, 1024):
+    watchdog(300.0)
+    qb = jax.device_put(np.ascontiguousarray(q_all[:b]))
+    timed(
+        lambda q, r: p1_loop(q, s.emb, s.emb_sq, r, False),
+        qb, tag=f"B={b} pass1 P(bf16)",
+    )
+    timed(
+        lambda q, r: p1_loop(q, s._ref(), s.emb_sq, r, False),
+        qb, tag=f"B={b} pass1 P(f32 HIGHEST)",
+    )
+    timed(
+        lambda q, r: p1_loop(q, s._ref(), s.emb_sq, r, True),
+        qb, tag=f"B={b} pass1 P(f32 HIGH)",
+    )
+
+# ---- rebuilt mode="cert" end-to-end (value-only pass 1 via P) ---------
+watchdog(300.0)
+de, ie = s.exact(q_all[:256], 10, mode="xla")
+for p1 in ("highest", "high"):
+    s.cert_pass1 = p1
+    dc, ic = s.exact(q_all[:256], 10, mode="cert")
+    same = np.array_equal(np.asarray(ic), np.asarray(ie))
+    log(f"identity cert({p1}, pallas pass1) vs xla: ids_equal={same}")
+    rate, margins = s.cert_probe(q_all[:256], 10)
+    log(f"cert_probe({p1}): rate={rate:.4f} min_margin={margins.min():.3f}")
+for b in (256, 1024):
+    watchdog(300.0)
+    qb = jax.device_put(np.ascontiguousarray(q_all[:b]))
+    for p1 in ("high", "highest"):
+        s.cert_pass1 = p1
+        timed(
+            lambda q, r: s.exact_loop(q, 10, reps=r, mode="cert")[1],
+            qb, tag=f"B={b} cert({p1}, pallas pass1)",
+        )
 log("session r5f complete")

@@ -115,7 +115,14 @@ def test_cert_pass1_high_adversarial_ties():
     s.cert_pass1 = "high"
     de, ie = s.exact(queries, k=10, mode="xla")
     dc, ic = s.exact(queries, k=10, mode="cert")
-    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
+    # f64-truth identity up to f32 boundary ties (see
+    # test_cert_adversarial_ties for the tie rationale).
+    for b, q in enumerate(queries):
+        d64 = ((x.astype(np.float64) - q[None, :]) ** 2).sum(1)
+        truth = np.sort(d64)[:10]
+        got = d64[np.asarray(ic)[b]]
+        assert (got <= truth[-1] + 1e-5).all()
+        np.testing.assert_allclose(np.sort(got)[:9], truth[:9], atol=1e-5)
 
 
 def test_cert_pass1_storage_stays_exact(clustered):
@@ -204,17 +211,18 @@ def test_cert_adversarial_ties():
     s = make_searcher(x)
     de, ie = s.exact(queries, k=10, mode="xla")
     dc, ic = s.exact(queries, k=10, mode="cert")
-    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
-    # And both match the f64 ground truth up to f32-summation-scale
+    # Both paths match the f64 ground truth up to f32-summation-scale
     # boundary ties (random wall rows can sit ~1e-8 apart in d^2, below
-    # what ANY f32 path can order; every returned row must still be
-    # within that of the true 10th distance).
+    # what ANY f32 path can order — cert and the merge may legitimately
+    # swap such rows at the k-th boundary; every returned row must still
+    # be within that of the true 10th distance).
     for b, q in enumerate(queries):
         d64 = ((x.astype(np.float64) - q[None, :]) ** 2).sum(1)
         truth = np.sort(d64)[:10]
-        got = d64[np.asarray(ic)[b]]
-        assert (got <= truth[-1] + 1e-5).all()
-        np.testing.assert_allclose(np.sort(got)[:9], truth[:9], atol=1e-5)
+        for ids_got in (np.asarray(ic)[b], np.asarray(ie)[b]):
+            got = d64[ids_got]
+            assert (got <= truth[-1] + 1e-5).all()
+            np.testing.assert_allclose(np.sort(got)[:9], truth[:9], atol=1e-5)
 
 
 def test_cert_k_exceeds_rows():
