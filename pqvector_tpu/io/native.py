@@ -14,7 +14,7 @@ import subprocess
 import threading
 
 from ..errors import FormatError
-from ..utils.alloc import alloc_matrix
+from ..utils.alloc import alloc_matrix, populate
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -343,11 +343,11 @@ def decode_chunk_native(
         return None
     if not isinstance(buf, bytes):
         buf = (ctypes.c_char * len(buf)).from_buffer(buf)
-    values = (
-        out_values
-        if out_values is not None
-        else alloc_matrix((value_cap,), np.float32)
-    )
+    if out_values is not None:
+        values = out_values
+    else:
+        values = alloc_matrix((value_cap,), np.float32)
+        populate(values)  # batch-fault before the decoder's write loop
     if values.size < value_cap:
         # Caller-sized buffer smaller than the chunk's claimed num_values
         # (ragged rows vs a uniform-dim preallocation): clamp so the native
