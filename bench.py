@@ -305,9 +305,15 @@ def measure_floor_qps(jax, searcher, qb: "np.ndarray", budget_s=4.0) -> float:
 
 
 def _device_watchdog(
-    jax, timeout_s: float = 300.0, max_wait_s: float | None = None
+    jax, timeout_s: float = 300.0, max_wait_s: float | None = None,
+    fatal: bool = True,
 ) -> None:
     """Wait out a wedged device, then fail fast (exit 3) if it never wakes.
+
+    ``fatal=False`` raises RuntimeError instead of exiting — for optional
+    rungs that run AFTER the headline is computed (deep10m): an exit there
+    would discard the whole main JSON line; a raise lets the rung's
+    try/except skip it and the headline still prints.
 
     The tunneled chip alternates healthy windows with multi-minute outages,
     and a dispatch issued during an outage usually completes once the window
@@ -347,9 +353,13 @@ def _device_watchdog(
         if waited >= max_wait_s:
             log(
                 f"FATAL: device unresponsive after {waited:.0f}s; "
-                f"aborting benchmark"
+                + ("aborting benchmark" if fatal else "skipping rung")
             )
-            os._exit(3)
+            if fatal:
+                os._exit(3)
+            raise RuntimeError(
+                f"device unresponsive after {waited:.0f}s"
+            )
         log(
             f"device unresponsive for {waited:.0f}s; waiting for a "
             f"healthy window (up to {max_wait_s:.0f}s)"
@@ -412,7 +422,7 @@ def deep10m_rung(jax, k, peak_flops, peak_bw, data_dir):
         return n * qb.shape[0] / (time.perf_counter() - t1)
 
     # --- bincompact (probed-union, cluster-sorted layout) -------------
-    _device_watchdog(jax)
+    _device_watchdog(jax, max_wait_s=900, fatal=False)
     s = DeviceIvfSearcher(
         index, emb, row_tile=4096, dtype=jnp.bfloat16, cluster_sorted=True
     )
@@ -446,7 +456,7 @@ def deep10m_rung(jax, k, peak_flops, peak_bw, data_dir):
     gc.collect()
 
     # --- scan (original row order) + same-window floors ----------------
-    _device_watchdog(jax)
+    _device_watchdog(jax, max_wait_s=900, fatal=False)
     s = DeviceIvfSearcher(
         index, emb, row_tile=4096, dtype=jnp.bfloat16, cluster_sorted=False
     )
