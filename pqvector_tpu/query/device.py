@@ -926,35 +926,45 @@ def _exact_cert_impl(
         t_val = vals[:, m] + qsq
         tidx = tidx[:, :m]
 
-    # Gather the m selected tiles whole and score in DIRECT-DIFFERENCE
-    # f32 form (elementwise diff^2 reduce — exact, fuses over the gather
-    # output, and avoids the per-query batched matvec the einsum form
-    # lowers to: B tiny [1, d] x [d, m*tile] dots that strand the MXU).
-    # Pad rows gathered from a partially-padded tile score |q|^2 in diff
-    # form (their ref rows are zeros), so they are re-masked to inf via
-    # their emb_sq sentinel before selection.
+    # Gather the m selected tiles whole — TILE-granular: index a
+    # [nt, tile, d] view with the [B, m] tile ids, so the gather moves m
+    # contiguous tile*d*4-byte slices per query (64 KB at tile=128,
+    # d=128) instead of m*tile row-granular (1, d) slices. Session r5g
+    # measured the row-granular form at ~27x the same-window floor
+    # end-to-end (the per-row descriptor cost dominates pass 2); tile
+    # slices are the granularity the certificate selects anyway.
+    # Scoring is DIRECT-DIFFERENCE f32 (exact, matches _refine_and_sort's
+    # semantics; the einsum form lowers to B tiny [1, d] x [d, m*tile]
+    # dots that strand the MXU). Pad rows gathered from a
+    # partially-padded tile score |q|^2 in diff form (their ref rows are
+    # zeros), so they are re-masked to inf via their emb_sq sentinel
+    # before selection.
     kf = min(2 * k, m * tile) if emb_ref is not None else min(k, m * tile)
-    rows_all = (
-        tidx[:, :, None] * tile
-        + jnp.arange(tile, dtype=jnp.int32)[None, None, :]
-    )  # [B, m, tile]
+    ref3 = ref.reshape(nt, tile, d)
+    sq3 = emb_sq.reshape(nt, tile)
 
-    def diff_scores(rows):  # rows [B, c] -> exact f32 distances [B, c]
-        diff = ref[rows].astype(jnp.float32) - q[:, None, :]
-        part = jnp.sum(diff * diff, axis=-1)
-        return jnp.where(jnp.isinf(emb_sq[rows]), jnp.inf, part)
+    def tile_scores(tcol):  # tcol [B, mm] tile ids -> rows/scores [B, mm*tile]
+        mm = tcol.shape[1]
+        cand = ref3[tcol].astype(jnp.float32)  # [B, mm, tile, d]
+        diff = cand - q[:, None, None, :]
+        part = jnp.sum(diff * diff, axis=-1).reshape(b, mm * tile)
+        x2 = sq3[tcol].reshape(b, mm * tile)
+        rows = (
+            tcol[:, :, None] * tile
+            + jnp.arange(tile, dtype=jnp.int32)[None, None, :]
+        ).reshape(b, mm * tile)
+        return rows, jnp.where(jnp.isinf(x2), jnp.inf, part)
 
     if b * m * tile * (d + 1) * 4 <= _CERT_FUSE_BUDGET:
-        rows = rows_all.reshape(b, m * tile)
-        part = diff_scores(rows)
+        rows, part = tile_scores(tidx)
         neg, pos = jax.lax.top_k(-part, kf)
         best_d = -neg
         best_i = jnp.take_along_axis(rows, pos, axis=1)
     else:
 
-        def step(carry, rows_t):  # rows_t [B, tile]
+        def step(carry, tcol):  # tcol [B] tile ids
             cd, ci = carry
-            part = diff_scores(rows_t)
+            rows_t, part = tile_scores(tcol[:, None])
             all_d = jnp.concatenate([cd, part], axis=1)
             all_i = jnp.concatenate([ci, rows_t], axis=1)
             neg, pos = jax.lax.top_k(-all_d, kf)
@@ -964,9 +974,7 @@ def _exact_cert_impl(
             jnp.full((b, kf), jnp.inf, jnp.float32),
             jnp.full((b, kf), -1, jnp.int32),
         )
-        (best_d, best_i), _ = jax.lax.scan(
-            step, init, rows_all.transpose(1, 0, 2)
-        )
+        (best_d, best_i), _ = jax.lax.scan(step, init, tidx.T)
     if kf < k:  # k exceeds the candidate width (tiny arrays): inf-pad
         best_d = jnp.concatenate(
             [best_d, jnp.full((b, k - kf), jnp.inf, jnp.float32)], axis=1
