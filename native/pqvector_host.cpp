@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -572,6 +573,103 @@ int pqv_assign_argmin(const float* scores, int64_t n, int64_t k,
       }
     }
     out[i] = arg;
+  }
+  return 0;
+}
+
+// Selection epilogue for the CERTIFIED bf16 host assignment
+// (index/build.py:_assign_clusters_host gemm="bf16"): one pass over the
+// bf16 score block straight out of the AMX matmul — no f32 expansion,
+// no [n,k] temps. Per row i over scores[i][j] = bf16(x_i . c_j):
+//   red_j = bias[j] - 2*f32(scores[i][j])
+//   idx[i]  = argmin_j red_j          (first-min tie-break, same as
+//                                      pqv_assign_argmin / numpy)
+//   amb[i]  = (secondmin - min) <= env[i]
+// Ambiguous rows fall inside the bf16 rounding envelope and get an
+// exact f32 re-score on the Python side, making the partition equal
+// the f32 sgemm's. The two-min tracking is vectorized (AVX-512 when
+// available: 16-lane min1/min2/argidx with a scalar horizontal merge —
+// the scalar loop's 2-min dependency chain runs ~3.5 cycles/element,
+// ~1.7 s per reference-default assignment; the vector form is
+// memory-bound).
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
+static inline float pqv_bf16_to_f32(uint16_t h) {
+  uint32_t bits = static_cast<uint32_t>(h) << 16;
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+int pqv_assign_margin_bf16(const uint16_t* scores, int64_t n, int64_t k,
+                           const float* bias, const float* env,
+                           int32_t* idx_out, uint8_t* amb_out) {
+  if (n < 0 || k <= 0 || !scores || !bias || !env || !idx_out || !amb_out)
+    return -2;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint16_t* row = scores + i * k;
+    float m1 = std::numeric_limits<float>::infinity();
+    float m2 = m1;
+    int32_t arg = 0;
+    int64_t j = 0;
+#if defined(__AVX512F__)
+    if (k >= 16) {
+      const __m512 inf = _mm512_set1_ps(std::numeric_limits<float>::infinity());
+      __m512 vm1 = inf, vm2 = inf;
+      __m512i vidx = _mm512_setzero_si512();
+      for (; j + 16 <= k; j += 16) {
+        __m256i h = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(row + j));
+        __m512i w = _mm512_slli_epi32(_mm512_cvtepu16_epi32(h), 16);
+        __m512 s = _mm512_castsi512_ps(w);
+        __m512 red = _mm512_fnmadd_ps(
+            _mm512_set1_ps(2.0f), s, _mm512_loadu_ps(bias + j));
+        __mmask16 lt1 = _mm512_cmp_ps_mask(red, vm1, _CMP_LT_OQ);
+        // new second-min candidate: old m1 where red takes over, red else
+        __m512 cand2 = _mm512_mask_blend_ps(lt1, red, vm1);
+        vm2 = _mm512_min_ps(vm2, cand2);
+        vm1 = _mm512_mask_mov_ps(vm1, lt1, red);
+        vidx = _mm512_mask_mov_epi32(
+            vidx, lt1, _mm512_set1_epi32(static_cast<int32_t>(j)));
+      }
+      // Horizontal merge: lane l of vm1 holds the lane min with the
+      // FIRST base index j where it was set; element index = j + l.
+      alignas(64) float l1[16], l2[16];
+      alignas(64) int32_t li[16];
+      _mm512_store_ps(l1, vm1);
+      _mm512_store_ps(l2, vm2);
+      _mm512_store_si512(reinterpret_cast<__m512i*>(li), vidx);
+      for (int l = 0; l < 16; ++l) {
+        float v = l1[l];
+        int32_t ei = li[l] + l;
+        if (v < m1) {
+          m2 = m1;
+          m1 = v;
+          arg = ei;
+        } else if (v == m1 && ei < arg) {
+          m2 = m1;  // duplicate of the min elsewhere: margin is 0 anyway
+          arg = ei;
+        } else if (v < m2) {
+          m2 = v;
+        }
+        if (l2[l] < m2) m2 = l2[l];
+      }
+    }
+#endif
+    for (; j < k; ++j) {
+      float v = bias[j] - 2.0f * pqv_bf16_to_f32(row[j]);
+      if (v < m1) {
+        m2 = m1;
+        m1 = v;
+        arg = static_cast<int32_t>(j);
+      } else if (v < m2) {
+        m2 = v;
+      }
+    }
+    idx_out[i] = arg;
+    amb_out[i] = (m2 - m1) <= env[i] ? 1 : 0;
   }
   return 0;
 }

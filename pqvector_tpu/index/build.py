@@ -10,6 +10,7 @@ reference's second assignment pass at :193-206).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,19 +97,77 @@ def resolve_assign_backend(config: IvfBuildConfig) -> str:
     return "host" if jax.default_backend() == "tpu" else "device"
 
 
+_HOST_AMX_BF16: bool | None = None
+
+
+def _host_amx_bf16() -> bool:
+    """Whether the host CPU advertises AMX-BF16 and torch can drive it.
+
+    oneDNN (torch's CPU matmul backend) dispatches bf16 matmuls to the
+    AMX tile units when present (`brg_matmul:*_amx`, verified on this
+    host) — measured 306 GF/s vs the 59 GF/s numpy f32 sgemm in the same
+    window (the f32 path is AT the AVX-512 f32 FMA peak, so no f32
+    tuning can close that gap)."""
+    global _HOST_AMX_BF16
+    if _HOST_AMX_BF16 is None:
+        ok = False
+        try:
+            with open("/proc/cpuinfo") as f:
+                ok = "amx_bf16" in f.read()
+            if ok:
+                import torch  # noqa: F401
+        except Exception:  # noqa: BLE001
+            ok = False
+        _HOST_AMX_BF16 = ok
+    return _HOST_AMX_BF16
+
+
+def resolve_host_gemm(wire_mode: str) -> str:
+    """Resolve the host-assign GEMM engine: "bf16" (certified — AMX tile
+    units + exact f32 re-score of margin-ambiguous rows, partitions
+    equal the f32 sgemm's; see _assign_clusters_host) when the hardware
+    supports it and the build is already on a lossy wire, else "f32".
+    The wire gate is conservatism, not numerics — the certified bf16
+    path produces f32-identical assignments — it just keeps
+    explicitly-exact builds (transfer_dtype="float32") on the one-pass
+    f32 BLAS with zero moving parts. Override with
+    PQVECTOR_TPU_HOST_GEMM=bf16|f32."""
+    env = os.environ.get("PQVECTOR_TPU_HOST_GEMM", "auto")
+    if env in ("bf16", "f32"):
+        return env
+    lossy = wire_mode in ("bfloat16", "int8")
+    return "bf16" if (lossy and _host_amx_bf16()) else "f32"
+
+
 def _assign_clusters_host(
     parts: list[np.ndarray],
     centroids: np.ndarray,
     block_rows: int = 65536,
     normalize: bool = False,
+    gemm: str = "f32",
 ) -> np.ndarray:
-    """Nearest-centroid assignment on the HOST: chunked BLAS sgemm
-    (numpy dot) + native first-min argmin over the reduced L2 form
-    ``|c_j|^2 - 2 x.c_j`` — the same form and tie order as the device
-    kernel (kmeans._assign_blocks). ~137 GF/s single-core here → ~16 s
-    for the reference-default 1M×1024×1000 pass, vs a 25-100 s bulk
+    """Nearest-centroid assignment on the HOST: chunked GEMM + native
+    first-min argmin over the reduced L2 form ``|c_j|^2 - 2 x.c_j`` —
+    the same form and tie order as the device kernel
+    (kmeans._assign_blocks). Either way this beats the 25-100 s bulk
     wire. ``parts`` is the decoded chunk list (never concatenated: the
-    4 GB host concat alone measured 33 s, session r4h)."""
+    4 GB host concat alone measured 33 s, session r4h).
+
+    ``gemm="f32"``: one BLAS sgemm per block (~137 GF/s single-core solo
+    — AT the AVX-512 f32 FMA peak, so no f32 tuning remains).
+
+    ``gemm="bf16"``: CERTIFIED bf16 — the score matmul runs on
+    torch/oneDNN's AMX bf16 tile kernels (measured 306 vs 59 GF/s in the
+    same contended window), then every row whose top-2 margin falls
+    inside the bf16 error envelope is re-scored with the exact f32
+    sgemm, so the returned partition EQUALS the f32 path's (the same
+    margin-certificate design as query/device._exact_cert_impl).
+    Envelope: bf16 rounds inputs at eps=2^-9 and the score output once
+    more, so |red_bf16 - red_f32| <= 2*(2^-8 + 2^-9)*|x||c_j| per
+    reduced score; rows certify when margin > 2 * 2^-5 * |x| * Cmax
+    (>= 3x headroom, also covering the f32 paths' own accumulation
+    differences). Ambiguous rows (margin-dependent; ~0.5-3% on
+    clustered data) pay one exact sub-block sgemm."""
     import ctypes
 
     from ..io.native import load as _native_load
@@ -117,6 +176,15 @@ def _assign_clusters_host(
     ct = c.T.copy()  # [d, k] contiguous for sgemm
     bias = (c * c).sum(axis=1).astype(np.float32)  # |c_j|^2
     k = c.shape[0]
+    cmax = float(np.sqrt(bias.max())) if k else 0.0
+    torch_w = None
+    if gemm == "bf16":
+        try:
+            import torch
+
+            torch_w = torch.from_numpy(ct).bfloat16()  # [d, k] packed once
+        except Exception:  # noqa: BLE001
+            torch_w = None  # fall back to the f32 sgemm
     lib = _native_load()
     use_native = lib is not None and hasattr(lib, "pqv_assign_argmin")
     out_parts = []
@@ -132,6 +200,66 @@ def _assign_clusters_host(
                 # rounding boundaries can differ from the device pass.
                 norms = np.sqrt((blockv * blockv).sum(axis=1, keepdims=True))
                 blockv = blockv / np.maximum(norms, np.float32(1e-30))
+            if torch_w is not None:
+                import torch
+
+                blockv = np.ascontiguousarray(blockv)
+                xb = torch.from_numpy(blockv).bfloat16()
+                sb = xb @ torch_w  # [b, k] bf16 scores (AMX)
+                xn = np.sqrt(np.einsum("nd,nd->n", blockv, blockv))
+                env = np.ascontiguousarray(
+                    np.float32(2.0 * 2.0**-5 * cmax) * xn
+                )
+                idx = amb = None
+                if use_native and hasattr(lib, "pqv_assign_margin_bf16"):
+                    su = sb.view(torch.int16).numpy()  # zero-copy bf16 bits
+                    idx = np.empty(hi - lo, np.int32)
+                    ambu = np.empty(hi - lo, np.uint8)
+                    rc = lib.pqv_assign_margin_bf16(
+                        su.ctypes.data_as(ctypes.c_void_p),
+                        hi - lo,
+                        k,
+                        bias.ctypes.data_as(ctypes.c_void_p),
+                        env.ctypes.data_as(ctypes.c_void_p),
+                        idx.ctypes.data_as(ctypes.c_void_p),
+                        ambu.ctypes.data_as(ctypes.c_void_p),
+                    )
+                    if rc == 0:
+                        amb = ambu.astype(bool)
+                    else:
+                        idx = None
+                if idx is None:  # numpy fallback (no native library)
+                    red = sb.float().numpy()
+                    red *= np.float32(-2.0)
+                    red += bias[None, :]
+                    rn = np.arange(hi - lo)
+                    idx = np.argmin(red, axis=1).astype(np.int32)
+                    m1 = red[rn, idx]
+                    red[rn, idx] = np.inf
+                    m2 = red.min(axis=1)
+                    amb = (m2 - m1) <= env
+                if amb.any():
+                    sub = blockv[amb] @ ct  # exact f32 re-score
+                    if use_native:
+                        sub_assign = np.empty(int(amb.sum()), np.int32)
+                        rc = lib.pqv_assign_argmin(
+                            sub.ctypes.data_as(ctypes.c_void_p),
+                            sub.shape[0],
+                            k,
+                            bias.ctypes.data_as(ctypes.c_void_p),
+                            sub_assign.ctypes.data_as(ctypes.c_void_p),
+                        )
+                        if rc != 0:
+                            sub_assign = np.argmin(
+                                bias - 2.0 * sub, axis=1
+                            ).astype(np.int32)
+                    else:
+                        sub_assign = np.argmin(
+                            bias - 2.0 * sub, axis=1
+                        ).astype(np.int32)
+                    idx[amb] = sub_assign
+                assign[lo:hi] = idx
+                continue
             scores = blockv @ ct  # [b, k] f32 sgemm
             if use_native:
                 rc = lib.pqv_assign_argmin(
@@ -353,8 +481,11 @@ def build_ivf_index_staged(
     import logging
 
     logging.getLogger("pqvector_tpu.build").info(
-        "staged build: transfer_dtype=%s assign_backend=%s backend=%s",
-        wire_mode, assign_backend, jax.default_backend(),
+        "staged build: transfer_dtype=%s assign_backend=%s host_gemm=%s "
+        "backend=%s",
+        wire_mode, assign_backend,
+        resolve_host_gemm(wire_mode) if assign_backend == "host" else "-",
+        jax.default_backend(),
     )
     if assign_backend == "host":
         return _build_staged_host_assign(
@@ -572,5 +703,8 @@ def _build_staged_host_assign(
         centroids_dev, _ = k_means(sample, params)
         centroids = np.asarray(centroids_dev)  # ~4 MB fetch
     with stage("build.assign"):
-        assignments = _assign_clusters_host(parts, centroids, normalize=normalize)
+        assignments = _assign_clusters_host(
+            parts, centroids, normalize=normalize,
+            gemm=resolve_host_gemm(wire_mode),
+        )
     return IvfIndex.from_assignments(centroids, assignments)

@@ -75,13 +75,13 @@ def load() -> ctypes.CDLL | None:
             # (symbol lookup raises AttributeError at binding time below,
             # which would escape to callers expecting the None fallback).
             # Rebuild once if the newest symbol is missing.
-            if not hasattr(lib, "pqv_assign_argmin"):
+            if not hasattr(lib, "pqv_assign_margin_bf16"):
                 del lib
                 if not ensure_built(force=True):
                     _load_failed = True
                     return None
                 lib = ctypes.CDLL(_LIB_PATH)
-                if not hasattr(lib, "pqv_assign_argmin"):
+                if not hasattr(lib, "pqv_assign_margin_bf16"):
                     _load_failed = True
                     return None
         except OSError:

@@ -263,3 +263,68 @@ def test_assign_backend_validation():
     assert resolve_assign_backend(IvfBuildConfig()) == "device"
     assert resolve_assign_backend(
         IvfBuildConfig(assign_backend="host")) == "host"
+
+
+def test_host_gemm_bf16_matches_f32_exactly():
+    # The certified bf16 host GEMM (AMX matmul + exact f32 re-score of
+    # margin-ambiguous rows) must return the f32 sgemm's partition
+    # EXACTLY — the margin certificate covers every bf16 rounding — and
+    # be deterministic. Centroids drawn from the data with tiny offsets
+    # deliberately create near-tie rows that exercise the re-score path.
+    # (The code path runs on any host — without AMX it is merely slower —
+    # so this exercises the real torch route, not a stub.)
+    pytest.importorskip("torch")
+    from pqvector_tpu.index.build import _assign_clusters_host
+
+    emb = _data(n=3000, d=32, seed=9)
+    rng = np.random.default_rng(1)
+    centroids = emb[rng.integers(0, len(emb), 48)] + 0.01
+    parts = [emb[:1200], emb[1200:]]
+    a32 = _assign_clusters_host(parts, centroids, block_rows=512, gemm="f32")
+    ab = _assign_clusters_host(parts, centroids, block_rows=512, gemm="bf16")
+    ab2 = _assign_clusters_host(parts, centroids, block_rows=512, gemm="bf16")
+    np.testing.assert_array_equal(ab, ab2)  # deterministic
+    np.testing.assert_array_equal(a32, ab)  # certified-exact
+
+    # Cosine path too (normalize inside the block loop).
+    an32 = _assign_clusters_host(
+        parts, centroids, block_rows=512, gemm="f32", normalize=True
+    )
+    anb = _assign_clusters_host(
+        parts, centroids, block_rows=512, gemm="bf16", normalize=True
+    )
+    np.testing.assert_array_equal(an32, anb)
+
+
+def test_resolve_host_gemm_gating(monkeypatch):
+    from pqvector_tpu.index import build as b
+
+    # Env override wins both ways.
+    monkeypatch.setenv("PQVECTOR_TPU_HOST_GEMM", "bf16")
+    assert b.resolve_host_gemm("float32") == "bf16"
+    monkeypatch.setenv("PQVECTOR_TPU_HOST_GEMM", "f32")
+    assert b.resolve_host_gemm("bfloat16") == "f32"
+    monkeypatch.delenv("PQVECTOR_TPU_HOST_GEMM")
+    # Exact wire keeps the exact f32 sgemm regardless of hardware.
+    monkeypatch.setattr(b, "_HOST_AMX_BF16", True)
+    assert b.resolve_host_gemm("float32") == "f32"
+    assert b.resolve_host_gemm("bfloat16") == "bf16"
+    assert b.resolve_host_gemm("int8") == "bf16"
+    # No AMX -> f32 even on a lossy wire.
+    monkeypatch.setattr(b, "_HOST_AMX_BF16", False)
+    assert b.resolve_host_gemm("bfloat16") == "f32"
+
+
+def test_host_gemm_bf16_numpy_fallback_matches(monkeypatch):
+    # Without the native library the certified bf16 path falls back to
+    # the numpy margin passes — same exact-vs-f32 contract.
+    pytest.importorskip("torch")
+    from pqvector_tpu.index import build as b
+
+    monkeypatch.setattr("pqvector_tpu.io.native.load", lambda: None)
+    emb = _data(n=2000, d=32, seed=12)
+    rng = np.random.default_rng(2)
+    centroids = emb[rng.integers(0, len(emb), 40)] + 0.01
+    a32 = b._assign_clusters_host([emb], centroids, block_rows=512, gemm="f32")
+    ab = b._assign_clusters_host([emb], centroids, block_rows=512, gemm="bf16")
+    np.testing.assert_array_equal(a32, ab)
