@@ -1,6 +1,8 @@
 #!/bin/bash
-# Follow-up runner: wait for the r5b queue (r5c/r5d/r5e + full bench) to
-# drain, then run the reworked-cert validation session r5i.
+# Follow-up runner: wait for the r5b queue (r5d/r5e + full bench) to
+# drain, then run the round-5 validation tail:
+#   r5i - reworked cert pass-2 (tile-granular gathers) end-to-end
+#   r5j - warm refdefault build with the certified-bf16 AMX host assign
 set -u
 cd "$(dirname "$0")/.."
 LOG=scripts/run_sessions_r5i.log
@@ -20,7 +22,14 @@ if ! tail -5 scripts/run_sessions_r5b.log | grep -q "\[runner\] done"; then
 fi
 sleep 30  # relay settle
 
-echo "[runner-i] chip_session_r5i @ $(date +%H:%M:%S)" >> "$LOG"
-bash scripts/tpu_run.sh scripts/chip_session_r5i.py 2400 20
-echo "[runner-i] chip_session_r5i exit=$? @ $(date +%H:%M:%S)" >> "$LOG"
+run_one() {
+  local name="$1" timeout="${2:-2400}"
+  echo "[runner-i] $name @ $(date +%H:%M:%S)" >> "$LOG"
+  bash scripts/tpu_run.sh "scripts/${name}.py" "$timeout" 20
+  echo "[runner-i] $name exit=$? @ $(date +%H:%M:%S)" >> "$LOG"
+  sleep 30
+}
+
+run_one chip_session_r5i 2400
+run_one refdefault_build_r5j 2400
 echo "[runner-i] done $(date +%H:%M:%S)" >> "$LOG"
