@@ -328,3 +328,48 @@ def test_host_gemm_bf16_numpy_fallback_matches(monkeypatch):
     a32 = b._assign_clusters_host([emb], centroids, block_rows=512, gemm="f32")
     ab = b._assign_clusters_host([emb], centroids, block_rows=512, gemm="bf16")
     np.testing.assert_array_equal(a32, ab)
+
+
+def test_native_assign_margin_bf16_vs_oracle():
+    # Fuzz the native one-pass two-min/argmin kernel against a numpy
+    # oracle: odd k (vector tail), k<16 (pure scalar), duplicated
+    # minima (margin 0 -> always ambiguous), and random envelopes.
+    import ctypes
+
+    from pqvector_tpu.io.native import load
+
+    lib = load()
+    if lib is None or not hasattr(lib, "pqv_assign_margin_bf16"):
+        pytest.skip("native library unavailable")
+    import ml_dtypes
+
+    rng = np.random.default_rng(33)
+    for n, k in ((64, 1000), (33, 37), (16, 5), (7, 16), (5, 1)):
+        sc = rng.standard_normal((n, k)).astype(np.float32)
+        if k >= 3:
+            sc[0, 2] = sc[0, 0]  # duplicate min candidate
+        sb = sc.astype(ml_dtypes.bfloat16)
+        bias = (rng.standard_normal(k).astype(np.float32)) ** 2
+        env = np.abs(rng.standard_normal(n).astype(np.float32)) * 0.05
+        red = bias[None, :] - 2.0 * sb.astype(np.float32)
+        oidx = np.argmin(red, axis=1).astype(np.int32)
+        m1 = red[np.arange(n), oidx]
+        r2 = red.copy()
+        r2[np.arange(n), oidx] = np.inf
+        m2 = r2.min(axis=1) if k > 1 else np.full(n, np.inf, np.float32)
+        oamb = (m2 - m1) <= env
+        idx = np.empty(n, np.int32)
+        amb = np.empty(n, np.uint8)
+        rc = lib.pqv_assign_margin_bf16(
+            sb.view(np.uint16).ctypes.data_as(ctypes.c_void_p),
+            n, k,
+            bias.ctypes.data_as(ctypes.c_void_p),
+            env.ctypes.data_as(ctypes.c_void_p),
+            idx.ctypes.data_as(ctypes.c_void_p),
+            amb.ctypes.data_as(ctypes.c_void_p),
+        )
+        assert rc == 0
+        np.testing.assert_array_equal(idx, oidx, err_msg=f"k={k}")
+        np.testing.assert_array_equal(
+            amb.astype(bool), oamb, err_msg=f"k={k}"
+        )
