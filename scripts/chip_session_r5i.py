@@ -84,6 +84,20 @@ for p1 in ("highest", "high"):
     log(f"cert_probe({p1}): rate={rate:.4f} "
         f"min_margin={float(np.min(margins)):.4f}")
 
+# ---- m sweep: smaller fetch-tile budgets cut pass-2's gather bytes ------
+# proportionally; the certificate (threshold = (m+1)-th tile-min) still
+# guarantees exactness — only the fallback rate pays if m is too greedy.
+s.cert_pass1 = "high"
+m_pick = 0  # 0 = auto (max(2k, 16) = 20)
+for m_try in (8, 12, 16):
+    s.cert_fetch_tiles = m_try
+    rate, margins = s.cert_probe(q_all[:256], 10)
+    log(f"cert_probe(high, m={m_try}): rate={rate:.4f} "
+        f"min_margin={float(np.min(margins)):.4f}")
+    if rate == 1.0 and m_pick == 0:
+        m_pick = m_try
+s.cert_fetch_tiles = 0
+
 
 # ---- pass-1-only chained loop (attribution) -----------------------------
 @functools.partial(jax.jit, static_argnames=("tile", "m", "reps", "high"))
@@ -115,6 +129,15 @@ for b in (256, 1024):
             qb, tag=f"exact_loop cert({p1}) B={b}",
         )
         results[(b, p1)] = q
+    if m_pick:
+        s.cert_pass1 = "high"
+        s.cert_fetch_tiles = m_pick
+        q = timed(
+            lambda qq, r: s.exact_loop(qq, 10, reps=r, mode="cert")[1],
+            qb, tag=f"exact_loop cert(high, m={m_pick}) B={b}",
+        )
+        results[(b, f"m{m_pick}")] = q
+        s.cert_fetch_tiles = 0
     timed(
         lambda qq, r: s.exact_loop(qq, 10, reps=r, mode="auto")[1],
         qb, tag=f"exact_loop auto B={b}",
