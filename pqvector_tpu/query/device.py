@@ -849,6 +849,7 @@ def _exact_cert_impl(
     pass1_storage: bool = False,  # pass-1 over ``emb`` (storage precision)
     diagnostic: bool = False,  # return (d2, ids, certified[B], margin[B])
     interpret: bool = False,  # Pallas pass-1 kernel in interpret mode
+    pass2_form: str = "auto",  # "auto" (fuse-budget), "fused", "scan"
 ):
     """Certified-exact full scan: tile-min lower bounds, whole-tile refine,
     and a completeness certificate with an in-dispatch exact fallback.
@@ -955,7 +956,10 @@ def _exact_cert_impl(
         ).reshape(b, mm * tile)
         return rows, jnp.where(jnp.isinf(x2), jnp.inf, part)
 
-    if b * m * tile * (d + 1) * 4 <= _CERT_FUSE_BUDGET:
+    fused = b * m * tile * (d + 1) * 4 <= _CERT_FUSE_BUDGET
+    if pass2_form != "auto":
+        fused = pass2_form == "fused"
+    if fused:
         rows, part = tile_scores(tidx)
         neg, pos = jax.lax.top_k(-part, kf)
         best_d = -neg
@@ -1501,6 +1505,12 @@ class DeviceIvfSearcher:
         # +2^-8*(...)). Wider slack only raises how often the exact
         # fallback re-runs; results are exact for every setting.
         self.cert_pass1 = "highest"
+        # mode="cert" pass-2 candidate-scoring form: "auto" (one fused
+        # gather+score while under _CERT_FUSE_BUDGET, lax.scan over the
+        # selected tiles beyond it), or force "fused"/"scan" — a chip
+        # measurement knob (the two forms trade one big materialized
+        # gather against m smaller per-step ones; identical results).
+        self.cert_pass2 = "auto"
         # Where the chained-loop APIs run the f32 re-score when a
         # reference is held: "auto" defers it past the lax.scan body once
         # the body's while-carry copies (storage + reference, doubled —
@@ -1818,6 +1828,7 @@ class DeviceIvfSearcher:
                 emb_ref=self._ref(),
                 pass1_high=self._cert_pass1_mode()[0],
                 pass1_storage=self._cert_pass1_mode()[1],
+                pass2_form=self.cert_pass2,
                 interpret=jax.default_backend() != "tpu",
             )
         else:
@@ -2158,6 +2169,7 @@ class DeviceIvfSearcher:
                 emb_ref=self._ref(),
                 pass1_high=self._cert_pass1_mode()[0],
                 pass1_storage=self._cert_pass1_mode()[1],
+                pass2_form=self.cert_pass2,
                 interpret=jax.default_backend() != "tpu",
             )
         elif mode == "gather":
@@ -2652,6 +2664,7 @@ class DeviceIvfSearcher:
             cert_m=self.cert_fetch_tiles if use_cert else 0,
             cert_p1h=self._cert_pass1_mode()[0] if use_cert else False,
             cert_p1s=self._cert_pass1_mode()[1] if use_cert else False,
+            cert_p2=self.cert_pass2 if use_cert else "auto",
             subtiles=self._stream_subtiles(tile_p),
             interpret=interpret,
             emb_i8=self._xbin8_arrays()[0] if use_i8 else None,
@@ -2747,6 +2760,7 @@ class DeviceIvfSearcher:
             cert_m=self.cert_fetch_tiles if use_cert else 0,
             cert_p1h=self._cert_pass1_mode()[0] if use_cert else False,
             cert_p1s=self._cert_pass1_mode()[1] if use_cert else False,
+            cert_p2=self.cert_pass2 if use_cert else "auto",
             subtiles=self._stream_subtiles(tile_p),
             interpret=jax.default_backend() != "tpu",
             use_xla=use_xla,
@@ -2895,6 +2909,7 @@ class DeviceIvfSearcher:
             chunk_rows=self.tilescan_chunk_rows,
             emb_ref=self._ref(),
             pass1_high=p1h, pass1_storage=p1s, diagnostic=True,
+            pass2_form=self.cert_pass2,
             interpret=jax.default_backend() != "tpu",
         )
         okq = np.asarray(okq)
@@ -3392,7 +3407,7 @@ MASKED_LOOP_STATICS = (
     "score_dtype", "subtiles", "interpret", "overfetch", "use_xbin",
     "xbin_bins", "xbin_chunk", "use_tilescan", "tilescan_tile",
     "tilescan_chunk", "use_cert", "cert_tile", "cert_m", "cert_p1h",
-    "cert_p1s", "n_valid", "defer_k",
+    "cert_p1s", "cert_p2", "n_valid", "defer_k",
 )
 
 
@@ -3406,7 +3421,8 @@ def _masked_pallas_loop(
     use_bincompact=False, bin_expand=1, overfetch=0, use_xbin=False,
     xbin_bins=0, xbin_chunk=0, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
-    cert_p1h=False, cert_p1s=False, emb_i8=None, i8_scale=None,
+    cert_p1h=False, cert_p1s=False, cert_p2="auto", emb_i8=None,
+    i8_scale=None,
     emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
@@ -3479,7 +3495,8 @@ def _masked_pallas_loop(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
                 emb_ref=body_ref, pass1_high=cert_p1h,
-                pass1_storage=cert_p1s, interpret=interpret,
+                pass1_storage=cert_p1s, pass2_form=cert_p2,
+                interpret=interpret,
             )
         if use_scan:
             return _exact_approx_topk_impl(
@@ -3535,7 +3552,7 @@ def _masked_pallas_loop(
                      "use_xbin", "xbin_bins", "xbin_chunk", "use_xla",
                      "use_tilescan", "tilescan_tile", "tilescan_chunk",
                      "use_cert", "cert_tile", "cert_m", "cert_p1h",
-                     "cert_p1s", "n_valid", "defer_k"),
+                     "cert_p1s", "cert_p2", "n_valid", "defer_k"),
 )
 def _exact_pallas_loop(
     q0, emb, emb_sq, k, tile, reps, use_stream, use_approx, chunk,
@@ -3543,7 +3560,8 @@ def _exact_pallas_loop(
     binscan_tile=0, bin_expand=1, overfetch=0, use_xbin=False, xbin_bins=0,
     xbin_chunk=0, use_xla=False, use_tilescan=False, tilescan_tile=0,
     tilescan_chunk=0, use_cert=False, cert_tile=0, cert_m=0,
-    cert_p1h=False, cert_p1s=False, emb_i8=None, i8_scale=None,
+    cert_p1h=False, cert_p1s=False, cert_p2="auto", emb_i8=None,
+    i8_scale=None,
     emb_ref=None,
     n_valid=0, gid=None, defer_k=0,
 ):
@@ -3587,7 +3605,8 @@ def _exact_pallas_loop(
                 q, emb, emb_sq, k=k, tile=cert_tile, fallback_tile=tile,
                 m_tiles=cert_m, chunk_rows=tilescan_chunk,
                 emb_ref=body_ref, pass1_high=cert_p1h,
-                pass1_storage=cert_p1s, interpret=interpret,
+                pass1_storage=cert_p1s, pass2_form=cert_p2,
+                interpret=interpret,
             )
         elif use_approx:
             d2, ids = _exact_approx_topk_impl(
@@ -3638,7 +3657,7 @@ _exact_cert = jax.jit(
     _exact_cert_impl,
     static_argnames=("k", "tile", "fallback_tile", "m_tiles", "chunk_rows",
                      "pass1_high", "pass1_storage", "diagnostic",
-                     "interpret"),
+                     "interpret", "pass2_form"),
 )
 
 

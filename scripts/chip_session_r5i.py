@@ -129,8 +129,15 @@ for b in (256, 1024):
             qb, tag=f"exact_loop cert({p1}) B={b}",
         )
         results[(b, p1)] = q
+    s.cert_pass1 = "high"
+    s.cert_pass2 = "scan"  # contest the bounded-temp per-tile-step form
+    q = timed(
+        lambda qq, r: s.exact_loop(qq, 10, reps=r, mode="cert")[1],
+        qb, tag=f"exact_loop cert(high, pass2=scan) B={b}",
+    )
+    results[(b, "scan2")] = q
+    s.cert_pass2 = "auto"
     if m_pick:
-        s.cert_pass1 = "high"
         s.cert_fetch_tiles = m_pick
         q = timed(
             lambda qq, r: s.exact_loop(qq, 10, reps=r, mode="cert")[1],

@@ -306,3 +306,18 @@ def test_cert_spilled_searcher(clustered):
     de, ie = s.exact(queries, k=10, mode="xla")
     dc, ic = s.exact(queries, k=10, mode="cert")
     np.testing.assert_array_equal(np.asarray(ic), np.asarray(ie))
+
+
+def test_cert_pass2_knob_forms_agree(clustered):
+    # cert_pass2 forces the pass-2 candidate-scoring form; both must
+    # produce identical results (the budget only picks a default).
+    x, q = clustered
+    s = make_searcher(x, dtype=jnp.bfloat16)
+    outs = []
+    for form in ("fused", "scan", "auto"):
+        s.cert_pass2 = form
+        d2, ids = s.exact(q, 10, mode="cert")
+        outs.append((np.asarray(d2), np.asarray(ids)))
+    for d2, ids in outs[1:]:
+        np.testing.assert_array_equal(ids, outs[0][1])
+        np.testing.assert_allclose(d2, outs[0][0], rtol=0, atol=0)
