@@ -49,14 +49,21 @@ q_all = emb[rng.integers(0, rows, 4096)] + 0.05 * rng.standard_normal(
 ).astype(np.float32)
 
 # f32 exact ground truth at K=100 (one searcher at a time: 4 GB each).
-watchdog(600.0)
-t0 = time.time()
-truth_s = DeviceIvfSearcher(index, emb, row_tile=4096, cluster_sorted=True)
-_, truth_ids = truth_s.exact(q_all[:256], K, mode="xla")
-truth_ids = np.asarray(truth_ids)
-log(f"f32 exact truth (256 queries, K={K}) in {time.time()-t0:.1f}s")
-del truth_s
-gc.collect()
+# Cached to disk: a retried session must not pay the 331 s again.
+truth_path = "/root/repo/data/refdefault_truth_seed7_k100_b256.npy"
+if os.path.exists(truth_path):
+    truth_ids = np.load(truth_path)
+    log(f"f32 exact truth loaded from cache ({truth_ids.shape})")
+else:
+    watchdog(600.0)
+    t0 = time.time()
+    truth_s = DeviceIvfSearcher(index, emb, row_tile=4096, cluster_sorted=True)
+    _, truth_ids = truth_s.exact(q_all[:256], K, mode="xla")
+    truth_ids = np.asarray(truth_ids)
+    log(f"f32 exact truth (256 queries, K={K}) in {time.time()-t0:.1f}s")
+    np.save(truth_path, truth_ids)
+    del truth_s
+    gc.collect()
 
 watchdog(600.0)
 t0 = time.time()
@@ -77,11 +84,19 @@ for mode, npb in (("masked", NPROBE), ("scan", 1)):
         log(f"mode={mode} recall FAILED: {type(e).__name__}: {str(e)[:200]}")
 
 # Scan with widened fetch if default recall missed (fetch >= K policy).
-s.approx_recall_target = 0.95
-s.scan_overfetch = 2 * K
-_, ids = s.search(q_all[:256], K, 1, mode="scan")
-r_scan = recall_at_k(truth_ids, np.asarray(ids))
-log(f"mode=scan rt=0.95 fetch={2*K}: recall@{K}={r_scan:.4f}")
+# First run measured rt=0.95/fetch=200 at 0.8254 (the clamped ApproxTopK
+# fetch is too narrow for K=100 at d=1024) — probe wider fetches.
+for rt, fetch in ((0.95, 200), (0.99, 400), (0.99, 800)):
+    try:
+        s.approx_recall_target = rt
+        s.scan_overfetch = fetch
+        _, ids = s.search(q_all[:256], K, 1, mode="scan")
+        r_scan = recall_at_k(truth_ids, np.asarray(ids))
+        log(f"mode=scan rt={rt} fetch={fetch}: recall@{K}={r_scan:.4f}")
+        if r_scan >= 0.99:
+            break
+    except Exception as e:  # noqa: BLE001
+        log(f"scan fetch={fetch} FAILED: {type(e).__name__}: {str(e)[:160]}")
 
 
 def measure(mode, b, nprobe, reps=10, budget_s=6.0):
@@ -108,10 +123,19 @@ rng_f = np.random.default_rng(17)
 for b in (256, 1024, 4096):
     watchdog(300.0)
     fq = emb[rng_f.integers(0, rows, b)].astype(np.float32)
-    f = measure_floor_qps(jax, s, fq)
-    log(f"B={b}: same-window d=1024 matmul+min floor = {f:,.0f} QPS")
+    try:
+        f = measure_floor_qps(jax, s, fq)
+        log(f"B={b}: same-window d=1024 matmul+min floor = {f:,.0f} QPS")
+    except Exception as e:  # noqa: BLE001
+        log(f"B={b} floor FAILED: {type(e).__name__}: {str(e)[:160]}")
+        log("worker presumably crashed; ending session with partial data")
+        break
     measure("scan", b, 1)
-    if b <= 1024:
+    if b <= 256:
+        # masked at B=1024 CRASHED the TPU worker on the first run
+        # (10:05: per-chunk [B, chunk] score+mask temps at d=1024; the
+        # whole later session died with it) — B=256 measured 225 QPS, so
+        # nothing above B=256 is worth a worker.
         measure("masked", b, NPROBE)
 
 # The round-2 comparison row: approx (ApproxTopK chunked) at B=256.
